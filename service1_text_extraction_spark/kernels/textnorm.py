@@ -1,0 +1,347 @@
+"""Text normalization + quality-gate kernels.
+
+Reimplements, bit-exactly, the reference semantics of:
+
+- ``clean_unicode``              (reference ``backend/core/text_utils.py:16-75``)
+- ``normalize_whitespace``       (``text_utils.py:142-147``)
+- ``remove_page_headers_footers``(``text_utils.py:149-166``)
+- ``chunk_text``                 (``text_utils.py:77-117``)
+- ``extract_numbers``            (``text_utils.py:119-123``)
+- ``extract_dates``              (``text_utils.py:125-140``)
+- ``_is_garbage_text``           (``backend/services/document_processing/utils/
+                                   core_pdf_processor.py:584-648``)
+
+The implementations here are original, written for vectorized execution
+(translation tables + compiled regexes + NumPy codepoint masks) rather
+than the reference's per-character Python loops; only the *semantics*
+(replacement order, thresholds, character classes) are reproduced.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# --------------------------------------------------------------------------
+# clean_unicode
+#
+# Reference order of operations (text_utils.py:47-75):
+#   1. currency corruption replacements (dict order)
+#   2. unicode punctuation replacements (dict order)
+#   3. per-char pass: ctrl (<32, not \t\n\r) -> ' ';  >127: keep the listed
+#      currency symbols and anything <256, else -> ' '; 127 (DEL) is kept.
+#
+# Steps 1+2 collapse into: multi-char literal replacements (order kept) +
+# a single-char translation table. Step 3 collapses into two disjoint
+# regex character classes, so relative order of the two subs is free.
+# --------------------------------------------------------------------------
+
+# Multi-char replacements, in reference order. "…" must be replaced
+# before the high-codepoint sweep (it expands to three ASCII dots).
+_MULTI_REPLACEMENTS: tuple[tuple[str, str], ...] = (
+    ("���", "€"),  # triple REPLACEMENT CHAR -> Euro
+    ("â‚¬", "€"),  # 'â‚¬' mojibake -> Euro
+    ("…", "..."),                 # ellipsis
+)
+
+# Single-char -> single-char (or delete) mappings from the reference maps.
+_CHAR_TABLE = str.maketrans(
+    {
+        " ": " ",   # NBSP
+        "‐": "-", "‑": "-", "‒": "-",
+        "–": "-", "—": "-", "―": "-",
+        "‘": "'", "’": "'", "‚": "'",
+        "“": '"', "”": '"', "„": '"',
+        "﻿": None,  # BOM deleted
+    }
+)
+
+# Control chars below 32 except \t(09) \n(0A) \r(0D) -> space.
+_CTRL_TO_SPACE_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+# Codepoints >= 256 -> space, except currency symbols the reference keeps
+# (the other kept symbols ¢ £ ¥ are < 256 already).
+_HIGH_TO_SPACE_RE = re.compile(r"[^\x00-\xff€₩₪₫₹₽]")
+
+
+def clean_unicode(text: str) -> str:
+    """Reference-exact unicode cleanup (text_utils.py:16-75)."""
+    for old, new in _MULTI_REPLACEMENTS:
+        text = text.replace(old, new)
+    text = text.translate(_CHAR_TABLE)
+    text = _CTRL_TO_SPACE_RE.sub(" ", text)
+    return _HIGH_TO_SPACE_RE.sub(" ", text)
+
+
+def clean_unicode_series(s: pd.Series) -> pd.Series:
+    """Vectorized ``clean_unicode`` over a pandas string Series."""
+    for old, new in _MULTI_REPLACEMENTS:
+        s = s.str.replace(old, new, regex=False)
+    s = s.str.translate(_CHAR_TABLE)
+    s = s.str.replace(_CTRL_TO_SPACE_RE, " ", regex=True)
+    return s.str.replace(_HIGH_TO_SPACE_RE, " ", regex=True)
+
+
+# --------------------------------------------------------------------------
+# whitespace / header-footer / chunking / regex extracts
+# --------------------------------------------------------------------------
+
+_WS_RUN_RE = re.compile(r"\s+")
+
+
+def normalize_whitespace(text: str) -> str:
+    """Collapse whitespace runs to single spaces and strip (text_utils.py:142-147)."""
+    return _WS_RUN_RE.sub(" ", text).strip()
+
+
+def normalize_whitespace_series(s: pd.Series) -> pd.Series:
+    return s.str.replace(_WS_RUN_RE, " ", regex=True).str.strip()
+
+
+_PAGE_LINE_RE = re.compile(r"^Page \d+$", re.IGNORECASE)
+_NUM_LINE_RE = re.compile(r"^\d+$")
+_RULE_LINE_RE = re.compile(r"^-+$")
+
+
+def remove_page_headers_footers(text: str) -> str:
+    """Drop header/footer-looking lines (text_utils.py:149-166).
+
+    Lines are stripped; a line is dropped when it matches ``Page N``
+    (case-insensitive), is all digits, is shorter than 3 chars, or is a
+    horizontal rule of dashes. Kept lines are re-joined with ``\\n``.
+    """
+    kept = []
+    for raw in text.split("\n"):
+        line = raw.strip()
+        if (
+            _PAGE_LINE_RE.match(line)
+            or _NUM_LINE_RE.match(line)
+            or len(line) < 3
+            or _RULE_LINE_RE.match(line)
+        ):
+            continue
+        kept.append(line)
+    return "\n".join(kept)
+
+
+_BREAK_SEQS = ("\n\n", "\n", ". ", "! ", "? ")
+
+
+def chunk_text(text: str, max_chars: int = 8000, overlap: int = 200) -> list[str]:
+    """Overlapping chunking with preferred break points (text_utils.py:77-117).
+
+    Matches the reference's choice rule: the first break sequence (in
+    ``_BREAK_SEQS`` order) found by ``rfind`` within the window wins.
+    Adds a forward-progress guard absent from the reference (which can
+    loop when ``overlap`` >= window advance); guarded inputs diverge
+    only where the reference would not terminate.
+    """
+    if len(text) <= max_chars:
+        return [text]
+    chunks: list[str] = []
+    start = 0
+    while start < len(text):
+        end = start + max_chars
+        if end >= len(text):
+            chunks.append(text[start:])
+            break
+        break_pos = end
+        for seq in _BREAK_SEQS:
+            pos = text.rfind(seq, start, end)
+            if pos > start:
+                break_pos = pos + len(seq)
+                break
+        chunks.append(text[start:break_pos])
+        nxt = break_pos - overlap if overlap > 0 else break_pos
+        start = nxt if nxt > start else break_pos  # progress guard
+    return chunks
+
+
+NUMBER_PATTERN = r"\b\d{1,3}(?:,\d{3})*(?:\.\d{1,2})?\b"
+_NUMBER_RE = re.compile(NUMBER_PATTERN)
+
+DATE_PATTERNS: tuple[str, ...] = (
+    r"\b\d{1,2}\s+(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\w*\s+\d{4}\b",
+    r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\w*\s+\d{1,2},?\s+\d{4}\b",
+    r"\b\d{4}-\d{2}-\d{2}\b",
+    r"\b\d{1,2}/\d{1,2}/\d{4}\b",
+    r"\b\d{1,2}\.\d{1,2}\.\d{4}\b",
+)
+_DATE_RES = tuple(re.compile(p, re.IGNORECASE) for p in DATE_PATTERNS)
+
+
+def extract_numbers(text: str) -> list[str]:
+    """Numbers with thousands separators / <=2 decimals (text_utils.py:119-123)."""
+    return _NUMBER_RE.findall(text)
+
+
+def extract_dates(text: str) -> list[str]:
+    """Date-looking substrings, five patterns, pattern-major order
+    (text_utils.py:125-140)."""
+    out: list[str] = []
+    for rx in _DATE_RES:
+        out.extend(rx.findall(text))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Garbage-text gate (core_pdf_processor.py:584-648)
+#
+# Seven heuristics, OR'd. Thresholds are load-bearing: a one-char
+# divergence flips the extraction method for the whole page/turn.
+# --------------------------------------------------------------------------
+
+GARBAGE_PUNCT_KEEP = set(".,!?;:()[]{}\"'")
+_CTRL_SEQ_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]+")
+_TNR = {9, 10, 13}  # \t \n \r codepoints
+
+
+def is_garbage_text(text: str) -> bool:
+    """Scalar reference-exact gate. True -> reject extraction."""
+    if not text.strip():
+        return True
+    n = len(text)
+
+    ctrl = sum(1 for c in text if ord(c) < 32 and ord(c) not in _TNR)
+    if ctrl > n * 0.3:
+        return True
+
+    if len(_CTRL_SEQ_RE.findall(text)) > 3:
+        return True
+
+    special = sum(
+        1
+        for c in text
+        if not c.isalnum() and not c.isspace() and c not in GARBAGE_PUNCT_KEEP
+    )
+    if special / n > 0.5:
+        return True
+
+    if len(set(text)) < 5:
+        return True
+
+    words = text.split()
+    if words:
+        if sum(1 for w in words if len(w) < 2) / len(words) > 0.7:
+            return True
+
+    non_printable = sum(
+        1 for c in text if (ord(c) < 32 and ord(c) not in _TNR) or ord(c) > 126
+    )
+    if non_printable > n * 0.2:
+        return True
+
+    printable = sum(1 for c in text if c.isprintable() and c not in "\t\n\r")
+    if printable / n < 0.3:
+        return True
+
+    return False
+
+
+# ---- vectorized variant: per-codepoint class tables over the BMP ---------
+
+_BMP = 0x10000
+
+
+def _build_tables() -> dict[str, np.ndarray]:
+    chars = [chr(i) for i in range(_BMP)]
+    alnum = np.fromiter((c.isalnum() for c in chars), dtype=bool, count=_BMP)
+    space = np.fromiter((c.isspace() for c in chars), dtype=bool, count=_BMP)
+    printable = np.fromiter((c.isprintable() for c in chars), dtype=bool, count=_BMP)
+    punct = np.zeros(_BMP, dtype=bool)
+    for c in GARBAGE_PUNCT_KEEP:
+        punct[ord(c)] = True
+    ctrl_seq = np.zeros(_BMP, dtype=bool)  # the _CTRL_SEQ_RE class
+    for i in list(range(0x00, 0x09)) + [0x0B, 0x0C] + list(range(0x0E, 0x20)):
+        ctrl_seq[i] = True
+    for i in range(0x7F, 0xA0):
+        ctrl_seq[i] = True
+    return {
+        "alnum": alnum,
+        "space": space,
+        "printable": printable,
+        "punct": punct,
+        "ctrl_seq": ctrl_seq,
+    }
+
+
+_T = _build_tables()
+
+
+def _codepoints(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+
+
+def is_garbage_text_np(text: str) -> bool:
+    """NumPy single-pass version of :func:`is_garbage_text`.
+
+    Astral codepoints (>= U+10000) are rare in extraction payloads;
+    their class bits fall back to per-char Python only for those chars.
+    """
+    stripped = text.strip()
+    if not stripped:
+        return True
+    cp = _codepoints(text)
+    n = cp.size
+
+    high = cp >= _BMP
+    idx = np.where(high, 32, cp)  # placeholder index; fixed up below
+    alnum = _T["alnum"][idx]
+    space = _T["space"][idx]
+    printable = _T["printable"][idx]
+    punct = _T["punct"][idx]
+    if high.any():
+        for j in np.nonzero(high)[0]:
+            c = chr(int(cp[j]))
+            alnum[j] = c.isalnum()
+            space[j] = False
+            printable[j] = c.isprintable()
+            punct[j] = False
+
+    is_tnr = (cp == 9) | (cp == 10) | (cp == 13)
+    ctrl = (cp < 32) & ~is_tnr
+    if int(ctrl.sum()) > n * 0.3:
+        return True
+
+    seq_class = _T["ctrl_seq"][idx] & ~high
+    # number of runs of consecutive True
+    if seq_class.any():
+        starts = int(seq_class[0]) + int((seq_class[1:] & ~seq_class[:-1]).sum())
+        if starts > 3:
+            return True
+
+    special = ~alnum & ~space & ~punct
+    if int(special.sum()) / n > 0.5:
+        return True
+
+    if np.unique(cp).size < 5:
+        return True
+
+    # word lengths: runs of non-whitespace per str.split() semantics
+    nonspace = ~space
+    if nonspace.any():
+        padded = np.concatenate(([False], nonspace, [False]))
+        run_starts = np.nonzero(padded[1:] & ~padded[:-1])[0]
+        run_ends = np.nonzero(~padded[1:] & padded[:-1])[0]
+        lengths = run_ends - run_starts
+        if lengths.size and int((lengths < 2).sum()) / lengths.size > 0.7:
+            return True
+
+    non_printable = ctrl | (cp > 126)
+    if int(non_printable.sum()) > n * 0.2:
+        return True
+
+    if int((printable & ~is_tnr).sum()) / n < 0.3:
+        return True
+
+    return False
+
+
+def garbage_mask(texts: pd.Series) -> np.ndarray:
+    """Vectorized gate over a Series -> bool ndarray (True = garbage)."""
+    return np.fromiter(
+        (is_garbage_text_np(t) if isinstance(t, str) else True for t in texts),
+        dtype=bool,
+        count=len(texts),
+    )
