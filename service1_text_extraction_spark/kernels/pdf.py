@@ -1,0 +1,551 @@
+"""From-scratch PDF text extraction kernel.
+
+The reference delegates PDF parsing to PyMuPDF and then re-creates
+layout order itself (blocks sorted by y, lines by y, spans joined
+left-to-right with single-space insertion —
+``core_pdf_processor.py:418-465, 709-781``). This module rebuilds the
+whole path with no third-party parser:
+
+1. object scan: every ``N G obj ... endobj`` is parsed with a small
+   recursive-descent reader (dicts, arrays, names, numbers, literal and
+   hex strings, refs); streams decode ``/FlateDecode`` via zlib.
+2. page tree walk: trailer ``/Root`` -> ``/Pages`` -> ``/Kids`` in
+   order (fallback: any ``/Type /Catalog`` object).
+3. content-stream interpreter: ``BT/ET Tf Td TD TL Tm T* Tj TJ ' "``;
+   each string-show emits a positioned run. In ``TJ`` arrays a kerning
+   adjustment <= ``-SPACE_ADJ`` (thousandths of em) renders as a space
+   (the classic pdftotext heuristic).
+4. layout assembly, mirroring the reference's ordering rules:
+   runs -> lines grouped by baseline y (tolerance ``LINE_TOL``), lines
+   sorted top-to-bottom (descending PDF y), runs within a line sorted
+   by x and joined with the reference's span rule (strip + single
+   space between spans, ``core_pdf_processor.py:753-765``); a vertical
+   gap > ``BLOCK_GAP`` starts a new block (the reference uses the same
+   20-unit threshold for block grouping, ``core_pdf_processor.py:534``
+   and ``:735``).
+5. ligature expansion (ﬁ ﬂ …) and hyphenation repair at line joins
+   inside a block (``exam-`` + ``ple`` -> ``example`` when the next
+   line starts lowercase) — north-star requirements with no reference
+   equivalent.
+
+Unsupported (documented scope): encryption (the pipeline surfaces a
+``password_required``-style failure the way the reference does for
+un-authenticated documents, ``core_pdf_processor.py:167-181``),
+non-Flate filters, CID/composite fonts, xref streams.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass
+
+SPACE_ADJ = 180.0  # TJ kerning (thousandths) rendered as a word space
+LINE_TOL = 2.0  # max |Δy| for runs to share a baseline
+BLOCK_GAP = 20.0  # vertical gap starting a new block (reference threshold)
+
+_LIGATURES = str.maketrans(
+    {
+        "ﬀ": "ff",
+        "ﬁ": "fi",
+        "ﬂ": "fl",
+        "ﬃ": "ffi",
+        "ﬄ": "ffl",
+        "ﬅ": "ft",
+        "ﬆ": "st",
+    }
+)
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class PdfError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Ref:
+    num: int
+    gen: int
+
+
+# --------------------------------------------------------------------------
+# object-level reader
+# --------------------------------------------------------------------------
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # '%' comment
+            while pos < n and data[pos] not in (0x0A, 0x0D):
+                pos += 1
+        else:
+            break
+    return pos
+
+
+def _parse_value(data: bytes, pos: int):
+    pos = _skip_ws(data, pos)
+    if pos >= len(data):
+        raise PdfError("unexpected end of data")
+    c = data[pos]
+
+    if data.startswith(b"<<", pos):
+        return _parse_dict(data, pos)
+    if c == 0x3C:  # '<' hex string
+        end = data.index(b">", pos + 1)
+        hx = re.sub(rb"\s", b"", data[pos + 1 : end])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii")), end + 1
+    if c == 0x28:  # '(' literal string
+        return _parse_literal_string(data, pos)
+    if c == 0x2F:  # '/' name
+        m = re.match(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)", data[pos:])
+        return "/" + m.group(1).decode("latin-1"), pos + m.end()
+    if c == 0x5B:  # '['
+        items = []
+        pos += 1
+        while True:
+            pos = _skip_ws(data, pos)
+            if data[pos] == 0x5D:
+                return items, pos + 1
+            v, pos = _parse_value(data, pos)
+            items.append(v)
+    if data.startswith(b"true", pos):
+        return True, pos + 4
+    if data.startswith(b"false", pos):
+        return False, pos + 5
+    if data.startswith(b"null", pos):
+        return None, pos + 4
+    # number or reference
+    m = re.match(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)", data[pos:])
+    if not m:
+        raise PdfError(f"cannot parse value at {pos}: {data[pos:pos+20]!r}")
+    tok = m.group(0)
+    npos = pos + m.end()
+    if b"." not in tok:
+        rm = re.match(rb"\s+(\d+)\s+R(?![a-zA-Z])", data[npos:])
+        if rm:
+            return Ref(int(tok), int(rm.group(1))), npos + rm.end()
+        return int(tok), npos
+    return float(tok), npos
+
+
+def _parse_dict(data: bytes, pos: int):
+    pos += 2
+    out: dict[str, object] = {}
+    while True:
+        pos = _skip_ws(data, pos)
+        if data.startswith(b">>", pos):
+            return out, pos + 2
+        key, pos = _parse_value(data, pos)
+        val, pos = _parse_value(data, pos)
+        out[key] = val
+
+
+_ESCAPES = {
+    ord("n"): b"\n",
+    ord("r"): b"\r",
+    ord("t"): b"\t",
+    ord("b"): b"\x08",
+    ord("f"): b"\x0c",
+    ord("("): b"(",
+    ord(")"): b")",
+    ord("\\"): b"\\",
+}
+
+
+def _parse_literal_string(data: bytes, pos: int):
+    out = bytearray()
+    depth = 1
+    i = pos + 1
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            e = data[i]
+            if e in _ESCAPES:
+                out += _ESCAPES[e]
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                j = i
+                while j < i + 3 and j < n and 0x30 <= data[j] <= 0x37:
+                    j += 1
+                out.append(int(data[i:j], 8) & 0xFF)
+                i = j
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise PdfError("unterminated literal string")
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+(\d+)\s+R")
+
+
+class PdfDocument:
+    """Parsed object store + page walk."""
+
+    def __init__(self, data: bytes):
+        if not data.lstrip()[:5].startswith(b"%PDF-"):
+            raise PdfError("not a PDF: missing %PDF header")
+        self.data = data
+        self.objects: dict[int, object] = {}
+        self.streams: dict[int, bytes] = {}
+        self._scan_objects()
+
+    def _scan_objects(self) -> None:
+        data = self.data
+        for m in _OBJ_RE.finditer(data):
+            num = int(m.group(1))
+            try:
+                val, pos = _parse_value(data, m.end())
+            except (PdfError, IndexError, ValueError):
+                continue
+            pos = _skip_ws(data, pos)
+            if isinstance(val, dict) and data.startswith(b"stream", pos):
+                pos += len(b"stream")
+                if data.startswith(b"\r\n", pos):
+                    pos += 2
+                elif data.startswith(b"\n", pos) or data.startswith(b"\r", pos):
+                    pos += 1
+                length = val.get("/Length")
+                if isinstance(length, int):
+                    raw = data[pos : pos + length]
+                else:  # ref or missing: locate endstream
+                    end = data.find(b"endstream", pos)
+                    raw = data[pos:end].rstrip(b"\r\n")
+                self.streams[num] = raw
+            self.objects[num] = val
+
+    def resolve(self, v):
+        seen = 0
+        while isinstance(v, Ref):
+            v = self.objects.get(v.num)
+            seen += 1
+            if seen > 32:
+                raise PdfError("reference cycle")
+        return v
+
+    def stream_data(self, ref: Ref) -> bytes:
+        d = self.resolve(ref)
+        raw = self.streams.get(ref.num, b"")
+        if not isinstance(d, dict):
+            return b""
+        length = self.resolve(d.get("/Length"))
+        if isinstance(length, int) and length <= len(raw):
+            raw = raw[:length]
+        filt = self.resolve(d.get("/Filter"))
+        filters = filt if isinstance(filt, list) else [filt] if filt else []
+        for f in filters:
+            if f == "/FlateDecode":
+                raw = zlib.decompress(raw)
+            elif f is None:
+                pass
+            else:
+                raise PdfError(f"unsupported filter {f}")
+        return raw
+
+    def _catalog(self) -> dict:
+        m = None
+        for mm in _ROOT_RE.finditer(self.data):
+            m = mm  # last trailer wins (incremental updates)
+        if m:
+            cat = self.objects.get(int(m.group(1)))
+            if isinstance(cat, dict):
+                return cat
+        for v in self.objects.values():
+            if isinstance(v, dict) and v.get("/Type") == "/Catalog":
+                return v
+        raise PdfError("no catalog found")
+
+    def pages(self) -> list[dict]:
+        cat = self._catalog()
+        root = self.resolve(cat.get("/Pages"))
+        out: list[dict] = []
+
+        def walk(node, depth=0):
+            if not isinstance(node, dict) or depth > 64:
+                return
+            if node.get("/Type") == "/Page":
+                out.append(node)
+                return
+            for kid in self.resolve(node.get("/Kids")) or []:
+                walk(self.resolve(kid), depth + 1)
+
+        walk(root)
+        if not out:
+            raise PdfError("no pages found")
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = page.get("/Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        parts = []
+        for r in refs:
+            if isinstance(r, Ref):
+                parts.append(self.stream_data(r))
+        return b"\n".join(parts)
+
+
+# --------------------------------------------------------------------------
+# content-stream interpreter
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Run:
+    x: float
+    y: float
+    size: float
+    text: str
+
+
+_CS_TOKEN_RE = re.compile(
+    rb"""
+    (?P<str>\()                    # literal string start
+  | <(?P<hex>[0-9A-Fa-f\s]*)>     # hex string
+  | /(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)
+  | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))
+  | (?P<arr>[\[\]])
+  | (?P<op>[A-Za-z'"*]{1,3})
+    """,
+    re.VERBOSE,
+)
+
+
+def _decode_pdf_text(raw: bytes) -> str:
+    if raw[:2] == b"\xfe\xff":
+        s = raw[2:].decode("utf-16-be", errors="replace")
+    else:
+        s = raw.decode("latin-1")
+    return s.translate(_LIGATURES)
+
+
+def interpret_content(content: bytes) -> list[Run]:
+    """Execute text operators, emitting positioned runs."""
+    runs: list[Run] = []
+    stack: list[object] = []
+    size = 12.0
+    leading = 0.0
+    # text matrix origin (we track translation only; fixtures use
+    # translation-style Tm, which is also the overwhelmingly common case)
+    tx = ty = 0.0
+
+    def show(raw: bytes) -> None:
+        text = _decode_pdf_text(raw)
+        if text:
+            runs.append(Run(tx, ty, size, text))
+
+    pos = 0
+    n = len(content)
+    while pos < n:
+        m = _CS_TOKEN_RE.search(content, pos)
+        if not m:
+            break
+        pos = m.end()
+        if m.group("str") is not None:
+            raw, pos = _parse_literal_string(content, m.start())
+            stack.append(raw)
+            continue
+        if m.group("hex") is not None:
+            hx = re.sub(rb"\s", b"", m.group("hex"))
+            if len(hx) % 2:
+                hx += b"0"
+            stack.append(bytes.fromhex(hx.decode("ascii")))
+            continue
+        if m.group("name") is not None:
+            stack.append("/" + m.group("name").decode("latin-1"))
+            continue
+        if m.group("num") is not None:
+            t = m.group("num")
+            stack.append(float(t) if b"." in t else int(t))
+            continue
+        if m.group("arr") is not None:
+            stack.append(m.group("arr").decode("ascii"))
+            continue
+
+        op = m.group("op").decode("latin-1")
+        def _f(i: int) -> float:
+            v = stack[i]
+            return float(v) if isinstance(v, (int, float)) else 0.0
+
+        if op == "Tf" and len(stack) >= 1:
+            size = _f(-1)
+        elif op == "Tm" and len(stack) >= 6:
+            tx, ty = _f(-2), _f(-1)
+        elif op == "Td" and len(stack) >= 2:
+            tx += _f(-2)
+            ty += _f(-1)
+        elif op == "TD" and len(stack) >= 2:
+            leading = -_f(-1)
+            tx += _f(-2)
+            ty += _f(-1)
+        elif op == "TL" and stack:
+            leading = _f(-1)
+        elif op == "T*":
+            ty -= leading
+        elif op == "Tj" and stack:
+            if isinstance(stack[-1], bytes):
+                show(stack[-1])
+        elif op in ("'", '"') and stack:
+            ty -= leading
+            if isinstance(stack[-1], bytes):
+                show(stack[-1])
+        elif op == "TJ":
+            # operands are the tokens between the '[' ... ']' markers
+            items: list[object] = []
+            while stack:
+                it = stack.pop()
+                if it == "[":
+                    break
+                if it != "]":
+                    items.append(it)
+            items.reverse()
+            parts: list[str] = []
+            for it in items:
+                if isinstance(it, bytes):
+                    parts.append(_decode_pdf_text(it))
+                elif isinstance(it, (int, float)) and it <= -SPACE_ADJ:
+                    parts.append(" ")
+            text = "".join(parts)
+            if text:
+                runs.append(Run(tx, ty, size, text))
+        elif op == "BT":
+            tx = ty = 0.0
+        # operands precede their operator; once handled they are consumed
+        stack.clear()
+    return runs
+
+
+# --------------------------------------------------------------------------
+# layout assembly
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class PageText:
+    text: str
+    spans: list[tuple[int, int, str]]
+
+
+def _join_spans(texts: list[str]) -> str:
+    """Reference span-join rule (core_pdf_processor.py:753-765):
+    strip each span; insert a single space between non-separated spans."""
+    line = ""
+    for t in texts:
+        t = t.strip()
+        if not t:
+            continue
+        if line and not line.endswith(" ") and not t.startswith(" "):
+            line += " "
+        line += t
+    return line
+
+
+def assemble_page(runs: list[Run]) -> PageText:
+    if not runs:
+        return PageText("", [])
+    # group runs into lines by baseline y
+    ordered = sorted(runs, key=lambda r: -r.y)  # stable: ties keep emit order
+    lines: list[list[Run]] = []
+    for r in ordered:
+        if lines and abs(lines[-1][0].y - r.y) <= LINE_TOL:
+            lines[-1].append(r)
+        else:
+            lines.append([r])
+
+    # lines -> blocks on vertical gap
+    blocks: list[list[str]] = []
+    prev_y: float | None = None
+    for line_runs in lines:
+        line_runs.sort(key=lambda r: r.x)
+        text = _join_spans([r.text for r in line_runs])
+        if not text:
+            continue
+        y = line_runs[0].y
+        if prev_y is None or (prev_y - y) > BLOCK_GAP:
+            blocks.append([text])
+        else:
+            blocks[-1].append(text)
+        prev_y = y
+
+    # hyphenation repair at line joins within a block, then join
+    block_texts: list[str] = []
+    for lines_in_block in blocks:
+        merged = ""
+        for t in lines_in_block:
+            if merged.endswith("-") and t[:1].islower():
+                merged = merged[:-1] + t
+            elif merged:
+                merged += "\n" + t
+            else:
+                merged = t
+        if merged:
+            block_texts.append(merged)
+
+    parts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    offset = 0
+    for i, bt in enumerate(block_texts):
+        if i:
+            parts.append("\n")
+            offset += 1
+        spans.append((offset, offset + len(bt), "block"))
+        parts.append(bt)
+        offset += len(bt)
+    return PageText("".join(parts), spans)
+
+
+@dataclass
+class PdfResult:
+    pages: list[PageText]
+
+    def joined(self) -> tuple[str, list[tuple[int, int, str]]]:
+        """All pages joined with a newline; spans re-offset."""
+        parts: list[str] = []
+        spans: list[tuple[int, int, str]] = []
+        offset = 0
+        for i, p in enumerate(self.pages):
+            if i:
+                parts.append("\n")
+                offset += 1
+            for s, e, k in p.spans:
+                spans.append((s + offset, e + offset, k))
+            parts.append(p.text)
+            offset += len(p.text)
+        return "".join(parts), spans
+
+
+def extract_pdf(data: bytes) -> PdfResult:
+    """Full pipeline: bytes -> per-page ordered text + spans."""
+    doc = PdfDocument(data)
+    pages = []
+    for page in doc.pages():
+        content = doc.page_content(page)
+        pages.append(assemble_page(interpret_content(content)))
+    return PdfResult(pages)

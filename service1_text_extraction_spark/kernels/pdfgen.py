@@ -1,0 +1,166 @@
+"""Minimal deterministic PDF writer for test fixtures.
+
+Emits well-formed single/multi-page PDFs restricted to the operator
+subset the sibling parser (:mod:`.pdf`) supports: classic xref table,
+``/Pages`` tree, uncompressed or ``/FlateDecode`` content streams, and
+text operators ``BT/ET  Tf  Td  TD  TL  Tm  T*  Tj  TJ  '``.
+
+Strings are written as literal Latin-1 strings with escapes, or — when
+text contains codepoints > 255 (e.g. ligature glyphs ﬁ ﬂ used to test
+expansion) — as hex strings carrying UTF-16BE with a BOM, which the
+parser detects. This keeps both ends of the fixture loop self-
+contained with no font-embedding machinery.
+
+The reference never writes PDFs; this module exists because the
+reference's implicit oracle is PyMuPDF (SURVEY §5.1) which is not
+available here, so fixtures must be generated from known text.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _escape_literal(s: str) -> bytes:
+    out = bytearray()
+    for ch in s:
+        b = ord(ch)
+        if ch in "()\\":
+            out += b"\\" + ch.encode("latin-1")
+        elif b in (10, 13, 9):
+            out += {10: b"\\n", 13: b"\\r", 9: b"\\t"}[b]
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def pdf_string(s: str) -> bytes:
+    """Encode a text string for a content stream."""
+    if all(ord(c) < 256 for c in s):
+        return b"(" + _escape_literal(s) + b")"
+    data = b"\xfe\xff" + s.encode("utf-16-be")
+    return b"<" + data.hex().encode("ascii") + b">"
+
+
+class ContentBuilder:
+    """Builds one page's content stream from text-placement ops."""
+
+    def __init__(self) -> None:
+        self.ops: list[bytes] = [b"BT", b"/F1 12 Tf"]
+
+    def set_font(self, size: float) -> "ContentBuilder":
+        self.ops.append(f"/F1 {size:g} Tf".encode())
+        return self
+
+    def set_leading(self, tl: float) -> "ContentBuilder":
+        self.ops.append(f"{tl:g} TL".encode())
+        return self
+
+    def tm(self, x: float, y: float) -> "ContentBuilder":
+        self.ops.append(f"1 0 0 1 {x:g} {y:g} Tm".encode())
+        return self
+
+    def td(self, dx: float, dy: float) -> "ContentBuilder":
+        self.ops.append(f"{dx:g} {dy:g} Td".encode())
+        return self
+
+    def tdd(self, dx: float, dy: float) -> "ContentBuilder":
+        """TD: like Td but also sets leading to -dy."""
+        self.ops.append(f"{dx:g} {dy:g} TD".encode())
+        return self
+
+    def tstar(self) -> "ContentBuilder":
+        self.ops.append(b"T*")
+        return self
+
+    def tj(self, s: str) -> "ContentBuilder":
+        self.ops.append(pdf_string(s) + b" Tj")
+        return self
+
+    def quote(self, s: str) -> "ContentBuilder":
+        """' operator: next line (per leading) then show."""
+        self.ops.append(pdf_string(s) + b" '")
+        return self
+
+    def tj_array(self, parts: list[str | float | int]) -> "ContentBuilder":
+        chunks: list[bytes] = []
+        for p in parts:
+            if isinstance(p, str):
+                chunks.append(pdf_string(p))
+            else:
+                chunks.append(f"{p:g}".encode())
+        self.ops.append(b"[" + b" ".join(chunks) + b"] TJ")
+        return self
+
+    def build(self) -> bytes:
+        return b"\n".join(self.ops + [b"ET"])
+
+
+def simple_page(
+    blocks: list[tuple[float, float, list[str]]],
+    size: float = 12.0,
+    leading: float = 14.0,
+) -> bytes:
+    """Content stream for blocks of lines.
+
+    ``blocks`` is a list of ``(x, y_top, lines)``; lines within a block
+    step down by ``leading`` via ``T*``.
+    """
+    cb = ContentBuilder().set_font(size).set_leading(leading)
+    for x, y, lines in blocks:
+        cb.tm(x, y)
+        for i, line in enumerate(lines):
+            if i:
+                cb.tstar()
+            cb.tj(line)
+    return cb.build()
+
+
+def build_pdf(page_streams: list[bytes], compress: bool = False) -> bytes:
+    """Assemble a PDF from per-page content streams (classic xref)."""
+    objects: list[bytes] = []  # 1-based object bodies, without "N 0 obj"
+
+    n_pages = len(page_streams)
+    # object numbering: 1=catalog, 2=pages, 3=font,
+    # then per page i: (4+2i)=page, (5+2i)=content
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i, stream in enumerate(page_streams):
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {5 + 2 * i} 0 R >>"
+            ).encode()
+        )
+        data = stream
+        extra = b""
+        if compress:
+            data = zlib.compress(stream)
+            extra = b" /Filter /FlateDecode"
+        objects.append(
+            b"<< /Length " + str(len(data)).encode() + extra + b" >>\n"
+            b"stream\n" + data + b"\nendstream"
+        )
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(buf)
+    buf += f"xref\n0 {len(objects) + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(buf)

@@ -1,0 +1,112 @@
+"""From-scratch PDF parser tests.
+
+The oracle is the *known text placed by the writer* — independent of
+the parser — so these tests verify real extraction correctness:
+reading order (y-then-x, core_pdf_processor.py:723-765 ordering
+rules), block grouping at the 20-unit gap (:534, :735), ligature
+expansion and hyphenation repair (north-star), Flate streams, and
+multi-page walks.
+"""
+
+import pytest
+
+from service1_text_extraction_spark.kernels import pdf, pdfgen
+
+
+def _one_page(content: bytes, compress: bool = False) -> pdf.PageText:
+    data = pdfgen.build_pdf([content], compress=compress)
+    return pdf.extract_pdf(data).pages[0]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_block_and_line_order(compress):
+    cs = pdfgen.simple_page(
+        [
+            (72, 700, ["Alpha line one.", "Alpha line two."]),
+            (72, 600, ["Beta block starts here.", "Beta line two."]),
+        ]
+    )
+    p = _one_page(cs, compress)
+    assert p.text == (
+        "Alpha line one.\nAlpha line two.\n"
+        "Beta block starts here.\nBeta line two."
+    )
+    assert [p.text[s:e] for s, e, k in p.spans] == [
+        "Alpha line one.\nAlpha line two.",
+        "Beta block starts here.\nBeta line two.",
+    ]
+
+
+def test_emission_order_irrelevant_y_then_x():
+    # emit bottom text first; parser must restore top-to-bottom order
+    cb = pdfgen.ContentBuilder()
+    cb.tm(72, 500).tj("bottom text last in reading order")
+    cb.tm(300, 700).tj("right top")
+    cb.tm(72, 700).tj("left top")
+    p = _one_page(cb.build())
+    assert p.text.splitlines()[0] == "left top right top"
+    assert p.text.splitlines()[-1] == "bottom text last in reading order"
+
+
+def test_hyphenation_repair():
+    cs = pdfgen.simple_page([(72, 700, ["this is an exam-", "ple of repair"])])
+    assert _one_page(cs).text == "this is an example of repair"
+    # no repair when the next line starts uppercase (likely a real hyphen)
+    cs2 = pdfgen.simple_page([(72, 700, ["the well-", "Known issue"])])
+    assert _one_page(cs2).text == "the well-\nKnown issue"
+
+
+def test_ligature_expansion():
+    cb = pdfgen.ContentBuilder().tm(72, 700).tj("ﬁnancial ﬂows and oﬃce staﬀ")
+    assert _one_page(cb.build()).text == "financial flows and office staff"
+
+
+def test_tj_kerning_space_heuristic():
+    cb = pdfgen.ContentBuilder().tm(72, 700)
+    cb.tj_array(["Hello", -120, "World", -250, "again"])
+    # -120 > -180: no space; -250 <= -180: space
+    assert _one_page(cb.build()).text == "HelloWorld again"
+
+
+def test_td_tstar_quote_operators():
+    cb = pdfgen.ContentBuilder().set_leading(14)
+    cb.tm(72, 700).tj("first line")
+    cb.tstar().tj("second line")
+    cb.quote("third line")
+    cb.tdd(0, -14).tj("fourth line")
+    p = _one_page(cb.build())
+    assert p.text == "first line\nsecond line\nthird line\nfourth line"
+
+
+def test_multipage_and_joined_offsets():
+    p1 = pdfgen.simple_page([(72, 700, ["page one text"])])
+    p2 = pdfgen.simple_page([(72, 700, ["page two text"])])
+    res = pdf.extract_pdf(pdfgen.build_pdf([p1, p2], compress=True))
+    assert [p.text for p in res.pages] == ["page one text", "page two text"]
+    joined, spans = res.joined()
+    assert joined == "page one text\npage two text"
+    assert [joined[s:e] for s, e, _ in spans] == ["page one text", "page two text"]
+
+
+def test_utf16_hex_strings():
+    cb = pdfgen.ContentBuilder().tm(72, 700).tj("naïve café — ünïcode")
+    # ï/é are latin-1; the em-dash forces the UTF-16 hex path
+    assert _one_page(cb.build()).text == "naïve café — ünïcode"
+
+
+def test_escapes_in_literal_strings():
+    cb = pdfgen.ContentBuilder().tm(72, 700).tj("parens (nested) and back\\slash")
+    assert _one_page(cb.build()).text == "parens (nested) and back\\slash"
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(pdf.PdfError):
+        pdf.extract_pdf(b"this is not a pdf at all")
+    with pytest.raises(pdf.PdfError):
+        pdf.extract_pdf(b"%PDF-1.4\ngarbage with no objects")
+
+
+def test_empty_page():
+    cb = pdfgen.ContentBuilder()
+    p = _one_page(cb.build())
+    assert p.text == "" and p.spans == []
