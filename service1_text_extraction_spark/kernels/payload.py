@@ -1,0 +1,128 @@
+"""Per-turn payload sniffing + extraction orchestration.
+
+Mirrors the reference's per-page decision flow
+(``core_pdf_processor.py:356-416``): try the structured extractor,
+quality-gate the result (min length + garbage heuristics,
+``:378-380`` and ``:584-648``), and emit
+``(text, method, error)`` — extended per the north-star with char
+spans, bytes-in, chars-out and boilerplate ratio. With no OCR binary
+in scope, a gate failure yields the reference's no-tesseract failure
+row (``:410-416``): empty text, method ``failed``.
+
+Methods: ``html`` | ``pdf`` | ``text`` | ``failed``
+(reference: ``fitz`` | ``tesseract`` | ``failed``).
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import re
+from dataclasses import dataclass
+
+from . import textnorm
+from .html import extract_html
+from .pdf import PdfError, extract_pdf
+
+# The service's quality gate (document_text_extraction_service.py:174-178).
+MIN_PDF_TEXT_LENGTH = 250
+
+# base64 of "%PDF-" is "JVBERi0"; payloads are sniffed, not trusted.
+_B64_PDF_PREFIX = "JVBER"
+_B64_CLEAN_RE = re.compile(r"\s+")
+_HTML_HINT_RE = re.compile(r"<[a-zA-Z][^>]*>|</[a-zA-Z][^>]*>|<!DOCTYPE", re.IGNORECASE)
+
+
+@dataclass
+class TurnResult:
+    text: str
+    method: str
+    error: str | None
+    spans: list[tuple[int, int, str]]
+    bytes_in: int
+    chars_out: int
+    boilerplate_ratio: float
+
+
+def sniff_payload(payload: str) -> str:
+    """Classify a turn payload: 'pdf' (base64), 'html', or 'text'."""
+    stripped = payload.lstrip()
+    if stripped.startswith(_B64_PDF_PREFIX):
+        return "pdf"
+    if _HTML_HINT_RE.search(payload):
+        return "html"
+    return "text"
+
+
+def _shift_spans(
+    spans: list[tuple[int, int, str]], shift: int, limit: int
+) -> list[tuple[int, int, str]]:
+    out = []
+    for s, e, k in spans:
+        s2, e2 = max(0, s - shift), min(limit, e - shift)
+        if e2 > s2:
+            out.append((s2, e2, k))
+    return out
+
+
+def _failed(error: str, bytes_in: int) -> TurnResult:
+    return TurnResult("", "failed", error, [], bytes_in, 0, 0.0)
+
+
+def extract_turn(payload: str | None) -> TurnResult:
+    """Decode + extract + quality-gate one turn payload."""
+    if payload is None or not payload.strip():
+        return _failed("empty payload", 0)
+
+    kind = sniff_payload(payload)
+
+    if kind == "pdf":
+        try:
+            raw = base64.b64decode(
+                _B64_CLEAN_RE.sub("", payload), validate=True
+            )
+        except (binascii.Error, ValueError) as e:
+            return _failed(f"base64 decode failed: {e}", len(payload))
+        try:
+            result = extract_pdf(raw)
+        except PdfError as e:
+            return _failed(f"pdf parse failed: {e}", len(raw))
+        text, spans = result.joined()
+        stripped = text.strip()
+        # reference gate core_pdf_processor.py:378-380: length on the
+        # stripped text, garbage heuristics on the raw extraction
+        if len(stripped) >= MIN_PDF_TEXT_LENGTH and not textnorm.is_garbage_text(
+            text
+        ):
+            shift = len(text) - len(text.lstrip())
+            return TurnResult(
+                stripped,
+                "pdf",
+                None,
+                _shift_spans(spans, shift, len(stripped)),
+                len(raw),
+                len(stripped),
+                0.0,
+            )
+        return _failed(
+            "quality gate failed and no OCR fallback available", len(raw)
+        )
+
+    bytes_in = len(payload.encode("utf-8"))
+
+    if kind == "html":
+        r = extract_html(payload)
+        if r.text and textnorm.is_garbage_text(r.text):
+            return _failed("extracted text failed garbage gate", bytes_in)
+        return TurnResult(
+            r.text, "html", None, r.spans, bytes_in, len(r.text),
+            r.boilerplate_ratio,
+        )
+
+    cleaned = textnorm.clean_unicode(payload).strip()
+    if not cleaned or textnorm.is_garbage_text(cleaned):
+        return _failed("plain text failed garbage gate", bytes_in)
+    return TurnResult(
+        cleaned, "text", None, [(0, len(cleaned), "text")], bytes_in,
+        len(cleaned), 0.0,
+    )

@@ -1,0 +1,217 @@
+"""The extraction job, Spark-first.
+
+Restates the reference's whole background pipeline
+(``document_text_extraction_service.py:226-605``: queue scan -> per-doc
+fan-out -> per-page extract -> quality gate -> sink + status writeback)
+as one declarative DataFrame program:
+
+    read -> pending filter -> salted repartition -> extract_turn
+    pandas UDF (Arrow batches) -> window over (conv_id, turn_idx) for
+    stable ordering + doc-level char offsets -> outputs
+
+Scale design (for a 1000-executor cluster at 10^12 turns, tested on
+local[N]):
+
+- The input is hashed into ``n_buckets`` stable buckets of ``conv_id``
+  (``xxhash64`` — NOT Spark task ids), which are simultaneously the
+  resume-marker granularity and the output partitioning, so resume is
+  identical across cluster sizes.
+- Skew: one 10^6-turn conversation must not pin a single task, so the
+  pre-UDF repartition key is ``(bucket_id, pmod(turn_idx, salt))`` —
+  a long conversation spreads over ``salt`` shuffle keys. Turn order
+  is restored afterwards by the window, so salting cannot change the
+  output (asserted by tests at different partition counts).
+- The UDF is a scalar Arrow-batched pandas UDF returning a struct —
+  one Python invocation per ~10k-row batch, no per-row Python at the
+  Spark level (per-payload parsing inside the batch is the kernel).
+- Only the columns the UDF needs are selected before the shuffle
+  (column pruning at the source scan).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels.payload import extract_turn
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("kind", StringType()),
+        ]
+    )
+)
+
+RESULT_FIELDS = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("method", StringType()),
+        StructField("error", StringType()),
+        StructField("spans", SPAN_TYPE),
+        StructField("bytes_in", LongType()),
+        StructField("chars_out", LongType()),
+        StructField("boilerplate_ratio", DoubleType()),
+    ]
+)
+
+DEFAULT_N_BUCKETS = 64
+DEFAULT_SALT = 16
+
+
+@F.pandas_udf(RESULT_FIELDS)
+def extract_turn_udf(payloads: pd.Series) -> pd.DataFrame:
+    """Arrow-batched turn extraction: one struct row per payload."""
+    rows = []
+    for payload in payloads:
+        r = extract_turn(payload if isinstance(payload, str) else None)
+        rows.append(
+            (
+                r.text,
+                r.method,
+                r.error,
+                [
+                    {"start": s, "end": e, "kind": k}
+                    for s, e, k in r.spans
+                ],
+                r.bytes_in,
+                r.chars_out,
+                r.boilerplate_ratio,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "text",
+            "method",
+            "error",
+            "spans",
+            "bytes_in",
+            "chars_out",
+            "boilerplate_ratio",
+        ],
+    )
+
+
+def bucket_expr(conv_id: Column, n_buckets: int) -> Column:
+    """Stable input bucket: hash of conv_id, independent of cluster size."""
+    return F.pmod(F.xxhash64(conv_id), F.lit(n_buckets)).cast("int")
+
+
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
+    return df.withColumn("bucket_id", bucket_expr(F.col("conv_id"), n_buckets))
+
+
+def run_extraction(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    *,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    salt: int = DEFAULT_SALT,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted.
+
+    Output columns: conv_id, turn_idx, role, ts, bucket_id, text,
+    method, error, spans, bytes_in, chars_out, boilerplate_ratio,
+    turn_seq (dense per-conversation order), doc_char_offset (char
+    offset of this turn's text inside the assembled document).
+    """
+    df = with_bucket(
+        transcripts.select("conv_id", "turn_idx", "role", "text", "ts"),
+        n_buckets,
+    )
+
+    # Skew-aware spread: a huge conversation lands on `salt` distinct
+    # shuffle keys instead of one. Order is restored by the window below.
+    salt_key = F.pmod(F.col("turn_idx").cast("long"), F.lit(salt))
+    if shuffle_partitions:
+        df = df.repartition(shuffle_partitions, F.col("bucket_id"), salt_key)
+    else:
+        df = df.repartition(F.col("bucket_id"), salt_key)
+
+    extracted = df.withColumn("ex", extract_turn_udf(F.col("text"))).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ts",
+        "bucket_id",
+        F.col("ex.text").alias("text"),
+        F.col("ex.method").alias("method"),
+        F.col("ex.error").alias("error"),
+        F.col("ex.spans").alias("spans"),
+        F.col("ex.bytes_in").alias("bytes_in"),
+        F.col("ex.chars_out").alias("chars_out"),
+        F.col("ex.boilerplate_ratio").alias("boilerplate_ratio"),
+    )
+
+    # W1: stable turn ordering (reference 1-based page loop,
+    # core_pdf_processor.py:191-196) + running char offsets for
+    # document-level span addressing.
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    return extracted.withColumn(
+        "turn_seq", F.row_number().over(w)
+    ).withColumn(
+        "doc_char_offset",
+        F.coalesce(F.sum("chars_out").over(w_prev), F.lit(0)),
+    )
+
+
+def assemble_documents(extracted: DataFrame) -> DataFrame:
+    """Per-conversation assembly with the reference's page markers.
+
+    Reference format (core_pdf_processor.py:809-812): non-empty pages
+    contribute ``"\\n--- PAGE {n} ---\\n{text}\\n"``; the concatenation
+    is stripped. Also rolls up the reference's per-document metrics
+    (``extract_text_batch`` metadata, core_pdf_processor.py:814-821):
+    turn counts, failed-turn count (ocr_pages analogue), text length.
+    """
+    turns = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "text", "method"))
+    )
+    doc_text = F.array_join(
+        F.transform(
+            F.filter(turns, lambda t: t["text"] != ""),
+            lambda t: F.format_string(
+                "\n--- PAGE %d ---\n%s\n", t["turn_idx"], t["text"]
+            ),
+        ),
+        "",
+    )
+    return (
+        extracted.groupBy("conv_id")
+        .agg(
+            F.regexp_replace(doc_text, r"^\s+|\s+$", "").alias("doc_text"),
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("method") == "failed", 1).otherwise(0)).alias(
+                "failed_turns"
+            ),
+            F.sum("chars_out").alias("chars_out"),
+            F.sum("bytes_in").alias("bytes_in"),
+        )
+    )
+
+
+def extraction_metrics(extracted: DataFrame) -> DataFrame:
+    """Batch rollup, reference A1/A2/A5 semantics
+    (document_text_extraction_service.py:336-337, 264-266;
+    ml_document_processor.py:337-374)."""
+    return extracted.groupBy("method").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("chars_out").alias("chars_out"),
+        F.avg("boilerplate_ratio").alias("avg_boilerplate_ratio"),
+    )

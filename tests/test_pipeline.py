@@ -1,0 +1,144 @@
+"""End-to-end Spark pipeline tests: golden equality, salt-invariance,
+document assembly, metrics, and exact resume (FIXTURES.md §2-4)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from service1_text_extraction_spark.pipeline import (
+    assemble_documents,
+    compute_markers,
+    extraction_metrics,
+    run_extraction,
+    run_with_resume,
+    with_bucket,
+)
+from service1_text_extraction_spark.pipeline.datagen import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    transcripts, golden = generate_transcripts(n_convs=60, seed=42, max_turns=120)
+    tdf = spark.createDataFrame(transcripts)
+    gdf = spark.createDataFrame(golden)
+    return tdf, gdf, transcripts, golden
+
+
+def test_per_turn_golden_equality(spark, data):
+    tdf, gdf, _, golden = data
+    out = run_extraction(spark, tdf, n_buckets=16, salt=4)
+    joined = out.join(gdf, on=["conv_id", "turn_idx"], how="full_outer")
+    mismatches = joined.where(
+        ~F.col("text").eqNullSafe(F.col("expected_text"))
+        | ~F.col("method").eqNullSafe(F.col("expected_method"))
+        | ~F.col("chars_out").eqNullSafe(F.col("expected_chars_out"))
+        | ~F.col("bytes_in").eqNullSafe(F.col("expected_bytes_in"))
+    )
+    bad = mismatches.select(
+        "conv_id", "turn_idx", "method", "expected_method", "text", "expected_text"
+    ).limit(5).collect()
+    assert not bad, f"{mismatches.count()} mismatching turns, e.g. {bad}"
+    assert out.count() == len(golden)
+
+
+def test_salting_does_not_change_output(spark, data):
+    tdf, _, _, _ = data
+    a = run_extraction(spark, tdf, n_buckets=16, salt=1, shuffle_partitions=2)
+    b = run_extraction(spark, tdf, n_buckets=16, salt=13, shuffle_partitions=17)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_turn_ordering_and_offsets(spark, data):
+    tdf, _, _, _ = data
+    out = run_extraction(spark, tdf, n_buckets=8, salt=4)
+    one = (
+        out.where(F.col("conv_id") == "conv_00000000")
+        .orderBy("turn_idx")
+        .select("turn_idx", "turn_seq", "chars_out", "doc_char_offset")
+        .collect()
+    )
+    assert [r.turn_seq for r in one] == list(range(1, len(one) + 1))
+    running = 0
+    for r in one:
+        assert r.doc_char_offset == running
+        running += r.chars_out
+
+
+def test_assemble_documents_reference_format(spark, data):
+    tdf, _, _, golden = data
+    out = run_extraction(spark, tdf, n_buckets=8, salt=4)
+    docs = {r.conv_id: r for r in assemble_documents(out).collect()}
+
+    # pure-Python oracle of core_pdf_processor.py:809-812
+    for conv_id, grp in golden.groupby("conv_id"):
+        parts = []
+        for _, row in grp.sort_values("turn_idx").iterrows():
+            if row.expected_text:
+                parts.append(
+                    f"\n--- PAGE {row.turn_idx} ---\n{row.expected_text}\n"
+                )
+        expected = "".join(parts).strip()
+        assert docs[conv_id].doc_text == expected, conv_id
+        assert docs[conv_id].n_turns == len(grp)
+        assert docs[conv_id].failed_turns == int(
+            (grp.expected_method == "failed").sum()
+        )
+
+
+def test_metrics_rollup(spark, data):
+    tdf, _, _, golden = data
+    out = run_extraction(spark, tdf, n_buckets=8, salt=4)
+    m = {r.method: r for r in extraction_metrics(out).collect()}
+    counts = golden.expected_method.value_counts().to_dict()
+    assert {k: v.n_turns for k, v in m.items()} == counts
+    assert set(m) <= {"html", "pdf", "text", "failed"}
+
+
+def test_exact_resume(spark, data, tmp_path):
+    tdf, _, _, _ = data
+    out1 = str(tmp_path / "full/out")
+    mk1 = str(tmp_path / "full/markers")
+    full = run_with_resume(spark, tdf, out1, mk1, n_buckets=8, lineage_id="runA")
+    assert full["buckets_processed"] > 0 and full["buckets_skipped"] == 0
+
+    # simulated crash: only 3 buckets complete
+    out2 = str(tmp_path / "part/out")
+    mk2 = str(tmp_path / "part/markers")
+    part = run_with_resume(
+        spark, tdf, out2, mk2, n_buckets=8, lineage_id="runB",
+        fail_after_buckets=3,
+    )
+    assert part["buckets_processed"] == 3
+
+    # resume: must process exactly the remaining buckets, none twice
+    resumed = run_with_resume(spark, tdf, out2, mk2, n_buckets=8, lineage_id="runC")
+    assert resumed["buckets_skipped"] == 3
+    assert resumed["buckets_processed"] == full["buckets_processed"] - 3
+
+    # final output identical to the uninterrupted run
+    a = spark.read.parquet(out1).drop("spans")
+    b = spark.read.parquet(out2).drop("spans")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    # markers carry lineage + metrics per bucket
+    markers = spark.read.parquet(mk2)
+    assert markers.where(F.col("status") == "done").count() == 8
+    assert set(r.lineage_id for r in markers.collect()) == {"runB", "runC"}
+
+    # idempotent: a further run does nothing
+    again = run_with_resume(spark, tdf, out2, mk2, n_buckets=8)
+    assert again["buckets_processed"] == 0
+
+
+def test_null_and_empty_payloads(spark):
+    rows = [
+        ("c1", 1, "user", None, None, None),
+        ("c1", 2, "assistant", "", None, None),
+        ("c1", 3, "tool", "  ", "t", None),
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    out = run_extraction(spark, tdf, n_buckets=4, salt=2).collect()
+    assert all(r.method == "failed" and r.text == "" for r in out)
