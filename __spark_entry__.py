@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY §2 plus
+the training-data operators (dedup / similarity / text analysis /
+multimodal plumbing); ``oracle_sql()`` carries DuckDB-equivalent SQL
+for every SQL-expressible query (identical column aliases on both
+sides). Extraction/UDF queries are rows-only by design (kernels are
+not SQL-expressible); their correctness gate is the golden-fixture
+pytest suite (tests/test_pipeline.py).
 """
 
 from __future__ import annotations
@@ -12,27 +15,341 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from service1_text_extraction_spark.functions import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
+from service1_text_extraction_spark.pipeline import (
+    assemble_documents,
+    extraction_metrics,
+    run_extraction,
+)
+from service1_text_extraction_spark.pipeline.datagen import (
+    transcripts_from_documents,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive transcripts from sf0.001 documents, run the full
+    extraction pipeline, return per-turn results (driver collects)."""
+    sf_dir = "/root/testdata/sf0.001"
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    out = run_extraction(spark, transcripts, n_buckets=16, salt=4)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "method",
+        "text",
+        "chars_out",
+        "bytes_in",
+        "boilerplate_ratio",
+        "turn_seq",
+        "doc_char_offset",
+    )
+
+
+def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    return run_extraction(spark, transcripts, n_buckets=16, salt=4)
+
+
+def _q_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _extract(spark, sf_dir).select(
+        "conv_id", "turn_idx", "method", "chars_out", "bytes_in",
+        "turn_seq", "doc_char_offset",
+    )
+
+
+def _q_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assemble_documents(_extract(spark, sf_dir))
+
+
+def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extraction_metrics(_extract(spark, sf_dir)).select(
+        "method", "n_turns", "bytes_in", "chars_out",
+        F.round("avg_boilerplate_ratio", 4).alias("avg_boilerplate_ratio"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- extraction pipeline (kernels; rows-only checks) ----------
+        "extract_turns": _q_extract_turns,
+        "assemble_docs": _q_assemble_docs,
+        "extract_metrics": _q_extract_metrics,
+        # --- SURVEY §2 relational operators ---------------------------
+        "pending_filter": relational.pending_filter,
+        "success_counts": relational.success_counts,
+        "chars_rollup": relational.chars_rollup,
+        "method_counts": relational.method_counts,
+        "batch_summary": relational.batch_summary,
+        "turn_ordering": relational.turn_ordering,
+        "doc_char_offsets": relational.doc_char_offsets,
+        "resume_antijoin": relational.resume_antijoin,
+        "quality_gate_length": relational.quality_gate_length,
+        "extract_numbers_count": relational.extract_numbers_count,
+        "extract_dates_count": relational.extract_dates_count,
+        "header_footer_line_filter": relational.header_footer_line_filter,
+        "page_marker_format": relational.page_marker_format,
+        "sessionize": relational.sessionize,
+        "broadcast_dim_rollup": relational.broadcast_dim_rollup,
+        "pricing_summary": relational.pricing_summary,
+        "top_customers": relational.top_customers,
+        # --- training-data pipeline operators --------------------------
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_minhash_candidates": dedup.minhash_band_candidates,
+        "dedup_simhash": dedup.simhash_fingerprints,
+        "ann_cosine_topk": similarity.cosine_topk,
+        "neardup_cosine_pairs": similarity.cosine_neardup_pairs,
+        "ann_lsh_topk": similarity.lsh_ann_topk,
+        "lang_id": textstats.lang_id,
+        "quality_score": textstats.quality_score,
+        "token_counts": textstats.token_counts,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        "multimodal_binary_meta": multimodal.binary_meta,
+        "multimodal_features": multimodal.multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles. Shared fragments keep the two dialects aligned.
+# --------------------------------------------------------------------------
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
+    " '\\s+'), x -> x <> '') AS t FROM documents)"
+)
+_SHINGLES_CTE = (
+    "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS"
+    " shingle FROM (SELECT doc_id, t, unnest(generate_series(1,"
+    " greatest(len(t)-2, 1))) AS i FROM toks))"
+)
+
+_STOP_SQL = {
+    lang: ", ".join(f"'{w}'" for w in ws)
+    for lang, ws in textstats.STOPWORDS.items()
+}
+
+_LANG_SCORES = ",\n  ".join(
+    f"len(list_filter(t, x -> x IN ({_STOP_SQL[lang]}))) AS sc_{lang}"
+    for lang in textstats.STOPWORDS
+)
+_LANG_GREATEST = "greatest(" + ", ".join(
+    f"sc_{lang}" for lang in textstats.STOPWORDS
+) + ")"
+_LANG_CASE = "CASE WHEN " + _LANG_GREATEST + " <= 0 THEN 'und' " + " ".join(
+    f"WHEN sc_{lang} = {_LANG_GREATEST} THEN '{lang}'"
+    for lang in textstats.STOPWORDS
+) + " END"
+
+_MINHASH_AGGS = ", ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(dedup.N_MINHASH)
+)
+
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN substring(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(16)
+)
+_SIMHASH_BITS = "concat(" + ", ".join(
+    f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(16)
+) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pending_filter": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE value IS NULL OR value < 100"
+        ),
+        "success_counts": (
+            "SELECT event_type, count(*)::BIGINT AS n FROM events "
+            "GROUP BY event_type"
+        ),
+        "chars_rollup": (
+            "SELECT lang, count(*)::BIGINT AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY lang"
+        ),
+        "method_counts": (
+            "SELECT source, count(*)::BIGINT AS n FROM documents "
+            "GROUP BY source"
+        ),
+        "batch_summary": (
+            "SELECT lang, count(*)::BIGINT AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(min(n_chars) AS BIGINT) AS min_chars, "
+            "CAST(max(n_chars) AS BIGINT) AS max_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "turn_ordering": (
+            "SELECT event_id, user_id, CAST(row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS turn_seq "
+            "FROM events"
+        ),
+        "doc_char_offsets": (
+            "SELECT doc_id, lang, CAST(coalesce(sum(n_chars) OVER "
+            "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS char_offset "
+            "FROM documents"
+        ),
+        "resume_antijoin": (
+            "SELECT doc_id, lang, source FROM documents d WHERE NOT EXISTS "
+            "(SELECT 1 FROM events e WHERE e.event_type = 'click' "
+            "AND e.user_id = d.doc_id)"
+        ),
+        "quality_gate_length": (
+            "SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS len "
+            "FROM documents WHERE length(trim(text)) >= 250"
+        ),
+        "extract_numbers_count": (
+            "SELECT event_id, CAST(len(regexp_extract_all(props, "
+            r"'\b\d{1,3}(?:,\d{3})*(?:\.\d{1,2})?\b')) AS BIGINT) "
+            "AS n_numbers FROM events"
+        ),
+        "extract_dates_count": (
+            "SELECT event_id, CAST(len(regexp_extract_all("
+            "concat('due ', CAST(CAST(ts AS DATE) AS VARCHAR)), "
+            r"'\b\d{4}-\d{2}-\d{2}\b')) AS BIGINT) AS n_dates FROM events"
+        ),
+        "header_footer_line_filter": (
+            "SELECT doc_id, CAST(len(list_filter(list_transform("
+            "string_split(concat_ws(chr(10), 'Page 1', text, '42', '----'),"
+            " chr(10)), l -> trim(l)), l -> NOT regexp_matches(l,"
+            " '^Page [0-9]+$') AND NOT regexp_matches(l, '^[0-9]+$') AND"
+            " length(l) >= 3 AND NOT regexp_matches(l, '^-+$'))) AS BIGINT)"
+            " AS n_kept_lines FROM documents"
+        ),
+        "page_marker_format": (
+            "SELECT doc_id, printf('# Page %d - %s', doc_id, upper(source))"
+            " AS header, printf(e'\\n--- PAGE %d ---\\n%s\\n', doc_id, text)"
+            " AS marked FROM documents"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR"
+            " date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 THEN 1 ELSE 0"
+            " END AS new_session FROM events WINDOW w AS (PARTITION BY"
+            " user_id ORDER BY ts, event_id)) SELECT user_id,"
+            " CAST(sum(new_session) AS BIGINT) AS n_sessions,"
+            " count(*)::BIGINT AS n_events FROM g GROUP BY user_id"
+        ),
+        "broadcast_dim_rollup": (
+            "SELECT c_nationkey, count(*)::BIGINT AS n_orders,"
+            " round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_nationkey"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus,"
+            " round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,"
+            " round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,"
+            " round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)"
+            " AS sum_disc_price,"
+            " round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,"
+            " count(*)::BIGINT AS count_order"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+            " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_customers": (
+            "WITH rev AS (SELECT o_custkey, round(CAST(sum(o_totalprice) AS"
+            " DOUBLE), 2) AS revenue FROM orders GROUP BY o_custkey)"
+            " SELECT c_custkey, c_name, revenue FROM rev JOIN customer ON"
+            " o_custkey = c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS"
+            " keeper_id, count(*)::BIGINT AS n_copies FROM documents"
+            " GROUP BY md5(text)"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH {_TOKS_CTE}, {_SHINGLES_CTE},"
+            " sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY"
+            " doc_id), shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,"
+            " count(*) AS n_shared FROM sh a JOIN sh b ON a.shingle ="
+            " b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+            " SELECT a_id, b_id, round(CAST(n_shared AS DOUBLE) /"
+            " (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard FROM shared"
+            " JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id"
+            " = b_id WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh +"
+            " sb.n_sh - n_shared), 4) >= 0.10"
+        ),
+        "dedup_minhash_candidates": (
+            f"WITH {_TOKS_CTE}, {_SHINGLES_CTE},"
+            f" sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY"
+            " doc_id), bands AS ("
+            " SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS"
+            " band_val FROM sig UNION ALL SELECT doc_id, 1, md5(h4 || h5 ||"
+            " h6 || h7) FROM sig)"
+            " SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands"
+            " a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val ="
+            " b.band_val AND a.doc_id < b.doc_id"
+        ),
+        "dedup_simhash": (
+            f"WITH {_TOKS_CTE},"
+            " tk AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id,"
+            " unnest(t) AS tok FROM toks)),"
+            " h AS (SELECT doc_id, md5(tok) AS h FROM tk),"
+            f" s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)"
+            f" SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM s"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings"
+            " WHERE vec_id = 0) SELECT vec_id,"
+            " round(list_cosine_similarity(embedding::DOUBLE[], q), 4) AS cos"
+            " FROM embeddings, q WHERE vec_id <> 0"
+            " ORDER BY cos DESC, vec_id LIMIT 10"
+        ),
+        "neardup_cosine_pairs": (
+            "SELECT a.vec_id AS a_id, b.vec_id AS b_id,"
+            " round(list_cosine_similarity(a.embedding::DOUBLE[],"
+            " b.embedding::DOUBLE[]), 4) AS cos FROM embeddings a JOIN"
+            " embeddings b ON a.label = b.label AND a.vec_id < b.vec_id"
+            " WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],"
+            " b.embedding::DOUBLE[]), 4) >= 0.60"
+        ),
+        "lang_id": (
+            f"WITH {_TOKS_CTE},"
+            f" s AS (SELECT doc_id, {_LANG_SCORES} FROM toks)"
+            f" SELECT doc_id, {_LANG_CASE} AS lang_pred FROM s"
+        ),
+        "quality_score": (
+            f"WITH {_TOKS_CTE},"
+            " m AS (SELECT d.doc_id, length(d.text) AS n,"
+            " len(toks.t) AS n_tokens,"
+            r" len(regexp_extract_all(d.text, '[^\w\s]')) AS punct,"
+            f" len(list_filter(toks.t, x -> x IN ({_STOP_SQL['en']})))"
+            " AS stop_en FROM documents d JOIN toks ON toks.doc_id ="
+            " d.doc_id) SELECT doc_id, CAST(n AS BIGINT) AS n_chars_obs,"
+            " CAST(n_tokens AS BIGINT) AS n_tokens,"
+            " round(coalesce(CAST(punct AS DOUBLE) / nullif(n, 0), 0), 4)"
+            " AS punct_ratio,"
+            " round(0.4 * least(n / 500.0, 1.0) + 0.3 * (1.0 -"
+            " coalesce(CAST(punct AS DOUBLE) / nullif(n, 0), 0)) + 0.3 *"
+            " least(coalesce(CAST(stop_en AS DOUBLE) / nullif(n_tokens, 0),"
+            " 0) * 4.0, 1.0), 4) AS quality FROM m"
+        ),
+        "token_counts": (
+            f"WITH {_TOKS_CTE}"
+            " SELECT d.doc_id, CAST(len(toks.t) AS BIGINT) AS ws_tokens,"
+            " CAST(len(regexp_extract_all(d.text,"
+            r" '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens"
+            " FROM documents d JOIN toks ON toks.doc_id = d.doc_id"
+        ),
+        "doc_fingerprint": (
+            "WITH pos AS (SELECT doc_id, text, unnest(generate_series(1,"
+            " greatest(length(text)-7, 1))) AS i FROM documents)"
+            " SELECT doc_id, min(md5(substring(text, i, 8))) AS fingerprint"
+            " FROM pos GROUP BY doc_id"
+        ),
+        "multimodal_binary_meta": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS"
+            " n_bytes, md5(text) AS payload_md5 FROM documents"
+        ),
+        # extract_turns / assemble_docs / extract_metrics / ann_lsh_topk /
+        # multimodal_features are kernel/UDF-backed -> rows-only checks.
+    }

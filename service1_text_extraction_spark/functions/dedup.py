@@ -1,0 +1,160 @@
+"""Deduplication operators for a training-data pipeline.
+
+Exact (hash groupBy), word-shingle Jaccard, MinHash+LSH banding, and
+SimHash — each expressed with JVM-side built-ins only (md5-based
+hashing keeps results portable to the DuckDB oracle). The reference's
+only dedup is a path-set ``list(set(...))``
+(``ml_document_processor.py:155``); these are the scale-path
+generalizations a 100 TB corpus needs.
+
+Scale notes: shingle/self-join candidate generation is the textbook
+shuffle-heavy step — MinHash banding exists precisely to bound it
+(pairs only form inside tiny band buckets). Exact dedup is one
+hash-aggregate; SimHash is one explode + re-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+BAND_SIZE = 4  # 2 bands of 4 -> candidates need one identical half-signature
+
+# word 3-gram shingles; docs with <3 tokens contribute one short shingle
+_TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(size({t})-2, 1)), "
+    "i -> concat_ws(' ', try_element_at({t}, i), try_element_at({t}, i+1), "
+    "try_element_at({t}, i+2))))"
+).format(t=_TOKENS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-aggregate on the full text (at scale:
+    group on md5 first so the shuffle carries 16 bytes, not documents)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.10
+) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (candidate pairs share >= 1
+    shingle; exact Jaccard from shared/size counts)."""
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N_MINHASH min-hashes per doc; hash_i(s) = md5(i || ':' || s)
+    (string mins are portable across engines)."""
+    sh = _shingled(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair. At 100 TB this is the *only* pairwise step that
+    survives: pairs form per-bucket, never globally."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = []
+    n_bands = N_MINHASH // BAND_SIZE
+    for band in range(n_bands):
+        cols = [f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band_idx"),
+                F.md5(F.concat(*[F.col(c) for c in cols])).alias("band_val"),
+            )
+        )
+    exploded = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", F.col("b.band_idx"), F.col("b.band_val"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct word tokens: bit j votes +1/-1 by
+    the j-th hex nibble of md5(token); fingerprint is the sign vector."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
+        .distinct()
+        .withColumn("h", F.md5("tok"))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    bits = [
+        F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(16)
+    ]
+    return per_doc.select(
+        "doc_id", F.concat(*bits).alias("simhash")
+    )

@@ -1,0 +1,246 @@
+"""Relational operators from SURVEY §2 over the driver test tables.
+
+Each maps a reference behavior (cited per function) onto idiomatic
+DataFrame ops: filters push to the parquet scan, small dims broadcast,
+aggregates partial-combine map-side — all Catalyst built-ins, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..kernels.textnorm import NUMBER_PATTERN
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pending_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 resume filter: ``status IS NULL OR status < 100``
+    (001_doc_text_extraction_queue.sql:75-78), on events.value."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNull() | (F.col("value") < 100))
+        .select("event_id", "user_id", "value")
+    )
+
+
+def success_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 batch tally (document_text_extraction_service.py:336-337)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def chars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4 page-count + text-length rollups
+    (document_text_extraction_service.py:264-266, core:821)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def method_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 per-method page counts (core_pdf_processor.py:814-815)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def batch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 processing summary (ml_document_processor.py:337-374)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+def turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 stable ordering (core_pdf_processor.py:191-196) as a window."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.row_number().over(w).alias("turn_seq"))
+    )
+
+
+def doc_char_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 running char offsets (span-offset accumulation, SURVEY §2.5)."""
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("long").alias(
+            "char_offset"
+        ),
+    )
+
+
+def resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 resume anti-join (ml_document_processor.py:211-228,304-309):
+    docs whose id has no 'click' event. The done-set is small ->
+    broadcast, no shuffle of the big side."""
+    docs = _t(spark, sf_dir, "documents")
+    done = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(F.broadcast(done), on="doc_id", how="left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def quality_gate_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 min-length gate at the service's 250-char threshold
+    (document_text_extraction_service.py:174-178; core:378-380)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.length(F.trim(F.col("text"))) >= 250)
+        .select("doc_id", F.length(F.trim(F.col("text"))).cast("long").alias("len"))
+    )
+
+
+def extract_numbers_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 number extraction (text_utils.py:119-123) over events.props."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.size(F.regexp_extract_all("props", F.lit(NUMBER_PATTERN), F.lit(0))).cast(
+            "long"
+        ).alias("n_numbers"),
+    )
+
+
+def extract_dates_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 ISO-date extraction (text_utils.py:130) over a derived string."""
+    s = F.concat(F.lit("due "), F.col("ts").cast("date").cast("string"))
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.size(
+            F.regexp_extract_all(s, F.lit(r"\b\d{4}-\d{2}-\d{2}\b"), F.lit(0))
+        ).cast("long").alias("n_dates"),
+    )
+
+
+def header_footer_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/K3 header-footer line removal (text_utils.py:149-166) as a
+    declarative array pipeline over a synthesized multi-line doc."""
+    doc = F.concat_ws(
+        "\n", F.lit("Page 1"), F.col("text"), F.lit("42"), F.lit("----")
+    )
+    kept = F.filter(
+        F.transform(F.split(doc, "\n"), lambda l: F.trim(l)),
+        lambda l: ~l.rlike("^Page [0-9]+$")
+        & ~l.rlike("^[0-9]+$")
+        & (F.length(l) >= 3)
+        & ~l.rlike("^-+$"),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(kept).cast("long").alias("n_kept_lines")
+    )
+
+
+def page_marker_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7/K8 page-marker + md-header formatting
+    (core_pdf_processor.py:811; service:657)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string(
+            "# Page %d - %s", F.col("doc_id"), F.upper(F.col("source"))
+        ).alias("header"),
+        F.format_string(
+            "\n--- PAGE %d ---\n%s\n", F.col("doc_id"), F.col("text")
+        ).alias("marked"),
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) — the streaming-adjacent
+    window op a transcript pipeline needs (SURVEY §2.9 batch analogue)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col("ts"))
+    df = _t(spark, sf_dir, "events").withColumn(
+        "new_session",
+        F.when(prev.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    return df.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def broadcast_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join rollup: orders x customer (small dim broadcast so
+    the fact table never shuffles on the join key)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregate: map-side partial aggregation, no UDFs,
+    whole-stage codegen end to end."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-join + top-k: revenue per customer, top 20 by revenue
+    with deterministic tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

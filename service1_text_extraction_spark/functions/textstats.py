@@ -1,0 +1,92 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting — all JVM-side built-ins (regex /
+array ops), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "und", "das", "von", "mit", "ein", "zu"],
+    "it": ["il", "di", "che", "e", "la", "per", "un", "del"],
+}
+
+_TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+# BPE-ish tokenization: letter runs, digit runs, single punctuation
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _stop_count(lang: str) -> F.Column:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(f"size(filter({_TOKENS}, x -> x in ({words})))")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (n-gram-heuristic family). Ties and
+    zero-evidence rows resolve to 'und' / first-wins deterministically."""
+    df = _docs(spark, sf_dir)
+    for lang in STOPWORDS:
+        df = df.withColumn(f"sc_{lang}", _stop_count(lang))
+    best = F.greatest(*[F.col(f"sc_{lang}") for lang in STOPWORDS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in STOPWORDS:  # dict order = deterministic tie-break
+        pred = pred.when(F.col(f"sc_{lang}") == best, F.lit(lang))
+    return df.select("doc_id", pred.alias("lang_pred"))
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword quality heuristics -> [0, 1]."""
+    df = _docs(spark, sf_dir)
+    n = F.length("text")
+    n_tokens = F.expr(f"size({_TOKENS})")
+    punct = F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0)))
+    stop_en = _stop_count("en")
+    punct_ratio = punct / F.nullif(n, F.lit(0))
+    stop_ratio = stop_en / F.nullif(n_tokens, F.lit(0))
+    score = (
+        0.4 * F.least(n / F.lit(500.0), F.lit(1.0))
+        + 0.3 * (1.0 - F.coalesce(punct_ratio, F.lit(0.0)))
+        + 0.3 * F.least(
+            F.coalesce(stop_ratio, F.lit(0.0)) * 4.0, F.lit(1.0)
+        )
+    )
+    return df.select(
+        "doc_id",
+        n.cast("long").alias("n_chars_obs"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(F.coalesce(punct_ratio, F.lit(0.0)), 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"size({_TOKENS})").cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: the minimum md5 over all
+    char 8-grams (winnowing-style min-sampling, window = whole doc)."""
+    df = _docs(spark, sf_dir)
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(text)-7, 1)), "
+        "i -> md5(substring(text, i, 8)))"
+    )
+    return df.select(
+        "doc_id", F.array_min(grams).alias("fingerprint")
+    )

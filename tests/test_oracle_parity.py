@@ -1,0 +1,89 @@
+"""Driver-contract parity: every oracle-backed query in
+``__spark_entry__`` must match its DuckDB SQL on the same parquet —
+the same comparison the round driver performs (row count + sorted
+values under sorted column names)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _norm_cell(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        return f"{round(v, 6):.6f}"
+    return str(v)
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out), [cols[i] for i in order]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+QUERY_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+def test_every_oracle_has_a_query():
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+@pytest.mark.parametrize("key", QUERY_KEYS)
+def test_parity(spark, sf_dir, ddb, key):
+    q = entry_mod.queries()[key]
+    sdf = q(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    res = ddb.execute(entry_mod.oracle_sql()[key])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert len(spark_rows) == len(duck_rows), (
+        f"{key}: row count {len(spark_rows)} (spark) != {len(duck_rows)} (duckdb)"
+    )
+    s_norm, s_cols = _normalize(spark_rows, spark_cols)
+    d_norm, d_cols = _normalize(duck_rows, duck_cols)
+    assert s_cols == d_cols, f"{key}: columns {s_cols} != {d_cols}"
+    mism = [
+        (a, b) for a, b in zip(s_norm, d_norm) if a != b
+    ]
+    assert not mism, f"{key}: {len(mism)} mismatching rows, first: {mism[:3]}"
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    """Queries without oracles must still execute and return rows."""
+    qs = entry_mod.queries()
+    no_oracle = set(qs) - set(entry_mod.oracle_sql())
+    for key in sorted(no_oracle):
+        n = qs[key](spark, sf_dir).count()
+        assert n >= 0, key
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.count() > 0 and len(rows) > 0
