@@ -55,6 +55,26 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIRS_EXPR = (
+    "flatten(transform(ids, (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+)
+
+
+def _bucket_pairs(grouped: DataFrame) -> DataFrame:
+    """(bucket_key -> sorted ids[]) -> exploded (a_id < b_id) pairs.
+
+    Pair generation stays bucket-local (no self-join, no recompute of
+    the upstream pipeline on both join sides) — the shape that survives
+    at 10^12 rows, where pairs may only ever form inside small buckets.
+    """
+    return (
+        grouped.where(F.size("ids") > 1)
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.10
 ) -> DataFrame:
@@ -62,14 +82,12 @@ def ngram_jaccard_pairs(
     shingle; exact Jaccard from shared/size counts)."""
     sh = _shingled(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    buckets = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
     shared = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
+        _bucket_pairs(buckets)
+        .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
@@ -119,20 +137,10 @@ def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = sig.select(
         "doc_id", F.explode(F.array(*bands)).alias("b")
     ).select("doc_id", F.col("b.band_idx"), F.col("b.band_val"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
-        .distinct()
+    buckets = exploded.groupBy("band_idx", "band_val").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
+    return _bucket_pairs(buckets).distinct()
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

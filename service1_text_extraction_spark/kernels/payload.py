@@ -91,7 +91,7 @@ def extract_turn(payload: str | None) -> TurnResult:
         stripped = text.strip()
         # reference gate core_pdf_processor.py:378-380: length on the
         # stripped text, garbage heuristics on the raw extraction
-        if len(stripped) >= MIN_PDF_TEXT_LENGTH and not textnorm.is_garbage_text(
+        if len(stripped) >= MIN_PDF_TEXT_LENGTH and not textnorm.is_garbage_text_np(
             text
         ):
             shift = len(text) - len(text.lstrip())
@@ -112,7 +112,7 @@ def extract_turn(payload: str | None) -> TurnResult:
 
     if kind == "html":
         r = extract_html(payload)
-        if r.text and textnorm.is_garbage_text(r.text):
+        if r.text and textnorm.is_garbage_text_np(r.text):
             return _failed("extracted text failed garbage gate", bytes_in)
         return TurnResult(
             r.text, "html", None, r.spans, bytes_in, len(r.text),
@@ -120,7 +120,7 @@ def extract_turn(payload: str | None) -> TurnResult:
         )
 
     cleaned = textnorm.clean_unicode(payload).strip()
-    if not cleaned or textnorm.is_garbage_text(cleaned):
+    if not cleaned or textnorm.is_garbage_text_np(cleaned):
         return _failed("plain text failed garbage gate", bytes_in)
     return TurnResult(
         cleaned, "text", None, [(0, len(cleaned), "text")], bytes_in,

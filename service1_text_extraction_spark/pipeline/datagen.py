@@ -108,20 +108,30 @@ def generate_transcripts(
     zipf_a: float = 1.6,
     max_turns: int = 2000,
     base_ts: str = "2026-01-01T00:00:00",
-) -> tuple[pd.DataFrame, pd.DataFrame]:
+    with_golden: bool = True,
+    target_turns: int | None = None,
+) -> tuple[pd.DataFrame, pd.DataFrame | None]:
     """Returns (transcripts, golden) pandas frames.
 
     transcripts: conv_id, turn_idx, role, text, tool, ts
     golden:      conv_id, turn_idx, expected_text, expected_method,
                  expected_chars_out, expected_bytes_in,
                  expected_boilerplate_ratio
+                 (None when ``with_golden=False`` — bench input only)
     """
     rng = random.Random(seed)
     t0 = dt.datetime.fromisoformat(base_ts)
     roles = ("user", "assistant", "tool")
 
     t_rows, g_rows = [], []
-    for i in range(n_convs):
+    i = -1
+    while True:
+        i += 1
+        if target_turns is None:
+            if i >= n_convs:
+                break
+        elif len(t_rows) >= target_turns:
+            break
         conv_id = f"conv_{i:08d}"
         # Zipf-skewed conversation length
         n_turns = min(max_turns, max(2, int(rng.paretovariate(zipf_a))))
@@ -141,23 +151,26 @@ def generate_transcripts(
             tool = "extractor" if role == "tool" else None
             ts = t0 + dt.timedelta(days=i % 365, seconds=turn_idx * 7)
             t_rows.append((conv_id, turn_idx, role, text, tool, ts))
-            r = extract_turn(text)
-            g_rows.append(
-                (
-                    conv_id,
-                    turn_idx,
-                    r.text,
-                    r.method,
-                    r.chars_out,
-                    r.bytes_in,
-                    r.boilerplate_ratio,
+            if with_golden:
+                r = extract_turn(text)
+                g_rows.append(
+                    (
+                        conv_id,
+                        turn_idx,
+                        r.text,
+                        r.method,
+                        r.chars_out,
+                        r.bytes_in,
+                        r.boilerplate_ratio,
+                    )
                 )
-            )
 
     transcripts = pd.DataFrame(
         t_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
     transcripts["turn_idx"] = transcripts["turn_idx"].astype("int32")
+    if not with_golden:
+        return transcripts, None
     golden = pd.DataFrame(
         g_rows,
         columns=[
