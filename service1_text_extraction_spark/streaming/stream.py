@@ -1,0 +1,71 @@
+"""Streaming extraction: readStream -> foreachBatch(batch pipeline).
+
+The reference is queue-driven batch (SURVEY §2.9: no watermarks or
+state stores; its "streaming" is HTTP chunking). The natural Spark
+restatement of its poll-the-queue loop is a file/table stream whose
+every micro-batch runs the *same* batch function — one code path for
+batch and streaming, exactly-once via the checkpoint dir + the
+bucket-marker table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..pipeline.extract import DEFAULT_N_BUCKETS, DEFAULT_SALT, run_extraction
+
+TRANSCRIPTS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    salt: int = DEFAULT_SALT,
+    available_now: bool = True,
+):
+    """Incremental extraction over a growing parquet directory.
+
+    New files are discovered per micro-batch; each batch runs the
+    batch pipeline and appends. Source progress lives in the streaming
+    checkpoint, so restarts never re-extract a processed file —
+    the streaming analogue of the bucket markers.
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        out = run_extraction(
+            batch_df.sparkSession, batch_df, n_buckets=n_buckets, salt=salt
+        )
+        out.write.mode("append").parquet(output_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
