@@ -114,7 +114,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "multimodal_binary_meta": multimodal.binary_meta,
         "multimodal_features": multimodal.multimodal_features,
+        "multimodal_frames": multimodal.multimodal_frames,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "distinct_users": relational.distinct_users,
+        "clickers_without_errors": relational.clickers_without_errors,
+        "clean_unicode_sql": textstats.clean_unicode_sql,
+        "normalize_ws_sql": textstats.normalize_ws_sql,
+        "chunk_counts": textstats.chunk_counts,
     }
+
+
+def _sql_str(s: str) -> str:
+    """SQL-quote a Python string, lifting control chars out as chr()."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ord(ch) < 32:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
 
 
 # --------------------------------------------------------------------------
@@ -350,6 +374,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS"
             " n_bytes, md5(text) AS payload_md5 FROM documents"
         ),
+        "revenue_by_nation": (
+            "SELECT n_name, count(*)::BIGINT AS n_orders,"
+            " round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "distinct_users": "SELECT DISTINCT user_id FROM events",
+        "clickers_without_errors": (
+            "SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE"
+            " event_type = 'click' EXCEPT SELECT user_id, CAST(ts AS DATE)"
+            " AS day FROM events WHERE event_type = 'error'"
+        ),
+        "clean_unicode_sql": _clean_unicode_oracle_sql(),
+        "normalize_ws_sql": (
+            "SELECT doc_id, trim(regexp_replace("
+            + _sql_str("  a\t")
+            + r" || text || "
+            + _sql_str("\n\nz  ")
+            + r", '\s+', ' ', 'g')) AS normalized FROM documents"
+        ),
         # extract_turns / assemble_docs / extract_metrics / ann_lsh_topk /
-        # multimodal_features are kernel/UDF-backed -> rows-only checks.
+        # multimodal_features / multimodal_frames / chunk_counts are
+        # kernel/UDF-backed -> rows-only checks.
     }
+
+
+def _clean_unicode_oracle_sql() -> str:
+    """Mirror textstats.clean_unicode_sql from the same kernel constants."""
+    expr = "text || " + _sql_str(textstats.DIRTY_SUFFIX)
+    from service1_text_extraction_spark.kernels.textnorm import (
+        _MULTI_REPLACEMENTS,
+    )
+
+    for old, new in _MULTI_REPLACEMENTS:
+        expr = f"replace({expr}, {_sql_str(old)}, {_sql_str(new)})"
+    expr = (
+        f"translate({expr}, {_sql_str(textstats.TRANS_FROM)},"
+        f" {_sql_str(textstats.TRANS_TO)})"
+    )
+    expr = f"regexp_replace({expr}, {_sql_str(textstats.CTRL_CLASS)}, ' ', 'g')"
+    expr = f"regexp_replace({expr}, {_sql_str(textstats.HIGH_CLASS)}, ' ', 'g')"
+    return f"SELECT doc_id, {expr} AS cleaned FROM documents"

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import subprocess
 import sys
 
@@ -47,6 +46,7 @@ spark = (SparkSession.builder.master(f"local[{{cores}}]")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.driver.memory", "24g")
+    .config("spark.local.dir", "/dev/shm/spark-tmp")
     .config("spark.ui.enabled", "false")
     .config("spark.ui.showConsoleProgress", "false")
     .getOrCreate())

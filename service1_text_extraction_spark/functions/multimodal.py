@@ -124,3 +124,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return decode_features(docs)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """1->N frame sampling over opaque video-like payloads via
+    mapInPandas (UDTF-style expansion). The decode is the deterministic
+    stub: frame i is the md5 of the i-th stride slice of the bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                stride = max(1, len(data) // n_frames)
+                for i in range(n_frames):
+                    chunk = data[i * stride : (i + 1) * stride]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            hashlib.md5(chunk).hexdigest(),
+                            len(chunk),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_md5", "n_bytes"]
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return frame_sample(docs)

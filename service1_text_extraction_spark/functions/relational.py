@@ -244,3 +244,37 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (customer x orders x nation) with broadcast dims —
+    exercises Catalyst join reordering + broadcast selection."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (§2.7): dropDuplicates (reference list(set(...)) analogue,
+    ml_document_processor.py:155)."""
+    return _t(spark, sf_dir, "events").select("user_id").distinct()
+
+
+def clickers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (§2.7): EXCEPT — (user, day) pairs with clicks but no
+    errors that day."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "day")
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "day")
+    return clicks.subtract(errors)

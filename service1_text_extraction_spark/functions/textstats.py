@@ -6,7 +6,11 @@ array ops), no Python in the hot path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..kernels import textnorm as _tn
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "for", "with"],
@@ -89,4 +93,58 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "doc_id", F.array_min(grams).alias("fingerprint")
+    )
+
+
+# the exact kernel constants drive both the Spark expression and the
+# DuckDB oracle (see __spark_entry__), so the SQL form cannot drift
+DIRTY_SUFFIX = " \u201cq\u201d \u2013 \u2026 \u00a0x\ufeff ctrl\x01 high\u4e16 \u20ac"
+TRANS_FROM = "".join(chr(k) for k in _tn._CHAR_TABLE)
+TRANS_TO = "".join(v for v in _tn._CHAR_TABLE.values() if v is not None)
+CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+HIGH_CLASS = "[^\\x00-\\xff\u20ac\u20a9\u20aa\u20ab\u20b9\u20bd]"
+
+
+def clean_unicode_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 clean_unicode (text_utils.py:16-75) as a pure SQL-pushdown
+    expression chain (replace -> translate -> two regexp sweeps), run
+    over text salted with the unicode corruptions it must fix."""
+    cleaned = F.concat(F.col("text"), F.lit(DIRTY_SUFFIX))
+    for old, new in _tn._MULTI_REPLACEMENTS:
+        cleaned = F.replace(cleaned, F.lit(old), F.lit(new))
+    cleaned = F.translate(cleaned, TRANS_FROM, TRANS_TO)
+    cleaned = F.regexp_replace(cleaned, CTRL_CLASS, " ")
+    cleaned = F.regexp_replace(cleaned, HIGH_CLASS, " ")
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", cleaned.alias("cleaned")
+    )
+
+
+def normalize_ws_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 normalize_whitespace (text_utils.py:142-147) as SQL."""
+    s = F.concat(F.lit("  a\t"), F.col("text"), F.lit("\n\nz  "))
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.trim(F.regexp_replace(s, r"\s+", " ")).alias("normalized"),
+    )
+
+
+def chunk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 chunk_text (text_utils.py:77-117) through an Arrow-batched
+    pandas UDF (the rfind break-point rule is not SQL-expressible)."""
+    from ..kernels.textnorm import chunk_text
+
+    @F.pandas_udf(LongType())
+    def n_chunks(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                len(chunk_text(t, max_chars=100, overlap=20))
+                if isinstance(t, str)
+                else 0
+                for t in texts
+            ]
+        )
+
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", n_chunks("text").alias("n_chunks")
     )
