@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "distinct_users": relational.distinct_users,
         "clickers_without_errors": relational.clickers_without_errors,
+        "embedding_meanpool": similarity.embedding_meanpool,
+        "json_extract_k": relational.json_extract_k,
+        "source_files": relational.source_files,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "normalize_ws_sql": textstats.normalize_ws_sql,
         "chunk_counts": textstats.chunk_counts,
@@ -381,6 +384,16 @@ def oracle_sql() -> dict[str, str]:
             " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "distinct_users": "SELECT DISTINCT user_id FROM events",
+        "embedding_meanpool": (
+            "SELECT label, CAST(i AS INT) AS pos, round(avg(embedding[i]),"
+            " 4) AS avg_val FROM (SELECT label, embedding,"
+            " unnest(generate_series(1, len(embedding))) AS i FROM"
+            " embeddings) GROUP BY label, i"
+        ),
+        "json_extract_k": (
+            "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_value"
+            " FROM events"
+        ),
         "clickers_without_errors": (
             "SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE"
             " event_type = 'click' EXCEPT SELECT user_id, CAST(ts AS DATE)"

@@ -278,3 +278,27 @@ def clickers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "day")
     errors = ev.where(F.col("event_type") == "error").select("user_id", "day")
     return clicks.subtract(errors)
+
+
+def json_extract_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 JSON parsing (json_utils.py:28-184 family) via built-in
+    JSON-path extraction over events.props."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+def source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 file listing (file_operations.py:127-157): rows per source
+    file of the scan, via input_file_name()."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias(
+                "file_name"
+            )
+        )
+        .groupBy("file_name")
+        .agg(F.count("*").alias("n_rows"))
+    )

@@ -163,3 +163,16 @@ def lsh_ann_topk(
         )
     )
     return cands.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
+
+
+def embedding_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 mean-pool (training_page_embedder.py:119-124 analogue):
+    per-label centroid, emitted as (label, pos, avg_val) rows so the
+    result stays a flat relational shape."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .withColumn("pos", F.col("pos") + 1)
+        .groupBy("label", "pos")
+        .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("avg_val"))  # +0.0 kills -0.0
+    )

@@ -216,7 +216,20 @@ class PdfDocument:
         self.data = data
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}
+        self._check_encryption()
         self._scan_objects()
+
+    def _check_encryption(self) -> None:
+        """Encrypted documents are surfaced the way the reference marks
+        un-authenticated PDFs: a ``password_required`` failure
+        (core_pdf_processor.py:167-181; decryption is out of scope)."""
+        for m in re.finditer(rb"trailer", self.data):
+            try:
+                d, _ = _parse_value(self.data, m.end())
+            except (PdfError, IndexError, ValueError):
+                continue
+            if isinstance(d, dict) and "/Encrypt" in d:
+                raise PdfError("password_required: document is encrypted")
 
     def _scan_objects(self) -> None:
         data = self.data

@@ -24,6 +24,8 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "<nan>"
+        if v == 0.0:
+            v = 0.0  # collapse -0.0
         return f"{round(v, 6):.6f}"
     return str(v)
 

@@ -110,3 +110,11 @@ def test_empty_page():
     cb = pdfgen.ContentBuilder()
     p = _one_page(cb.build())
     assert p.text == "" and p.spans == []
+
+
+def test_encrypted_pdf_password_required():
+    data = pdfgen.build_pdf([pdfgen.simple_page([(72, 700, ["secret"])])])
+    # splice an /Encrypt entry into the trailer dict
+    data = data.replace(b"trailer\n<< ", b"trailer\n<< /Encrypt 9 0 R ")
+    with pytest.raises(pdf.PdfError, match="password_required"):
+        pdf.extract_pdf(data)
