@@ -1,0 +1,80 @@
+"""Physical-plan quality gates — the 100 TB questions as assertions.
+
+These tests pin the plan properties that matter at scale: filters
+reach the parquet scan, small dims broadcast, the extraction job has
+exactly its two intended exchanges, and the UDF runs on the Arrow
+path. A regression here is a performance bug even if results stay
+correct.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from service1_text_extraction_spark.functions import dedup, relational
+from service1_text_extraction_spark.pipeline import run_extraction
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pending_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(relational.pending_filter(spark, sf_dir))
+    assert "PushedFilters" in plan
+    # the OR-of-null-and-range predicate pushes as an Or filter
+    assert re.search(r"PushedFilters: \[.*Or\(IsNull\(value\).*\]", plan), plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(relational.success_counts(spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1) == "event_type:string", plan
+
+
+def test_broadcast_joins_chosen(spark, sf_dir):
+    for q in (relational.resume_antijoin, relational.broadcast_dim_rollup,
+              relational.revenue_by_nation):
+        plan = _plan(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+            q.__name__, plan,
+        )
+
+
+def test_extraction_plan_shape(spark):
+    rows = [("c", 1, "u", "<p>x</p>", None, None)]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    plan = _plan(run_extraction(spark, tdf, n_buckets=8, salt=4))
+    assert "ArrowEvalPython" in plan  # vectorized UDF, not BatchEvalPython
+    assert "BatchEvalPython" not in plan
+    # exactly two exchanges: salt spread + ordering window
+    n_exchanges = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_exchanges == 2, plan
+    # the window sorts within partitions only (no global sort)
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_aggregates_partial_combine(spark, sf_dir):
+    plan = _plan(relational.pricing_summary(spark, sf_dir))
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_dedup_exact_shuffles_hash_not_text(spark, sf_dir):
+    plan = _plan(dedup.exact_dedup(spark, sf_dir))
+    # the group key is md5(text): 32 bytes cross the wire, not documents
+    assert "md5" in plan and "HashAggregate" in plan
+
+
+def test_filter_pushdown_quality_gate(spark, sf_dir):
+    plan = _plan(relational.quality_gate_length(spark, sf_dir))
+    # length(trim(x)) is not pushable, but the scan must still prune
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "doc_id:bigint", "text:string"
+    }, plan
