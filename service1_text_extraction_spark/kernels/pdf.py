@@ -64,6 +64,13 @@ class PdfError(ValueError):
     pass
 
 
+# hoisted object-reader patterns; matched positionally (pattern.match(buf,
+# pos)) so no per-token buffer slices are copied
+_NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+_REF_TAIL_RE = re.compile(rb"\s+(\d+)\s+R(?![a-zA-Z])")
+
+
 @dataclass(frozen=True)
 class Ref:
     num: int
@@ -106,8 +113,8 @@ def _parse_value(data: bytes, pos: int):
     if c == 0x28:  # '(' literal string
         return _parse_literal_string(data, pos)
     if c == 0x2F:  # '/' name
-        m = re.match(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)", data[pos:])
-        return "/" + m.group(1).decode("latin-1"), pos + m.end()
+        m = _NAME_RE.match(data, pos)
+        return "/" + m.group(1).decode("latin-1"), m.end()
     if c == 0x5B:  # '['
         items = []
         pos += 1
@@ -124,15 +131,15 @@ def _parse_value(data: bytes, pos: int):
     if data.startswith(b"null", pos):
         return None, pos + 4
     # number or reference
-    m = re.match(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)", data[pos:])
+    m = _NUM_RE.match(data, pos)
     if not m:
         raise PdfError(f"cannot parse value at {pos}: {data[pos:pos+20]!r}")
     tok = m.group(0)
-    npos = pos + m.end()
+    npos = m.end()
     if b"." not in tok:
-        rm = re.match(rb"\s+(\d+)\s+R(?![a-zA-Z])", data[npos:])
+        rm = _REF_TAIL_RE.match(data, npos)
         if rm:
-            return Ref(int(tok), int(rm.group(1))), npos + rm.end()
+            return Ref(int(tok), int(rm.group(1))), rm.end()
         return int(tok), npos
     return float(tok), npos
 
