@@ -1,0 +1,114 @@
+"""Property-based kernel tests (hypothesis).
+
+These pin invariants rather than examples: idempotence of the
+normalizers, coverage/size bounds of the chunker, scalar==vectorized
+equivalence of the garbage gate, span addressing of the HTML
+extractor, and writer->parser round-trips for the PDF kernel.
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from service1_text_extraction_spark.kernels import pdf, pdfgen, textnorm
+from service1_text_extraction_spark.kernels.html import extract_html
+
+# text with plenty of unicode edge characters
+_edge_chars = (
+    "€₹😀漢–—‘’“”… ﻿\x00\x01\x1f\x7f"
+    + string.printable
+)
+texts = st.text(alphabet=_edge_chars, max_size=200)
+
+
+@given(texts)
+@settings(max_examples=300, deadline=None)
+def test_clean_unicode_idempotent_and_ascii_plus(t):
+    once = textnorm.clean_unicode(t)
+    assert textnorm.clean_unicode(once) == once
+    # output contains only codepoints < 256 or kept currency symbols
+    assert all(ord(c) < 256 or c in "€₩₪₫₹₽" for c in once)
+
+
+@given(texts)
+@settings(max_examples=300, deadline=None)
+def test_normalize_whitespace_idempotent(t):
+    once = textnorm.normalize_whitespace(t)
+    assert textnorm.normalize_whitespace(once) == once
+    assert "  " not in once and not once.startswith(" ") and not once.endswith(" ")
+
+
+@given(texts)
+@settings(max_examples=500, deadline=None)
+def test_garbage_gate_scalar_equals_numpy(t):
+    assert textnorm.is_garbage_text(t) == textnorm.is_garbage_text_np(t)
+
+
+@given(
+    st.text(alphabet=string.ascii_letters + " .\n!?", min_size=1, max_size=2000),
+    st.integers(min_value=20, max_value=200),
+    st.integers(min_value=0, max_value=19),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_text_bounds_and_coverage(t, max_chars, overlap):
+    chunks = textnorm.chunk_text(t, max_chars=max_chars, overlap=overlap)
+    assert all(len(c) <= max_chars for c in chunks)
+    assert chunks[0].startswith(t[: min(len(t), 1)])
+    # chunks cover the text: each chunk is a contiguous slice and the
+    # last one ends the text
+    assert chunks[-1] == "" or t.endswith(chunks[-1])
+    pos = 0
+    for c in chunks:
+        found = t.find(c, max(0, pos - overlap - len(c)))
+        assert found != -1
+        pos = found + len(c)
+    assert pos >= len(t)
+
+
+@given(
+    st.lists(
+        st.text(alphabet=string.ascii_letters + " ", min_size=1, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_html_spans_address_text(paras):
+    html = "".join(f"<p>{p}</p>" for p in paras)
+    r = extract_html(html)
+    for s, e, kind in r.spans:
+        assert 0 <= s < e <= len(r.text)
+        assert r.text[s:e].strip() == r.text[s:e]  # spans are trimmed blocks
+
+
+_line = st.text(
+    alphabet=string.ascii_letters + string.digits + " ,.", min_size=1, max_size=50
+).map(lambda s: s.strip()).filter(lambda s: len(s) >= 1)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.lists(_line, min_size=1, max_size=4)),
+        min_size=1,
+        max_size=4,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_pdf_writer_parser_roundtrip(blocks, compress):
+    # place blocks top-down with gaps > BLOCK_GAP so structure is known
+    placed = []
+    y = 760.0
+    expected_lines = []
+    for x, lines in blocks:
+        placed.append((72.0 + (x % 300), y, lines))
+        expected_lines.extend(lines)
+        y -= 14.0 * len(lines) + 30.0
+    data = pdfgen.build_pdf([pdfgen.simple_page(placed)], compress=compress)
+    page = pdf.extract_pdf(data).pages[0]
+    got_lines = [ln for ln in page.text.split("\n") if ln]
+    # hyphenation repair may merge writer lines; verify content survives
+    assert "".join(got_lines).replace(" ", "") == "".join(
+        expected_lines
+    ).replace(" ", "")
