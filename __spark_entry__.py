@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_candidates": dedup.minhash_band_candidates,
+        "dedup_minhash_clusters": dedup.minhash_clusters,
         "dedup_simhash": dedup.simhash_fingerprints,
         "ann_cosine_topk": similarity.cosine_topk,
         "neardup_cosine_pairs": similarity.cosine_neardup_pairs,
@@ -315,6 +316,19 @@ def oracle_sql() -> dict[str, str]:
             " SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands"
             " a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val ="
             " b.band_val AND a.doc_id < b.doc_id"
+        ),
+        "dedup_minhash_clusters": (
+            f"WITH {_TOKS_CTE}, {_SHINGLES_CTE},"
+            f" sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY"
+            " doc_id), bands AS ("
+            " SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS"
+            " band_val FROM sig UNION ALL SELECT doc_id, 1, md5(h4 || h5 ||"
+            " h6 || h7) FROM sig),"
+            " m AS (SELECT band_idx, band_val, min(doc_id) AS bucket_min"
+            " FROM bands GROUP BY 1, 2)"
+            " SELECT b.doc_id, CAST(min(m.bucket_min) AS BIGINT) AS"
+            " cluster_rep FROM bands b JOIN m USING (band_idx, band_val)"
+            " GROUP BY b.doc_id"
         ),
         "dedup_simhash": (
             f"WITH {_TOKS_CTE},"

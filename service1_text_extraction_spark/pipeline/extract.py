@@ -170,7 +170,9 @@ def run_extraction(
     )
 
 
-def assemble_documents(extracted: DataFrame) -> DataFrame:
+def assemble_documents(
+    extracted: DataFrame, segment_turns: int | None = None
+) -> DataFrame:
     """Per-conversation assembly with the reference's page markers.
 
     Reference format (core_pdf_processor.py:809-812): non-empty pages
@@ -178,6 +180,14 @@ def assemble_documents(extracted: DataFrame) -> DataFrame:
     is stripped. Also rolls up the reference's per-document metrics
     (``extract_text_batch`` metadata, core_pdf_processor.py:814-821):
     turn counts, failed-turn count (ocr_pages analogue), text length.
+
+    Scale note: ``collect_list`` materializes one conversation per
+    task — fine for real conversations, not for a 10^6-turn outlier.
+    ``segment_turns=N`` switches the group key to
+    ``(conv_id, (turn_idx-1) // N)`` and emits unstripped segments
+    whose in-order concatenation, stripped, equals the full document
+    (asserted by tests); downstream sinks then never hold more than
+    one segment in memory.
     """
     turns = F.array_sort(
         F.collect_list(F.struct("turn_idx", "text", "method"))
@@ -191,17 +201,24 @@ def assemble_documents(extracted: DataFrame) -> DataFrame:
         ),
         "",
     )
-    return (
-        extracted.groupBy("conv_id")
-        .agg(
+    aggs = [
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(F.col("method") == "failed", 1).otherwise(0)).alias(
+            "failed_turns"
+        ),
+        F.sum("chars_out").alias("chars_out"),
+        F.sum("bytes_in").alias("bytes_in"),
+    ]
+    if segment_turns is None:
+        return extracted.groupBy("conv_id").agg(
             F.regexp_replace(doc_text, r"^\s+|\s+$", "").alias("doc_text"),
-            F.count("*").alias("n_turns"),
-            F.sum(F.when(F.col("method") == "failed", 1).otherwise(0)).alias(
-                "failed_turns"
-            ),
-            F.sum("chars_out").alias("chars_out"),
-            F.sum("bytes_in").alias("bytes_in"),
+            *aggs,
         )
+    seg = ((F.col("turn_idx") - 1) / segment_turns).cast("long")
+    return (
+        extracted.withColumn("segment_idx", seg)
+        .groupBy("conv_id", "segment_idx")
+        .agg(doc_text.alias("doc_text"), *aggs)
     )
 
 

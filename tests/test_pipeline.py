@@ -142,3 +142,16 @@ def test_null_and_empty_payloads(spark):
     )
     out = run_extraction(spark, tdf, n_buckets=4, salt=2).collect()
     assert all(r.method == "failed" and r.text == "" for r in out)
+
+
+def test_segmented_assembly_splices_to_full(spark, data):
+    tdf, _, _, _ = data
+    out = run_extraction(spark, tdf, n_buckets=8, salt=4)
+    full = {r.conv_id: r.doc_text for r in assemble_documents(out).collect()}
+    segs = assemble_documents(out, segment_turns=10).collect()
+    by_conv = {}
+    for r in segs:
+        by_conv.setdefault(r.conv_id, []).append((r.segment_idx, r.doc_text))
+    for conv_id, parts in by_conv.items():
+        spliced = "".join(t for _, t in sorted(parts)).strip()
+        assert spliced == full[conv_id], conv_id
