@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": similarity.cosine_topk,
         "neardup_cosine_pairs": similarity.cosine_neardup_pairs,
         "ann_lsh_topk": similarity.lsh_ann_topk,
+        "ann_ivf_topk": similarity.ivf_ann_topk,
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
         "token_counts": textstats.token_counts,

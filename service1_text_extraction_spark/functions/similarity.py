@@ -9,7 +9,7 @@ Dot products run JVM-side via ``zip_with``/``aggregate``; no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 N_PLANES = 4
@@ -176,3 +176,77 @@ def embedding_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("avg_val"))  # +0.0 kills -0.0
     )
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse quantizer: per-label centroids (IVF lists). At 10^12 rows
+    the lists come from a sampled k-means; the label column stands in as
+    the deterministic cluster structure of the test data."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("list_id"), "centroid")
+    )
+
+
+def ivf_ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: broadcast the centroid table, assign every vector
+    to its nearest list, search only the query's ``n_probe`` nearest
+    lists with exact cosine. One broadcast + one filter — no pairwise
+    shuffle ever forms."""
+    e = _emb(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    assigned = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("dist", _dot("embedding", "centroid"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("dist").desc(), F.col("list_id")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "list_id")
+    )
+    q_lists = (
+        e.where(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("dist", _dot("embedding", "centroid"))
+        .orderBy(F.col("dist").desc(), F.col("list_id"))
+        .limit(n_probe)
+        .select("list_id")
+    )
+    q = e.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    cands = (
+        assigned.join(F.broadcast(q_lists), on="list_id", how="left_semi")
+        .where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot("embedding", "q") / (_norm("embedding") * _norm("q")), 4
+            ).alias("cos"),
+        )
+    )
+    return cands.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)

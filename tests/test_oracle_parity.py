@@ -89,3 +89,17 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.limit(5).collect()
     assert df.count() > 0 and len(rows) > 0
+
+
+def test_ann_variants_recall(spark, sf_dir):
+    """Approximate searches must overlap the brute-force ground truth."""
+    qs = entry_mod.queries()
+    brute = [r.vec_id for r in qs["ann_cosine_topk"](spark, sf_dir).collect()]
+    ivf = {r.vec_id for r in qs["ann_ivf_topk"](spark, sf_dir).collect()}
+    lsh = {r.vec_id for r in qs["ann_lsh_topk"](spark, sf_dir).collect()}
+    assert len(ivf & set(brute)) >= 3, (brute, ivf)
+    assert len(lsh) > 0
+    # IVF with all lists probed == exact brute force
+    from service1_text_extraction_spark.functions.similarity import ivf_ann_topk
+    exact = [r.vec_id for r in ivf_ann_topk(spark, sf_dir, n_probe=10).collect()]
+    assert exact == brute
