@@ -352,7 +352,7 @@ def oracle_sql() -> dict[str, str]:
             " b.embedding::DOUBLE[]), 4) AS cos FROM embeddings a JOIN"
             " embeddings b ON a.label = b.label AND a.vec_id < b.vec_id"
             " WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],"
-            " b.embedding::DOUBLE[]), 4) >= 0.60"
+            " b.embedding::DOUBLE[]), 4) >= 0.30"
         ),
         "lang_id": (
             f"WITH {_TOKS_CTE},"

@@ -59,7 +59,7 @@ def cosine_topk(
 
 
 def cosine_neardup_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.60
+    spark: SparkSession, sf_dir: str, threshold: float = 0.30
 ) -> DataFrame:
     """Embedding near-dup pairs, blocked by label (at scale the block
     key would be a coarse LSH bucket; the label stands in for it)."""
