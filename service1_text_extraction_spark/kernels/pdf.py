@@ -28,10 +28,15 @@ whole path with no third-party parser:
    line starts lowercase) — north-star requirements with no reference
    equivalent.
 
+Object streams (PDF 1.5 ``/ObjStm``) are expanded, so modern PDFs
+whose catalog/page dicts live inside compressed streams parse.
 Unsupported (documented scope): encryption (the pipeline surfaces a
 ``password_required``-style failure the way the reference does for
 un-authenticated documents, ``core_pdf_processor.py:167-181``),
-non-Flate filters, CID/composite fonts, xref streams.
+non-Flate filters, CID/composite fonts. Cross-reference tables/streams
+are never consulted — the object scan is the source of truth, which
+also makes truncated or incrementally-updated files best-effort
+parseable.
 """
 
 from __future__ import annotations
@@ -261,6 +266,37 @@ class PdfDocument:
                     raw = data[pos:end].rstrip(b"\r\n")
                 self.streams[num] = raw
             self.objects[num] = val
+        self._expand_object_streams()
+
+    def _expand_object_streams(self) -> None:
+        """PDF 1.5+ object streams: modern writers keep most dict
+        objects (catalog, pages, fonts) inside compressed ``/ObjStm``
+        streams, invisible to the raw byte scan. Header of the decoded
+        stream is N (objnum, offset) integer pairs; object i starts at
+        ``/First + offset_i``. Embedded objects never override a
+        top-level object with the same number."""
+        for num, val in list(self.objects.items()):
+            if not (isinstance(val, dict) and val.get("/Type") == "/ObjStm"):
+                continue
+            try:
+                data = self.stream_data(Ref(num, 0))
+                n = self.resolve(val.get("/N"))
+                first = self.resolve(val.get("/First"))
+                if not isinstance(n, int) or not isinstance(first, int):
+                    continue
+                pos = 0
+                pairs = []
+                for _ in range(n):
+                    objnum, pos = _parse_value(data, pos)
+                    offset, pos = _parse_value(data, pos)
+                    pairs.append((int(objnum), int(offset)))
+                for objnum, offset in pairs:
+                    if objnum in self.objects:
+                        continue
+                    obj, _ = _parse_value(data, first + offset)
+                    self.objects[objnum] = obj
+            except (PdfError, IndexError, ValueError, zlib.error):
+                continue
 
     def resolve(self, v):
         seen = 0

@@ -164,3 +164,57 @@ def build_pdf(page_streams: list[bytes], compress: bool = False) -> bytes:
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     return bytes(buf)
+
+
+def build_pdf_objstm(page_streams: list[bytes]) -> bytes:
+    """PDF 1.5-style assembly: catalog/pages/page/font dicts live inside
+    a compressed /ObjStm; only content streams stay top-level. Mirrors
+    what modern writers emit (the parser must expand object streams)."""
+    n_pages = len(page_streams)
+    # object numbers: 1 catalog, 2 pages, 3 font, 4..3+n pages,
+    # content streams 4+n.., objstm last
+    first_content = 4 + n_pages
+    objstm_num = first_content + n_pages
+
+    embedded: list[tuple[int, bytes]] = []
+    kids = " ".join(f"{4 + i} 0 R" for i in range(n_pages))
+    embedded.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    embedded.append(
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    )
+    embedded.append(
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    )
+    for i in range(n_pages):
+        embedded.append(
+            (
+                4 + i,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Resources << /Font << /F1 3 0 R >> >> "
+                    f"/Contents {first_content + i} 0 R >>"
+                ).encode(),
+            )
+        )
+
+    body = bytearray()
+    header = bytearray()
+    for objnum, objbytes in embedded:
+        header += f"{objnum} {len(body)} ".encode()
+        body += objbytes + b"\n"
+    payload = bytes(header) + bytes(body)
+    compressed = zlib.compress(payload)
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    for i, stream in enumerate(page_streams):
+        buf += (
+            f"{first_content + i} 0 obj\n"
+            f"<< /Length {len(stream)} >>\nstream\n"
+        ).encode() + stream + b"\nendstream\nendobj\n"
+    buf += (
+        f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(embedded)} "
+        f"/First {len(header)} /Length {len(compressed)} "
+        f"/Filter /FlateDecode >>\nstream\n"
+    ).encode() + compressed + b"\nendstream\nendobj\n"
+    buf += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(buf)

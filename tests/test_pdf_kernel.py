@@ -118,3 +118,17 @@ def test_encrypted_pdf_password_required():
     data = data.replace(b"trailer\n<< ", b"trailer\n<< /Encrypt 9 0 R ")
     with pytest.raises(pdf.PdfError, match="password_required"):
         pdf.extract_pdf(data)
+
+
+@pytest.mark.parametrize("n_pages", [1, 3])
+def test_objstm_pdf15(n_pages):
+    streams = [
+        pdfgen.simple_page([(72, 700, [f"page {i} body text here"])])
+        for i in range(n_pages)
+    ]
+    data = pdfgen.build_pdf_objstm(streams)
+    assert b"/ObjStm" in data and b"/Catalog" not in data.split(b"stream")[0]
+    res = pdf.extract_pdf(data)
+    assert [p.text for p in res.pages] == [
+        f"page {i} body text here" for i in range(n_pages)
+    ]
