@@ -70,7 +70,21 @@ def _failed(error: str, bytes_in: int) -> TurnResult:
 
 
 def extract_turn(payload: str | None) -> TurnResult:
-    """Decode + extract + quality-gate one turn payload."""
+    """Decode + extract + quality-gate one turn payload.
+
+    Never raises: any unexpected kernel failure becomes a ``failed``
+    row carrying the error (the reference likewise stores per-row
+    ``error_message``, core_pdf_processor.py:352) — one hostile payload
+    must not kill a whole 10k-row Arrow batch task.
+    """
+    try:
+        return _extract_turn_inner(payload)
+    except Exception as e:  # noqa: BLE001 - task-survival boundary
+        nbytes = len(payload.encode("utf-8", "ignore")) if payload else 0
+        return _failed(f"kernel error: {type(e).__name__}: {e}", nbytes)
+
+
+def _extract_turn_inner(payload: str | None) -> TurnResult:
     if payload is None or not payload.strip():
         return _failed("empty payload", 0)
 

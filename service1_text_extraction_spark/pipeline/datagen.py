@@ -94,6 +94,11 @@ _ADVERSARIAL = [
     "#$%^&* #$%^&* #$%^&*",  # special-char ratio
     "x" * 249,  # plain text, fine
     "ﬁ ﬂ ligatures in plain text — with dash",
+    "JVBERnot!!really@@base64##at$$all",  # sniffs as pdf, bad base64
+    "JVBERi0" + "QUJD" * 40,  # valid base64, not a valid PDF body
+    "<div>" * 200 + "deep nesting" + "</div>" * 200,
+    "<a href=x>only</a> <a href=y>links</a> <a href=z>here</a>",
+    "<p>unterminated <b tag soup < < <",
 ]
 
 

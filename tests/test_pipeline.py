@@ -155,3 +155,29 @@ def test_segmented_assembly_splices_to_full(spark, data):
     for conv_id, parts in by_conv.items():
         spliced = "".join(t for _, t in sorted(parts)).strip()
         assert spliced == full[conv_id], conv_id
+
+
+def test_kernel_exception_becomes_failed_row(spark, monkeypatch):
+    # an unexpected kernel crash must yield a failed row, not a dead task
+    import service1_text_extraction_spark.kernels.payload as payload_mod
+
+    def boom(_):
+        raise RuntimeError("synthetic kernel crash")
+
+    monkeypatch.setattr(payload_mod, "extract_html", boom)
+    r = payload_mod.extract_turn("<p>this would normally extract</p>")
+    assert r.method == "failed"
+    assert "kernel error: RuntimeError" in r.error
+
+
+def test_adversarial_payloads_never_raise(spark):
+    from service1_text_extraction_spark.kernels.payload import extract_turn
+    from service1_text_extraction_spark.pipeline.datagen import _ADVERSARIAL
+
+    for p in _ADVERSARIAL:
+        r = extract_turn(p)
+        assert r.method in {"html", "pdf", "text", "failed"}, repr(p)
+    bad_b64 = extract_turn("JVBERnot!!really@@base64##at$$all")
+    assert bad_b64.method == "failed" and "base64" in bad_b64.error
+    not_pdf = extract_turn("JVBERi0" + "QUJD" * 40)
+    assert not_pdf.method == "failed"
