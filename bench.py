@@ -98,7 +98,9 @@ def main() -> None:
         "dedup_minhash": q(dedup.minhash_band_candidates),
         "dedup_simhash": q(dedup.simhash_fingerprints),
         "dedup_exact": q(dedup.exact_dedup),
+        "dedup_minhash_clusters": q(dedup.minhash_clusters),
         "ann_cosine_topk": q(similarity.cosine_topk),
+        "ann_ivf_topk": q(similarity.ivf_ann_topk),
         "neardup_cosine": q(similarity.cosine_neardup_pairs),
         "pricing_summary": q(relational.pricing_summary),
         "broadcast_dim_rollup": q(relational.broadcast_dim_rollup),

@@ -69,3 +69,39 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_turn_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    *,
+    window_duration: str = "10 minutes",
+    watermark: str = "1 hour",
+    query_name: str = "turn_metrics",
+):
+    """Watermarked event-time aggregation over the transcript stream:
+    turns per (event-time window, role), late data bounded by the
+    watermark. Results land in an in-memory sink (tests) — a real
+    deployment writes to the metrics table instead.
+    """
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), "role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("payload_chars"),
+        )
+    )
+    return (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

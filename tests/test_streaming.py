@@ -43,3 +43,26 @@ def test_stream_matches_batch_and_is_incremental(spark, tmp_path):
     assert (
         batch_out.select(cols).exceptAll(stream_out.select(cols)).isEmpty()
     )
+
+
+@pytest.mark.slow
+def test_watermarked_event_time_metrics(spark, tmp_path):
+    t, _ = generate_transcripts(n_convs=15, seed=5, max_turns=30,
+                                with_golden=False)
+    inp = str(tmp_path / "in_m")
+    spark.createDataFrame(t).write.mode("append").parquet(inp)
+
+    from service1_text_extraction_spark.streaming.stream import (
+        stream_turn_metrics,
+    )
+
+    q = stream_turn_metrics(
+        spark, inp, str(tmp_path / "ckpt_m"), query_name="tm_test"
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM tm_test").collect()
+    assert rows and sum(r.n_turns for r in rows) == len(t)
+    roles = {r.role for r in rows}
+    assert roles <= {"user", "assistant", "tool"}
+    # window structs are real event-time buckets
+    assert all(r.window.start < r.window.end for r in rows)
