@@ -73,12 +73,20 @@ DEFAULT_SALT = 16
 
 @F.pandas_udf(RESULT_FIELDS)
 def extract_turn_udf(payloads: pd.Series) -> pd.DataFrame:
-    """Arrow-batched turn extraction: one struct row per payload."""
+    """Arrow-batched turn extraction: one struct row per payload.
+
+    Identical payloads inside a batch (re-forwarded attachments,
+    boilerplate turns) are extracted once and fanned out — free on
+    unique corpora, large on duplicate-heavy real transcripts.
+    """
+    memo: dict[str, tuple] = {}
     rows = []
     for payload in payloads:
-        r = extract_turn(payload if isinstance(payload, str) else None)
-        rows.append(
-            (
+        key = payload if isinstance(payload, str) else ""
+        cached = memo.get(key)
+        if cached is None:
+            r = extract_turn(payload if isinstance(payload, str) else None)
+            cached = (
                 r.text,
                 r.method,
                 r.error,
@@ -90,7 +98,8 @@ def extract_turn_udf(payloads: pd.Series) -> pd.DataFrame:
                 r.chars_out,
                 r.boilerplate_ratio,
             )
-        )
+            memo[key] = cached
+        rows.append(cached)
     return pd.DataFrame(
         rows,
         columns=[
