@@ -50,6 +50,13 @@ HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6 title".split())
 LIST_TAGS = frozenset("li dt dd".split())
 
 LINK_DENSITY_MAX = 0.33
+# text-density gate (applies only to short fragmented blocks so ordinary
+# short prose is never dropped): a block with <= MAX_SOUP_WORDS words,
+# >= MIN_SOUP_TAGS inline tags, and density below TEXT_DENSITY_MIN is
+# markup soup (icon rows, share widgets), not content
+TEXT_DENSITY_MIN = 12.0
+MAX_SOUP_WORDS = 4
+MIN_SOUP_TAGS = 2
 
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _RAWTEXT_RE = re.compile(
@@ -65,12 +72,19 @@ class Block:
 
     kind: str = "para"
     pieces: list[tuple[str, bool]] = field(default_factory=list)  # (raw, in_link)
+    n_inline_tags: int = 0  # markup fragmentation inside the block
 
     def raw_chars(self) -> int:
         return sum(len(t) for t, _ in self.pieces)
 
     def link_chars(self) -> int:
         return sum(len(t) for t, in_link in self.pieces if in_link)
+
+    def text_density(self) -> float:
+        """Boilerpipe-style density: content chars per markup unit —
+        widget/navigation soup fragments text across many inline tags,
+        prose does not."""
+        return self.raw_chars() / (1.0 + self.n_inline_tags)
 
 
 @dataclass
@@ -166,6 +180,10 @@ def extract_html(payload: str) -> HtmlResult:
         if tag in BLOCK_TAGS:
             pending_kind = _kind_for(tag) if not closing else "para"
             flush()
+            continue
+        # any other (inline) tag fragments the current block
+        if drop_depth == 0:
+            cur.n_inline_tags += 1
 
     if pos < len(src) and src[pos:].strip():
         if drop_depth == 0:
@@ -189,6 +207,12 @@ def extract_html(payload: str) -> HtmlResult:
         if not text:
             continue
         if link_density > LINK_DENSITY_MAX:
+            continue
+        if (
+            len(text.split()) <= MAX_SOUP_WORDS
+            and b.n_inline_tags >= MIN_SOUP_TAGS
+            and b.text_density() < TEXT_DENSITY_MIN
+        ):
             continue
         if _looks_like_header_footer(text):
             continue

@@ -4,7 +4,7 @@ extraction semantics across rounds.
 Unlike test_pipeline.py (which generates goldens with the same
 kernels at test time), these fixtures were frozen at commit time —
 any later kernel change that alters extraction output for any of the
-493 turns fails here, even if it is self-consistent."""
+479 turns fails here, even if it is self-consistent."""
 
 from pyspark.sql import functions as F
 
@@ -36,4 +36,4 @@ def test_frozen_golden_equality(spark):
         "text", "expected_text",
     ).limit(3).collect()
     assert not rows, rows
-    assert out.count() == gdf.count() == 493
+    assert out.count() == gdf.count() == 479
