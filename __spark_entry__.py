@@ -180,6 +180,14 @@ _LANG_CASE = "CASE WHEN " + _LANG_GREATEST + " <= 0 THEN 'und' " + " ".join(
     for lang in textstats.STOPWORDS
 ) + " END"
 
+def _HEXBYTE(i: int) -> str:
+    """DuckDB expression: the md5-hex byte at 1-based hex offset ``i``."""
+    return (
+        f"16 * (strpos('0123456789abcdef', substring(m, {i}, 1)) - 1)"
+        f" + strpos('0123456789abcdef', substring(m, {i + 1}, 1)) - 1"
+    )
+
+
 _MINHASH_AGGS = ", ".join(
     f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(dedup.N_MINHASH)
 )
@@ -240,13 +248,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE length(trim(text)) >= 250"
         ),
         "extract_numbers_count": (
-            "SELECT event_id, CAST(len(regexp_extract_all(props, "
+            "SELECT event_id, CAST(len(regexp_extract_all(coalesce(props, ''), "
             r"'\b\d{1,3}(?:,\d{3})*(?:\.\d{1,2})?\b')) AS BIGINT) "
             "AS n_numbers FROM events"
         ),
         "extract_dates_count": (
             "SELECT event_id, CAST(len(regexp_extract_all("
-            "concat('due ', CAST(CAST(ts AS DATE) AS VARCHAR)), "
+            "concat('due ', coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '')), "
             r"'\b\d{4}-\d{2}-\d{2}\b')) AS BIGINT) AS n_dates FROM events"
         ),
         "header_footer_line_filter": (
@@ -299,11 +307,16 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY md5(text)"
         ),
         "dedup_ngram_jaccard": (
+            # the MAX_BUCKET_DF=100 shingle-bucket cap (dedup.py) is
+            # mirrored so both engines compute the same capped relation
             f"WITH {_TOKS_CTE}, {_SHINGLES_CTE},"
+            " capped AS (SELECT shingle FROM sh GROUP BY shingle"
+            f" HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET_DF}),"
             " sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY"
             " doc_id), shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,"
             " count(*) AS n_shared FROM sh a JOIN sh b ON a.shingle ="
-            " b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+            " b.shingle AND a.doc_id < b.doc_id"
+            " JOIN capped c ON c.shingle = a.shingle GROUP BY 1, 2)"
             " SELECT a_id, b_id, round(CAST(n_shared AS DOUBLE) /"
             " (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard FROM shared"
             " JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id"
@@ -316,10 +329,15 @@ def oracle_sql() -> dict[str, str]:
             " doc_id), bands AS ("
             " SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS"
             " band_val FROM sig UNION ALL SELECT doc_id, 1, md5(h4 || h5 ||"
-            " h6 || h7) FROM sig)"
+            " h6 || h7) FROM sig),"
+            # mirror the MAX_BUCKET_DF band-bucket cap from dedup.py
+            " capped AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2"
+            f" HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET_DF})"
             " SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands"
             " a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val ="
             " b.band_val AND a.doc_id < b.doc_id"
+            " JOIN capped c ON c.band_idx = a.band_idx AND c.band_val ="
+            " a.band_val"
         ),
         "dedup_minhash_clusters": (
             f"WITH {_TOKS_CTE}, {_SHINGLES_CTE},"
@@ -406,6 +424,41 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_binary_meta": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS"
             " n_bytes, md5(text) AS payload_md5 FROM documents"
+        ),
+        # mirrors multimodal._fake_decode: width/height from the first two
+        # md5 digest bytes, features = 16-bin byte histogram / n_bytes.
+        # documents.text is ASCII at oracle SFs, so char ops == byte ops.
+        "multimodal_features": (
+            "WITH hx AS (SELECT doc_id, text, md5(text) AS m,"
+            " length(text) AS n FROM documents),"
+            " dims AS (SELECT doc_id, n, m AS payload_md5,"
+            f" 64 + (({_HEXBYTE(1)}) % 192) AS width,"
+            f" 64 + (({_HEXBYTE(3)}) % 192) AS height FROM hx),"
+            " bytes AS (SELECT doc_id, ascii(substring(text, i, 1)) // 16"
+            " AS bin FROM (SELECT doc_id, text, unnest(generate_series(1,"
+            " length(text))) AS i FROM documents)),"
+            " cnt AS (SELECT doc_id, bin, count(*) AS c FROM bytes"
+            " GROUP BY 1, 2),"
+            " grid AS (SELECT doc_id, unnest(generate_series(0, 15)) AS bin"
+            " FROM documents)"
+            " SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_bytes,"
+            " d.payload_md5, CAST(d.width AS INT) AS width,"
+            " CAST(d.height AS INT) AS height, CAST(g.bin AS INT) AS pos,"
+            " round(CAST(CAST(CASE WHEN d.n = 0 THEN 0.0 ELSE"
+            " coalesce(c.c, 0) / CAST(d.n AS DOUBLE) END AS FLOAT)"
+            " AS DOUBLE), 6) AS feature"
+            " FROM dims d JOIN grid g ON g.doc_id = d.doc_id"
+            " LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = g.bin"
+        ),
+        # mirrors multimodal.frame_sample: frame i = md5 of the i-th
+        # stride slice of the payload bytes (ASCII text -> substring)
+        "multimodal_frames": (
+            "SELECT doc_id, CAST(i AS INT) AS frame_idx,"
+            " md5(substring(text, i * stride + 1, stride)) AS frame_md5,"
+            " CAST(length(substring(text, i * stride + 1, stride))"
+            " AS BIGINT) AS n_bytes"
+            " FROM (SELECT doc_id, text, greatest(length(text) // 4, 1)"
+            " AS stride, unnest(generate_series(0, 3)) AS i FROM documents)"
         ),
         "revenue_by_nation": (
             "SELECT n_name, count(*)::BIGINT AS n_orders,"

@@ -119,11 +119,31 @@ def decode_features(df: DataFrame) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end: binary column -> mapInPandas decode -> features."""
+    """End-to-end: binary column -> mapInPandas decode -> features.
+
+    The checked output is flattened (posexplode of the feature vector,
+    rounded to 6dp) so the result is a sortable/hashable relation; the
+    raw ``array<float>`` shape stays internal to ``decode_features``.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return decode_features(docs)
+    return decode_features(docs).select(
+        "doc_id",
+        "n_bytes",
+        "payload_md5",
+        "width",
+        "height",
+        F.posexplode("features").alias("pos", "f"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "payload_md5",
+        "width",
+        "height",
+        "pos",
+        F.round(F.col("f").cast("double"), 6).alias("feature"),
+    )
 
 
 FRAME_SCHEMA = StructType(

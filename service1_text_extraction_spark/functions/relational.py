@@ -125,18 +125,29 @@ def quality_gate_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def extract_numbers_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5 number extraction (text_utils.py:119-123) over events.props."""
+    """K5 number extraction (text_utils.py:119-123) over events.props.
+
+    Null-guarded: ``size()`` yields -1 on NULL input under Spark's
+    legacy sizeOfNull while DuckDB ``len()`` yields NULL — coalescing
+    the input to '' keeps both engines at 0 for null props.
+    """
+    props = F.coalesce(F.col("props"), F.lit(""))
     return _t(spark, sf_dir, "events").select(
         "event_id",
-        F.size(F.regexp_extract_all("props", F.lit(NUMBER_PATTERN), F.lit(0))).cast(
+        F.size(F.regexp_extract_all(props, F.lit(NUMBER_PATTERN), F.lit(0))).cast(
             "long"
         ).alias("n_numbers"),
     )
 
 
 def extract_dates_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K6 ISO-date extraction (text_utils.py:130) over a derived string."""
-    s = F.concat(F.lit("due "), F.col("ts").cast("date").cast("string"))
+    """K6 ISO-date extraction (text_utils.py:130) over a derived string.
+    Null ts coalesces to '' (Spark concat is null-propagating, DuckDB
+    concat is null-ignoring — the guard keeps both at 'due ')."""
+    s = F.concat(
+        F.lit("due "),
+        F.coalesce(F.col("ts").cast("date").cast("string"), F.lit("")),
+    )
     return _t(spark, sf_dir, "events").select(
         "event_id",
         F.size(
