@@ -193,12 +193,19 @@ _MINHASH_AGGS = ", ".join(
 )
 
 _SIMHASH_SUMS = ", ".join(
-    f"sum(CASE WHEN substring(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{j}"
-    for j in range(16)
+    f"sum(CASE WHEN substring(h{j // 32}, {j % 32 + 1}, 1) >= '8'"
+    f" THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(dedup.N_SIMHASH_BITS)
 )
 _SIMHASH_BITS = "concat(" + ", ".join(
-    f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(16)
+    f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END"
+    for j in range(dedup.N_SIMHASH_BITS)
 ) + ")"
+_SIMHASH_HAMMING = " + ".join(
+    f"CASE WHEN substring(ha, {j + 1}, 1) <> substring(hb, {j + 1}, 1)"
+    " THEN 1 ELSE 0 END"
+    for j in range(dedup.N_SIMHASH_BITS)
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -356,7 +363,8 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_TOKS_CTE},"
             " tk AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id,"
             " unnest(t) AS tok FROM toks)),"
-            " h AS (SELECT doc_id, md5(tok) AS h FROM tk),"
+            " h AS (SELECT doc_id, md5('0:' || tok) AS h0,"
+            " md5('1:' || tok) AS h1 FROM tk),"
             f" s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)"
             f" SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM s"
         ),
@@ -364,13 +372,27 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_TOKS_CTE},"
             " tk AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id,"
             " unnest(t) AS tok FROM toks)),"
-            " h AS (SELECT doc_id, md5(tok) AS h FROM tk),"
+            " h AS (SELECT doc_id, md5('0:' || tok) AS h0,"
+            " md5('1:' || tok) AS h1 FROM tk),"
             f" s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),"
-            f" fp AS (SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM s)"
-            " SELECT a.doc_id AS a_id, b.doc_id AS b_id,"
-            " CAST(CASE WHEN substring(a.simhash, 1, 1) <> substring(b.simhash, 1, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 2, 1) <> substring(b.simhash, 2, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 3, 1) <> substring(b.simhash, 3, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 4, 1) <> substring(b.simhash, 4, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 5, 1) <> substring(b.simhash, 5, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 6, 1) <> substring(b.simhash, 6, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 7, 1) <> substring(b.simhash, 7, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 8, 1) <> substring(b.simhash, 8, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 9, 1) <> substring(b.simhash, 9, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 10, 1) <> substring(b.simhash, 10, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 11, 1) <> substring(b.simhash, 11, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 12, 1) <> substring(b.simhash, 12, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 13, 1) <> substring(b.simhash, 13, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 14, 1) <> substring(b.simhash, 14, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 15, 1) <> substring(b.simhash, 15, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 16, 1) <> substring(b.simhash, 16, 1) THEN 1 ELSE 0 END AS BIGINT) AS hamming"
-            " FROM fp a JOIN fp b ON a.doc_id < b.doc_id"
-            " WHERE CASE WHEN substring(a.simhash, 1, 1) <> substring(b.simhash, 1, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 2, 1) <> substring(b.simhash, 2, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 3, 1) <> substring(b.simhash, 3, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 4, 1) <> substring(b.simhash, 4, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 5, 1) <> substring(b.simhash, 5, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 6, 1) <> substring(b.simhash, 6, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 7, 1) <> substring(b.simhash, 7, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 8, 1) <> substring(b.simhash, 8, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 9, 1) <> substring(b.simhash, 9, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 10, 1) <> substring(b.simhash, 10, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 11, 1) <> substring(b.simhash, 11, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 12, 1) <> substring(b.simhash, 12, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 13, 1) <> substring(b.simhash, 13, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 14, 1) <> substring(b.simhash, 14, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 15, 1) <> substring(b.simhash, 15, 1) THEN 1 ELSE 0 END + CASE WHEN substring(a.simhash, 16, 1) <> substring(b.simhash, 16, 1) THEN 1 ELSE 0 END <= 3"
+            f" fp AS (SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM s),"
+            # band-local candidates + MAX_BUCKET_DF cap, mirroring the
+            # Spark-side pigeonhole banding (4 bands of 16 bits)
+            " bands AS (SELECT doc_id, simhash, b AS band_idx,"
+            f" substring(simhash, b * {dedup.SIMHASH_BAND_BITS} + 1,"
+            f" {dedup.SIMHASH_BAND_BITS}) AS band_val FROM"
+            " (SELECT doc_id, simhash, unnest(generate_series(0,"
+            f" {dedup.N_SIMHASH_BITS // dedup.SIMHASH_BAND_BITS - 1}))"
+            " AS b FROM fp)),"
+            " capped AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2"
+            f" HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET_DF}),"
+            " cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,"
+            " a.simhash AS ha, b.simhash AS hb FROM bands a JOIN bands b"
+            " ON a.band_idx = b.band_idx AND a.band_val = b.band_val"
+            " AND a.doc_id < b.doc_id JOIN capped c ON c.band_idx ="
+            " a.band_idx AND c.band_val = a.band_val)"
+            f" SELECT a_id, b_id, CAST({_SIMHASH_HAMMING} AS BIGINT)"
+            f" AS hamming FROM cand WHERE {_SIMHASH_HAMMING} <= 3"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings"

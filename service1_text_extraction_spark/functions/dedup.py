@@ -151,25 +151,35 @@ def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucket_pairs(buckets).distinct()
 
 
+N_SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16  # 4 bands of 16 -> Hamming<=3 shares >=1 band
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over distinct word tokens: bit j votes +1/-1 by
-    the j-th hex nibble of md5(token); fingerprint is the sign vector."""
+    """64-bit SimHash over distinct word tokens: bit j votes +1/-1 by
+    the high bit of hex nibble j%32 of md5((j//32) || ':' || token);
+    fingerprint is the sign vector. 64 bits (vs 16 in round 1) keeps
+    16-bit band buckets sparse at scale — a 16-bit fingerprint has only
+    2^4 values per band, which makes banding near-quadratic."""
     toks = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
         .distinct()
-        .withColumn("h", F.md5("tok"))
+        .withColumn("h0", F.md5(F.concat(F.lit("0:"), F.col("tok"))))
+        .withColumn("h1", F.md5(F.concat(F.lit("1:"), F.col("tok"))))
     )
     aggs = [
         F.sum(
-            F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)
+            F.when(
+                F.substring(f"h{j // 32}", j % 32 + 1, 1) >= "8", 1
+            ).otherwise(-1)
         ).alias(f"s{j}")
-        for j in range(16)
+        for j in range(N_SIMHASH_BITS)
     ]
     per_doc = toks.groupBy("doc_id").agg(*aggs)
     bits = [
         F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for j in range(16)
+        for j in range(N_SIMHASH_BITS)
     ]
     return per_doc.select(
         "doc_id", F.concat(*bits).alias("simhash")
@@ -213,17 +223,21 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """SimHash near-dups: pairs within Hamming distance ``max_hamming``.
 
-    Candidate generation by pigeonhole banding — 16 bits in 4 bands of
-    4; any pair at Hamming <= 3 must share at least one identical band,
+    Candidate generation by pigeonhole banding — 64 bits in 4 bands of
+    16; any pair at Hamming <= 3 must share at least one identical band,
     so candidates form bucket-locally and the exact Hamming check runs
-    only inside buckets (never a global cross product)."""
+    only inside buckets (never a global cross product). 16-bit bands
+    have 2^16 values, so buckets stay sparse as the corpus grows —
+    expected bucket size n/2^16 per band."""
     fp = simhash_fingerprints(spark, sf_dir)
     bands = [
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.substring("simhash", b * 4 + 1, 4).alias("band_val"),
+            F.substring(
+                "simhash", b * SIMHASH_BAND_BITS + 1, SIMHASH_BAND_BITS
+            ).alias("band_val"),
         )
-        for b in range(4)
+        for b in range(N_SIMHASH_BITS // SIMHASH_BAND_BITS)
     ]
     exploded = fp.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("b")
@@ -239,12 +253,12 @@ def simhash_neardup_pairs(
         "y -> struct(x.doc_id AS a, y.doc_id AS b, "
         "x.simhash AS ha, y.simhash AS hb))))"
     )
-    # 16-bit fingerprints have only 16 values per 4-bit band, so band
-    # buckets are inherently dense on a small-vocab corpus; the cap is
-    # sized to never bind at test SFs (at real scale a 64-bit simhash
-    # with 16-bit bands thins buckets back out)
+    # 16-bit bands keep buckets sparse, so the shared MAX_BUCKET_DF cap
+    # applies (mirrored in the DuckDB oracle); an over-full bucket means
+    # a degenerate near-identical mega-cluster, which cluster assignment
+    # (minhash_clusters), not pair explosion, must handle at scale
     cand = (
-        buckets.where(F.size("members").between(2, 100_000))
+        buckets.where(F.size("members").between(2, MAX_BUCKET_DF))
         .select(F.explode(F.expr(pairs_expr)).alias("p"))
         .select("p.a", "p.b", "p.ha", "p.hb")
         .distinct()
@@ -253,7 +267,7 @@ def simhash_neardup_pairs(
         (F.substring("ha", j + 1, 1) != F.substring("hb", j + 1, 1)).cast(
             "int"
         )
-        for j in range(16)
+        for j in range(N_SIMHASH_BITS)
     )
     return (
         cand.withColumn("hamming", hamming.cast("long"))
