@@ -30,14 +30,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stop_count(lang: str) -> F.Column:
+    """Stopword hits within the *materialized* token column ``t`` — the
+    tokenizer runs once per row, not once per language (retokenizing a
+    100 TB corpus 5x is real money; Catalyst does not CSE the split
+    across sibling projections unless it lives in its own Project)."""
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return F.expr(f"size(filter({_TOKENS}, x -> x in ({words})))")
+    return F.expr(f"size(filter(t, x -> x in ({words})))")
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID (n-gram-heuristic family). Ties and
     zero-evidence rows resolve to 'und' / first-wins deterministically."""
-    df = _docs(spark, sf_dir)
+    df = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    )
     for lang in STOPWORDS:
         df = df.withColumn(f"sc_{lang}", _stop_count(lang))
     best = F.greatest(*[F.col(f"sc_{lang}") for lang in STOPWORDS])
@@ -49,9 +55,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword quality heuristics -> [0, 1]."""
-    df = _docs(spark, sf_dir)
+    df = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.expr(_TOKENS).alias("t")
+    )
     n = F.length("text")
-    n_tokens = F.expr(f"size({_TOKENS})")
+    n_tokens = F.size("t")
     punct = F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0)))
     stop_en = _stop_count("en")
     punct_ratio = punct / F.nullif(n, F.lit(0))

@@ -93,6 +93,16 @@ def test_ivf_assignment_is_sort_free(spark, sf_dir):
     assert "Window" not in plan, plan
 
 
+def test_textstats_tokenize_once(spark, sf_dir):
+    """lang_id/quality_score must tokenize each row exactly once — not
+    once per stopword language (5x the corpus at 100 TB)."""
+    from service1_text_extraction_spark.functions import textstats
+
+    for q in (textstats.lang_id, textstats.quality_score):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("split(") == 1, (q.__name__, plan)
+
+
 def test_filter_pushdown_quality_gate(spark, sf_dir):
     plan = _plan(relational.quality_gate_length(spark, sf_dir))
     # length(trim(x)) is not pushable, but the scan must still prune
