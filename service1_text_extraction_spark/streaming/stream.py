@@ -4,8 +4,8 @@ The reference is queue-driven batch (SURVEY §2.9: no watermarks or
 state stores; its "streaming" is HTTP chunking). The natural Spark
 restatement of its poll-the-queue loop is a file/table stream whose
 every micro-batch runs the *same* batch function — one code path for
-batch and streaming, exactly-once via the checkpoint dir + the
-bucket-marker table.
+batch and streaming, exactly-once via the checkpoint dir (source
+progress) + per-batch dynamic partition overwrite (idempotent sink).
 """
 
 from __future__ import annotations
@@ -46,10 +46,15 @@ def stream_extract(
     """Incremental extraction over a growing parquet directory.
 
     New files are discovered per micro-batch; each batch runs the
-    batch pipeline and appends. Source progress lives in the streaming
-    checkpoint, so restarts never re-extract a processed file —
-    the streaming analogue of the bucket markers.
+    batch pipeline. Source progress lives in the streaming checkpoint,
+    so restarts never re-extract a processed file, and the sink is
+    idempotent: each micro-batch dynamically overwrites its own
+    ``batch_id=`` partition, so a batch retried after a crash between
+    the write and the checkpoint commit replaces its partial output
+    instead of duplicating rows — exactly-once end to end.
     """
+    from pyspark.sql import functions as F
+
     stream = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
         .option("maxFilesPerTrigger", 16)
@@ -60,7 +65,13 @@ def stream_extract(
         out = run_extraction(
             batch_df.sparkSession, batch_df, n_buckets=n_buckets, salt=salt
         )
-        out.write.mode("append").parquet(output_dir)
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -46,6 +46,22 @@ def test_stream_matches_batch_and_is_incremental(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_sink_idempotent_under_replay(spark, tmp_path):
+    """A micro-batch replayed after a lost checkpoint commit must
+    overwrite its own batch_id partition, not duplicate rows."""
+    t, _ = generate_transcripts(n_convs=10, seed=3, max_turns=20,
+                                with_golden=False)
+    inp = str(tmp_path / "in_r")
+    out = str(tmp_path / "out_r")
+    spark.createDataFrame(t).write.mode("append").parquet(inp)
+    for i in range(2):  # 2nd run replays batch 0 (fresh checkpoint)
+        q = stream_extract(spark, inp, out, str(tmp_path / f"ckpt_r{i}"),
+                           n_buckets=8, salt=4)
+        q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(t)
+
+
+@pytest.mark.slow
 def test_watermarked_event_time_metrics(spark, tmp_path):
     t, _ = generate_transcripts(n_convs=15, seed=5, max_turns=30,
                                 with_golden=False)
