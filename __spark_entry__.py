@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from service1_text_extraction_spark.functions import (
     dedup,
+    jsonfuncs,
     multimodal,
     relational,
     similarity,
@@ -125,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickers_without_errors": relational.clickers_without_errors,
         "embedding_meanpool": similarity.embedding_meanpool,
         "json_extract_k": relational.json_extract_k,
+        "json_sanitize": jsonfuncs.json_sanitize,
         "source_files": relational.source_files,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "normalize_ws_sql": textstats.normalize_ws_sql,
@@ -542,6 +544,19 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_k": (
             "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_value"
             " FROM events"
+        ),
+        # the sanitizer must recover the original props from every dirt
+        # variant, so the oracle is the *clean* extraction — DuckDB never
+        # needs the repair logic, which is exactly the contract
+        "json_sanitize": (
+            "SELECT event_id,"
+            " CASE WHEN event_id % 4 = 3 THEN NULL"
+            " ELSE CAST(props->>'$.k' AS BIGINT) END AS k_value,"
+            " CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'direct'"
+            " WHEN 1 THEN 'fenced' WHEN 2 THEN 'bare' ELSE 'none' END"
+            " AS strategy,"
+            " CAST(CASE WHEN event_id % 4 = 3 THEN 0 ELSE 1 END AS BIGINT)"
+            " AS ok FROM events"
         ),
         "clickers_without_errors": (
             "SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE"

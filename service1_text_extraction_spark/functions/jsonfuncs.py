@@ -1,0 +1,76 @@
+"""Spark integration for the dirty-JSON recovery kernel.
+
+The repair/extraction ladder (kernels.jsonsan) is not SQL-expressible,
+so it runs as one Arrow-batched pandas UDF returning a struct — one
+Python crossing per batch, never per field. The driver-checked query
+salts ``events.props`` with four deterministic dirt variants (keyed on
+``event_id % 4``) so every strategy of the ladder is exercised, while
+the expected *clean* values stay DuckDB-expressible (the oracle never
+needs the sanitizer — recovery of the original props is the contract).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels.jsonsan import parse_ai_response
+
+_RESULT_SCHEMA = StructType(
+    [
+        StructField("k_value", LongType()),
+        StructField("strategy", StringType()),
+        StructField("ok", LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_RESULT_SCHEMA)
+def _recover_k(texts: pd.Series) -> pd.DataFrame:
+    rows = []
+    for t in texts:
+        obj, strategy = parse_ai_response(t)
+        k = obj.get("k") if isinstance(obj, dict) else None
+        rows.append(
+            (int(k) if k is not None else None, strategy, int(obj is not None))
+        )
+    return pd.DataFrame(rows, columns=["k_value", "strategy", "ok"])
+
+
+def dirty_payload() -> F.Column:
+    """Deterministic dirt, one variant per event_id % 4:
+    0 direct-with-trailing-comma, 1 markdown-fenced, 2 buried in prose,
+    3 no JSON at all."""
+    v = F.col("event_id") % 4
+    props = F.coalesce(F.col("props"), F.lit(""))
+    return (
+        F.when(v == 0, F.regexp_replace(props, r"\}$", ",}"))
+        .when(v == 1, F.concat(F.lit("Sure! Here you go:\n```json\n"),
+                               props, F.lit("\n```")))
+        .when(v == 2, F.concat(F.lit("The result is "), props,
+                               F.lit(" as requested.")))
+        .otherwise(F.lit("no json here, sorry"))
+    )
+
+
+def json_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 full form (json_utils.py:28-184): recover JSON from salted
+    dirty payloads and extract ``k`` — checked against the clean
+    DuckDB-side extraction of the unsalted props."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ev.select(
+        "event_id", _recover_k(dirty_payload()).alias("r")
+    )
+    return out.select(
+        "event_id",
+        F.col("r.k_value").alias("k_value"),
+        F.col("r.strategy").alias("strategy"),
+        F.col("r.ok").alias("ok"),
+    )

@@ -1,0 +1,87 @@
+"""Dirty-JSON recovery kernel: one test per reference strategy
+(json_utils.py:140-184) plus the repair pass (json_utils.py:28-99)."""
+
+import json
+
+import pytest
+
+from service1_text_extraction_spark.kernels.jsonsan import (
+    parse_ai_response,
+    sanitize_json_string,
+    safe_json_loads,
+)
+
+
+def test_clean_json_passthrough():
+    s = '{"a": 1, "b": [2, 3]}'
+    assert sanitize_json_string(s) == s
+    assert safe_json_loads(s) == {"a": 1, "b": [2, 3]}
+
+
+def test_trailing_comma_repair():
+    assert safe_json_loads('{"a": 1,}') == {"a": 1}
+    assert safe_json_loads('[1, 2, 3, ]') == [1, 2, 3]
+    assert safe_json_loads('{"a": {"b": 2,},}') == {"a": {"b": 2}}
+
+
+def test_control_char_repair():
+    obj = safe_json_loads('{"a": "line1\nline2\ttab"}')
+    assert obj == {"a": "line1\nline2\ttab"}
+
+
+def test_inner_quote_repair():
+    obj = safe_json_loads('{"a": "say "hi" now", "b": 1}')
+    assert obj == {"a": 'say "hi" now', "b": 1}
+
+
+def test_already_escaped_content_untouched():
+    s = '{"a": "back\\\\slash \\"quoted\\""}'
+    assert safe_json_loads(s) == json.loads(s)
+
+
+def test_strategy_direct():
+    obj, strat = parse_ai_response('  {"k": 7}  ')
+    assert (obj, strat) == ({"k": 7}, "direct")
+
+
+def test_strategy_direct_with_repair():
+    obj, strat = parse_ai_response('{"k": 7,}')
+    assert (obj, strat) == ({"k": 7}, "direct")
+
+
+def test_strategy_fenced():
+    text = 'Sure!\n```json\n{"k": 9}\n```\nthanks'
+    assert parse_ai_response(text) == ({"k": 9}, "fenced")
+    # bare fence without the json tag
+    assert parse_ai_response('```\n[1, 2]\n```') == ([1, 2], "fenced")
+
+
+def test_strategy_bare():
+    text = 'The result is {"k": 3} as requested.'
+    assert parse_ai_response(text) == ({"k": 3}, "bare")
+
+
+def test_strategy_none():
+    assert parse_ai_response("") == (None, "none")
+    assert parse_ai_response(None) == (None, "none")
+    assert parse_ai_response("no json here") == (None, "none")
+
+
+def test_direct_failure_does_not_fall_through():
+    # mirrors the reference: a {-prefixed payload that cannot be
+    # repaired short-circuits the ladder (safe_json_loads raises
+    # through parse_ai_response's outer handler)
+    obj, strat = parse_ai_response('{this is not json {"k": 1}')
+    assert (obj, strat) == (None, "none")
+
+
+@pytest.mark.parametrize(
+    "dirty,expected",
+    [
+        ('{"a": 1', None),  # unclosed - unrepairable
+        ("{{{{", None),
+    ],
+)
+def test_unrepairable_raises(dirty, expected):
+    with pytest.raises(json.JSONDecodeError):
+        safe_json_loads(dirty)
