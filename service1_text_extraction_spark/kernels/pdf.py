@@ -45,6 +45,12 @@ import re
 import zlib
 from dataclasses import dataclass
 
+from . import pdffilters
+
+
+def _int_of(v, default: int) -> int:
+    return v if isinstance(v, int) else default
+
 SPACE_ADJ = 180.0  # TJ kerning (thousandths) rendered as a word space
 LINE_TOL = 2.0  # max |Δy| for runs to share a baseline
 BLOCK_GAP = 20.0  # vertical gap starting a new block (reference threshold)
@@ -317,13 +323,52 @@ class PdfDocument:
             raw = raw[:length]
         filt = self.resolve(d.get("/Filter"))
         filters = filt if isinstance(filt, list) else [filt] if filt else []
-        for f in filters:
-            if f == "/FlateDecode":
+        parms = self.resolve(d.get("/DecodeParms")) or self.resolve(
+            d.get("/DP")
+        )
+        parms_list = parms if isinstance(parms, list) else [parms]
+        try:
+            return self._run_filters(raw, filters, parms_list)
+        except pdffilters.FilterError as e:
+            raise PdfError(f"stream decode failed: {e}") from e
+
+    def _run_filters(self, raw: bytes, filters: list, parms_list: list) -> bytes:
+        for i, f in enumerate(filters):
+            p = self.resolve(parms_list[i]) if i < len(parms_list) else None
+            p = p if isinstance(p, dict) else {}
+            if f == "/FlateDecode" or f == "/Fl":
                 raw = zlib.decompress(raw)
-            elif f is None:
-                pass
+            elif f == "/LZWDecode" or f == "/LZW":
+                raw = pdffilters.lzw_decode(
+                    raw, early_change=_int_of(self.resolve(p.get("/EarlyChange")), 1)
+                )
+            elif f == "/ASCIIHexDecode" or f == "/AHx":
+                raw = pdffilters.asciihex_decode(raw)
+            elif f == "/ASCII85Decode" or f == "/A85":
+                raw = pdffilters.ascii85_decode(raw)
+            elif f == "/RunLengthDecode" or f == "/RL":
+                raw = pdffilters.runlength_decode(raw)
+            elif f in ("/DCTDecode", "/JPXDecode", "/CCITTFaxDecode",
+                       "/JBIG2Decode"):
+                # opaque image data: never feeds text extraction —
+                # pass through rather than failing the document
+                return raw
+            elif f is None or f == "/Crypt":
+                pass  # /Crypt handled at the document level
             else:
                 raise PdfError(f"unsupported filter {f}")
+            if f in ("/FlateDecode", "/Fl", "/LZWDecode", "/LZW"):
+                pred = _int_of(self.resolve(p.get("/Predictor")), 1)
+                if pred > 1:
+                    raw = pdffilters.apply_predictor(
+                        raw,
+                        pred,
+                        columns=_int_of(self.resolve(p.get("/Columns")), 1),
+                        colors=_int_of(self.resolve(p.get("/Colors")), 1),
+                        bpc=_int_of(
+                            self.resolve(p.get("/BitsPerComponent")), 8
+                        ),
+                    )
         return raw
 
     def _catalog(self) -> dict:

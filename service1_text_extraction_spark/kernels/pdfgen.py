@@ -20,6 +20,42 @@ from __future__ import annotations
 
 import zlib
 
+from .pdffilters import lzw_encode
+
+
+def _rl_encode(data: bytes) -> bytes:
+    """RunLengthDecode-compatible encoder (literal-only runs + repeats)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while (
+            j < n
+            and j - i < 128
+            and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])
+        ):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+STREAM_FILTERS = {
+    "flate": ("/FlateDecode", zlib.compress),
+    "lzw": ("/LZWDecode", lzw_encode),
+    "ahx": ("/ASCIIHexDecode", lambda d: d.hex().encode("ascii") + b">"),
+    "rl": ("/RunLengthDecode", _rl_encode),
+}
+
 
 def _escape_literal(s: str) -> bytes:
     out = bytearray()
@@ -116,8 +152,19 @@ def simple_page(
     return cb.build()
 
 
-def build_pdf(page_streams: list[bytes], compress: bool = False) -> bytes:
-    """Assemble a PDF from per-page content streams (classic xref)."""
+def build_pdf(
+    page_streams: list[bytes],
+    compress: bool = False,
+    stream_filter: str | None = None,
+) -> bytes:
+    """Assemble a PDF from per-page content streams (classic xref).
+
+    ``stream_filter`` picks a content-stream encoding from
+    ``STREAM_FILTERS`` ('flate', 'lzw', 'ahx', 'rl'); ``compress=True``
+    is shorthand for 'flate'.
+    """
+    if stream_filter is None and compress:
+        stream_filter = "flate"
     objects: list[bytes] = []  # 1-based object bodies, without "N 0 obj"
 
     n_pages = len(page_streams)
@@ -141,9 +188,10 @@ def build_pdf(page_streams: list[bytes], compress: bool = False) -> bytes:
         )
         data = stream
         extra = b""
-        if compress:
-            data = zlib.compress(stream)
-            extra = b" /Filter /FlateDecode"
+        if stream_filter:
+            name, enc = STREAM_FILTERS[stream_filter]
+            data = enc(stream)
+            extra = f" /Filter {name}".encode()
         objects.append(
             b"<< /Length " + str(len(data)).encode() + extra + b" >>\n"
             b"stream\n" + data + b"\nendstream"
