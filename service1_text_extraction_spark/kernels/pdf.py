@@ -29,11 +29,17 @@ whole path with no third-party parser:
    equivalent.
 
 Object streams (PDF 1.5 ``/ObjStm``) are expanded, so modern PDFs
-whose catalog/page dicts live inside compressed streams parse.
-Unsupported (documented scope): encryption (the pipeline surfaces a
-``password_required``-style failure the way the reference does for
-un-authenticated documents, ``core_pdf_processor.py:167-181``),
-non-Flate filters, CID/composite fonts. Cross-reference tables/streams
+whose catalog/page dicts live inside compressed streams parse. Stream
+filters: Flate, LZW, ASCIIHex, ASCII85, RunLength (+ TIFF/PNG
+predictors) decode; image-only filters (DCT/JPX/CCITT/JBIG2) pass
+through as opaque bytes. Composite ``/Type0`` (Identity-H) fonts
+decode 2-byte CIDs through their ``/ToUnicode`` CMap — the font family
+every mainstream writer has emitted since ~2010. Encryption: documents
+whose standard security handler authenticates with the *empty user
+password* (the common "owner-locked" case) are decrypted transparently
+(RC4-40/128 and AES-128, see :mod:`.pdfcrypt`); anything needing a
+real password surfaces the reference's ``password_required`` failure
+(``core_pdf_processor.py:167-181``). Cross-reference tables/streams
 are never consulted — the object scan is the source of truth, which
 also makes truncated or incrementally-updated files best-effort
 parseable.
@@ -412,6 +418,34 @@ class PdfDocument:
                 parts.append(self.stream_data(r))
         return b"\n".join(parts)
 
+    def page_fonts(self, page: dict) -> dict[str, "Font"]:
+        """Font resources for a page: ``/Resources /Font`` name ->
+        decoder. Composite ``/Type0`` fonts (Identity-H/V 2-byte CIDs,
+        the default output of Word/LaTeX/Chrome since ~2010) map codes
+        through their ``/ToUnicode`` CMap; simple fonts honor ToUnicode
+        per byte and otherwise keep the Latin-1/UTF-16 sniff."""
+        res = self.resolve(page.get("/Resources"))
+        fonts = (
+            self.resolve(res.get("/Font")) if isinstance(res, dict) else None
+        )
+        out: dict[str, Font] = {}
+        if not isinstance(fonts, dict):
+            return out
+        for name, fref in fonts.items():
+            fd = self.resolve(fref)
+            if not isinstance(fd, dict):
+                continue
+            two_byte = fd.get("/Subtype") == "/Type0"
+            tounicode = None
+            tu = fd.get("/ToUnicode")
+            if isinstance(tu, Ref):
+                try:
+                    tounicode = parse_tounicode(self.stream_data(tu))
+                except (PdfError, ValueError, IndexError, zlib.error):
+                    tounicode = None
+            out[name] = Font(two_byte=two_byte, tounicode=tounicode)
+        return out
+
 
 # --------------------------------------------------------------------------
 # content-stream interpreter
@@ -424,6 +458,90 @@ class Run:
     y: float
     size: float
     text: str
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+
+
+def _utf16_of(raw: bytes) -> str:
+    try:
+        return raw.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return raw.decode("utf-16-be", errors="replace")
+
+
+def parse_tounicode(data: bytes) -> dict[int, str]:
+    """ToUnicode CMap (PDF 32000-1 §9.10.3): code -> unicode string from
+    ``bfchar`` pairs and ``bfrange`` runs (both the incrementing-dst and
+    per-code array forms)."""
+    out: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(data):
+        body, pos = m.group(1), 0
+        while True:
+            try:
+                src, pos = _parse_value(body, pos)
+                dst, pos = _parse_value(body, pos)
+            except (PdfError, IndexError, ValueError):
+                break
+            if isinstance(src, bytes) and isinstance(dst, bytes):
+                out[int.from_bytes(src, "big")] = _utf16_of(dst)
+    for m in _BFRANGE_RE.finditer(data):
+        body, pos = m.group(1), 0
+        while True:
+            try:
+                lo, pos = _parse_value(body, pos)
+                hi, pos = _parse_value(body, pos)
+                dst, pos = _parse_value(body, pos)
+            except (PdfError, IndexError, ValueError):
+                break
+            if not (isinstance(lo, bytes) and isinstance(hi, bytes)):
+                break
+            lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+            if isinstance(dst, list):  # [ <u1> <u2> ... ] per code
+                for k, d in enumerate(dst):
+                    if isinstance(d, bytes) and lo_i + k <= hi_i:
+                        out[lo_i + k] = _utf16_of(d)
+            elif isinstance(dst, bytes):  # incrementing destination
+                base = int.from_bytes(dst, "big")
+                for k in range(hi_i - lo_i + 1):
+                    out[lo_i + k] = _utf16_of(
+                        (base + k).to_bytes(max(2, len(dst)), "big")
+                    )
+    return out
+
+
+@dataclass
+class Font:
+    """String-show decoder for one font resource.
+
+    ``two_byte`` (Type0/Identity-H): codes are 2-byte CIDs mapped via
+    ToUnicode; an unmapped CID falls back to ``chr(cid)`` (exactly what
+    Identity CIDSystemInfo implies for the fixture fonts). Simple fonts
+    without ToUnicode keep the legacy Latin-1 / UTF-16-BOM sniff.
+    """
+
+    two_byte: bool = False
+    tounicode: dict[int, str] | None = None
+
+    def decode(self, raw: bytes) -> str:
+        if self.two_byte:
+            tu = self.tounicode or {}
+            s = "".join(
+                tu.get(c, chr(c))
+                for c in (
+                    (raw[i] << 8) | raw[i + 1]
+                    for i in range(0, len(raw) - 1, 2)
+                )
+            )
+        elif self.tounicode is not None:
+            s = "".join(self.tounicode.get(b, chr(b)) for b in raw)
+        else:
+            return _decode_pdf_text(raw)
+        return s.translate(_LIGATURES)
+
+
+_DEFAULT_FONT = Font()
 
 
 _CS_TOKEN_RE = re.compile(
@@ -447,18 +565,24 @@ def _decode_pdf_text(raw: bytes) -> str:
     return s.translate(_LIGATURES)
 
 
-def interpret_content(content: bytes) -> list[Run]:
-    """Execute text operators, emitting positioned runs."""
+def interpret_content(
+    content: bytes, fonts: dict[str, Font] | None = None
+) -> list[Run]:
+    """Execute text operators, emitting positioned runs. ``fonts`` maps
+    resource names (``/F1``) to decoders; ``Tf`` switches the current
+    one (composite fonts decode 2-byte CIDs, see :class:`Font`)."""
+    fonts = fonts or {}
     runs: list[Run] = []
     stack: list[object] = []
     size = 12.0
     leading = 0.0
+    cur_font = _DEFAULT_FONT
     # text matrix origin (we track translation only; fixtures use
     # translation-style Tm, which is also the overwhelmingly common case)
     tx = ty = 0.0
 
     def show(raw: bytes) -> None:
-        text = _decode_pdf_text(raw)
+        text = cur_font.decode(raw)
         if text:
             runs.append(Run(tx, ty, size, text))
 
@@ -497,6 +621,8 @@ def interpret_content(content: bytes) -> list[Run]:
 
         if op == "Tf" and len(stack) >= 1:
             size = _f(-1)
+            if len(stack) >= 2 and isinstance(stack[-2], str):
+                cur_font = fonts.get(stack[-2], _DEFAULT_FONT)
         elif op == "Tm" and len(stack) >= 6:
             tx, ty = _f(-2), _f(-1)
         elif op == "Td" and len(stack) >= 2:
@@ -530,7 +656,7 @@ def interpret_content(content: bytes) -> list[Run]:
             parts: list[str] = []
             for it in items:
                 if isinstance(it, bytes):
-                    parts.append(_decode_pdf_text(it))
+                    parts.append(cur_font.decode(it))
                 elif isinstance(it, (int, float)) and it <= -SPACE_ADJ:
                     parts.append(" ")
             text = "".join(parts)
@@ -648,5 +774,6 @@ def extract_pdf(data: bytes) -> PdfResult:
     pages = []
     for page in doc.pages():
         content = doc.page_content(page)
-        pages.append(assemble_page(interpret_content(content)))
+        fonts = doc.page_fonts(page)
+        pages.append(assemble_page(interpret_content(content, fonts)))
     return PdfResult(pages)

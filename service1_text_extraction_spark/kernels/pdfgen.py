@@ -165,6 +165,18 @@ def build_pdf(
     """
     if stream_filter is None and compress:
         stream_filter = "flate"
+    return _assemble(page_streams, stream_filter, None, None)
+
+
+def _assemble(
+    page_streams: list[bytes],
+    stream_filter: str | None = None,
+    font_body: bytes | None = None,
+    extra_objects: list[bytes] | None = None,
+) -> bytes:
+    """Classic-xref assembly. ``font_body`` overrides object 3 (the
+    /F1 font); ``extra_objects`` are appended after the per-page
+    objects, numbered from ``4 + 2 * n_pages``."""
     objects: list[bytes] = []  # 1-based object bodies, without "N 0 obj"
 
     n_pages = len(page_streams)
@@ -176,7 +188,9 @@ def build_pdf(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
     objects.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        font_body
+        if font_body is not None
+        else b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
     for i, stream in enumerate(page_streams):
         objects.append(
@@ -196,6 +210,7 @@ def build_pdf(
             b"<< /Length " + str(len(data)).encode() + extra + b" >>\n"
             b"stream\n" + data + b"\nendstream"
         )
+    objects.extend(extra_objects or [])
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -266,3 +281,108 @@ def build_pdf_objstm(page_streams: list[bytes]) -> bytes:
     ).encode() + compressed + b"\nendstream\nendobj\n"
     buf += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
     return bytes(buf)
+
+
+# --------------------------------------------------------------------------
+# CID / Type0 fixtures
+# --------------------------------------------------------------------------
+
+
+def _utf16_hex(s: str) -> str:
+    return s.encode("utf-16-be").hex()
+
+
+def _tounicode_cmap(cid_of: dict[str, int], form: str = "bfchar") -> bytes:
+    """Minimal ToUnicode CMap covering every assigned CID, in either the
+    bfchar-pairs or bfrange-array form (both parser paths)."""
+    head = (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "/CMapName /Fixture-UTF16 def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    )
+    items = sorted(cid_of.items(), key=lambda kv: kv[1])
+    body: list[str] = []
+    if form == "bfchar":
+        for i in range(0, len(items), 100):  # spec: <=100 per block
+            chunk = items[i : i + 100]
+            body.append(f"{len(chunk)} beginbfchar")
+            body.extend(
+                f"<{cid:04x}> <{_utf16_hex(ch)}>" for ch, cid in chunk
+            )
+            body.append("endbfchar")
+    elif form == "bfrange":
+        lo, hi = items[0][1], items[-1][1]
+        dsts = " ".join(f"<{_utf16_hex(ch)}>" for ch, _ in items)
+        body.append("1 beginbfrange")
+        body.append(f"<{lo:04x}> <{hi:04x}> [{dsts}]")
+        body.append("endbfrange")
+    else:
+        raise ValueError(form)
+    tail = "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    return (head + "\n".join(body) + "\n" + tail).encode("ascii")
+
+
+def cid_string(s: str, cid_of: dict[str, int]) -> bytes:
+    return b"<" + "".join(f"{cid_of[c]:04x}" for c in s).encode() + b">"
+
+
+def build_pdf_cid(
+    pages_blocks: list[list[tuple[float, float, list[str]]]],
+    size: float = 12.0,
+    leading: float = 14.0,
+    tounicode_form: str = "bfchar",
+    with_tounicode: bool = True,
+    cid_is_codepoint: bool = False,
+) -> bytes:
+    """Type0/Identity-H fixture: text shown as 2-byte CID hex strings,
+    recovered through a /ToUnicode CMap (or, with
+    ``cid_is_codepoint=True`` and no CMap, via the chr(cid) fallback)."""
+    chars = sorted(
+        {
+            c
+            for blocks in pages_blocks
+            for _, _, lines in blocks
+            for ln in lines
+            for c in ln
+        }
+    )
+    if cid_is_codepoint:
+        cid_of = {c: ord(c) for c in chars}
+    else:
+        cid_of = {c: i + 1 for i, c in enumerate(chars)}
+
+    streams: list[bytes] = []
+    for blocks in pages_blocks:
+        ops = [b"BT", f"/F1 {size:g} Tf".encode(), f"{leading:g} TL".encode()]
+        for x, y, lines in blocks:
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm".encode())
+            for i, ln in enumerate(lines):
+                if i:
+                    ops.append(b"T*")
+                ops.append(cid_string(ln, cid_of) + b" Tj")
+        ops.append(b"ET")
+        streams.append(b"\n".join(ops))
+
+    n_pages = len(streams)
+    first_extra = 4 + 2 * n_pages
+    desc_num = first_extra
+    tu_num = first_extra + 1
+    font = (
+        "<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-Identity-H"
+        f" /Encoding /Identity-H /DescendantFonts [{desc_num} 0 R]"
+        + (f" /ToUnicode {tu_num} 0 R" if with_tounicode else "")
+        + " >>"
+    ).encode()
+    desc = (
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture"
+        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+        b" /Supplement 0 >> >>"
+    )
+    extras = [desc]
+    if with_tounicode:
+        cmap = _tounicode_cmap(cid_of, form=tounicode_form)
+        extras.append(
+            b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+            + cmap + b"\nendstream"
+        )
+    return _assemble(streams, None, font, extras)
