@@ -51,7 +51,7 @@ import re
 import zlib
 from dataclasses import dataclass
 
-from . import pdffilters
+from . import pdfcrypt, pdffilters
 
 
 def _int_of(v, default: int) -> int:
@@ -240,20 +240,86 @@ class PdfDocument:
         self.data = data
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}
-        self._check_encryption()
+        self._file_key: bytes | None = None
+        self._aes = False
+        self._encrypt_num: int | None = None
         self._scan_objects()
+        self._setup_encryption()
+        self._expand_object_streams()
 
-    def _check_encryption(self) -> None:
-        """Encrypted documents are surfaced the way the reference marks
-        un-authenticated PDFs: a ``password_required`` failure
-        (core_pdf_processor.py:167-181; decryption is out of scope)."""
+    def _setup_encryption(self) -> None:
+        """Standard security handler, empty-user-password path.
+
+        The common owner-locked document (user password == "") decrypts
+        transparently (mirroring ``fitz``'s silent auth in the reference
+        loop, core_pdf_processor.py:282-344). Anything needing a real
+        password — or an unsupported handler/version — surfaces the
+        reference's ``password_required`` failure
+        (core_pdf_processor.py:167-181)."""
+        enc_ref = None
+        id0 = b""
         for m in re.finditer(rb"trailer", self.data):
             try:
                 d, _ = _parse_value(self.data, m.end())
             except (PdfError, IndexError, ValueError):
                 continue
-            if isinstance(d, dict) and "/Encrypt" in d:
-                raise PdfError("password_required: document is encrypted")
+            if not isinstance(d, dict):
+                continue
+            if "/Encrypt" in d:
+                enc_ref = d["/Encrypt"]
+            ids = d.get("/ID")
+            if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                id0 = ids[0]
+        if enc_ref is None:
+            return
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict) or enc.get("/Filter") != "/Standard":
+            raise PdfError("password_required: unsupported encryption")
+        v = _int_of(self.resolve(enc.get("/V")), 0)
+        r = _int_of(self.resolve(enc.get("/R")), 2)
+        length_bits = _int_of(self.resolve(enc.get("/Length")), 40)
+        aes = False
+        if v in (1, 2):
+            pass
+        elif v == 4:
+            stmf = enc.get("/StmF", "/Identity")
+            cf = self.resolve(enc.get("/CF"))
+            cfm = None
+            if isinstance(cf, dict) and isinstance(stmf, str):
+                cfd = self.resolve(cf.get(stmf))
+                if isinstance(cfd, dict):
+                    cfm = cfd.get("/CFM")
+                    cflen = self.resolve(cfd.get("/Length"))
+                    if isinstance(cflen, int):
+                        length_bits = cflen * 8 if cflen <= 32 else cflen
+            if cfm == "/AESV2":
+                aes = True
+                length_bits = 128
+            elif cfm != "/V2":
+                raise PdfError(
+                    f"password_required: unsupported crypt filter {cfm}"
+                )
+        else:  # V5/R6 AES-256 et al: out of scope
+            raise PdfError(
+                f"password_required: unsupported encryption V={v}"
+            )
+        o = enc.get("/O")
+        u = enc.get("/U")
+        if not isinstance(o, bytes) or not isinstance(u, bytes):
+            raise PdfError("password_required: malformed /O or /U")
+        p = _int_of(self.resolve(enc.get("/P")), -1)
+        em = self.resolve(enc.get("/EncryptMetadata"))
+        key = pdfcrypt.check_user_password(
+            b"", o, u, p, id0, r,
+            max(5, length_bits // 8),
+            em if isinstance(em, bool) else True,
+        )
+        if key is None:
+            raise PdfError("password_required: document is encrypted")
+        self._file_key = key
+        self._aes = aes
+        if isinstance(enc_ref, Ref):
+            self._encrypt_num = enc_ref.num
 
     def _scan_objects(self) -> None:
         data = self.data
@@ -278,7 +344,6 @@ class PdfDocument:
                     raw = data[pos:end].rstrip(b"\r\n")
                 self.streams[num] = raw
             self.objects[num] = val
-        self._expand_object_streams()
 
     def _expand_object_streams(self) -> None:
         """PDF 1.5+ object streams: modern writers keep most dict
@@ -333,6 +398,17 @@ class PdfDocument:
             d.get("/DP")
         )
         parms_list = parms if isinstance(parms, list) else [parms]
+        if (
+            self._file_key is not None
+            and ref.num != self._encrypt_num
+            and d.get("/Type") != "/XRef"
+        ):
+            try:
+                raw = pdfcrypt.decrypt_data(
+                    self._file_key, ref.num, ref.gen, raw, self._aes
+                )
+            except pdfcrypt.CryptError as e:
+                raise PdfError(f"stream decrypt failed: {e}") from e
         try:
             return self._run_filters(raw, filters, parms_list)
         except pdffilters.FilterError as e:

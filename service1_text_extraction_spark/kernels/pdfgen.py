@@ -173,10 +173,14 @@ def _assemble(
     stream_filter: str | None = None,
     font_body: bytes | None = None,
     extra_objects: list[bytes] | None = None,
+    stream_encrypt=None,
+    trailer_extra: str = "",
 ) -> bytes:
     """Classic-xref assembly. ``font_body`` overrides object 3 (the
     /F1 font); ``extra_objects`` are appended after the per-page
-    objects, numbered from ``4 + 2 * n_pages``."""
+    objects, numbered from ``4 + 2 * n_pages``. ``stream_encrypt``
+    (obj_num, encoded_bytes) -> bytes runs after filter encoding;
+    ``trailer_extra`` is spliced into the trailer dict."""
     objects: list[bytes] = []  # 1-based object bodies, without "N 0 obj"
 
     n_pages = len(page_streams)
@@ -206,6 +210,8 @@ def _assemble(
             name, enc = STREAM_FILTERS[stream_filter]
             data = enc(stream)
             extra = f" /Filter {name}".encode()
+        if stream_encrypt is not None:
+            data = stream_encrypt(5 + 2 * i, data)
         objects.append(
             b"<< /Length " + str(len(data)).encode() + extra + b" >>\n"
             b"stream\n" + data + b"\nendstream"
@@ -223,7 +229,8 @@ def _assemble(
     for off in offsets[1:]:
         buf += f"{off:010d} 00000 n \n".encode()
     buf += (
-        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R"
+        f"{trailer_extra} >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     return bytes(buf)
@@ -386,3 +393,69 @@ def build_pdf_cid(
             + cmap + b"\nendstream"
         )
     return _assemble(streams, None, font, extras)
+
+
+# --------------------------------------------------------------------------
+# encrypted fixtures (standard security handler)
+# --------------------------------------------------------------------------
+
+ENCRYPT_MODES = {
+    # mode: (V, R, key bits, aes)
+    "rc4-40": (1, 2, 40, False),
+    "rc4-128": (2, 3, 128, False),
+    "aes-128": (4, 4, 128, True),
+}
+
+
+def build_pdf_encrypted(
+    page_streams: list[bytes],
+    mode: str = "rc4-128",
+    user_pwd: bytes = b"",
+    owner_pwd: bytes = b"owner-secret",
+    stream_filter: str | None = None,
+    p: int = -44,
+) -> bytes:
+    """Standard-security-handler fixture. With the default empty user
+    password the document is "owner-locked" (openable by anyone) — the
+    case the parser must decrypt transparently."""
+    import hashlib
+
+    from .pdfcrypt import (
+        compute_encryption_key,
+        compute_o,
+        compute_u,
+        encrypt_data,
+    )
+
+    v, r, bits, aes = ENCRYPT_MODES[mode]
+    key_bytes = bits // 8
+    id0 = hashlib.md5(b"fixture-doc-id:" + mode.encode()).digest()
+    o = compute_o(owner_pwd, user_pwd, r, key_bytes)
+    key = compute_encryption_key(user_pwd, o, p, id0, r, key_bytes)
+    u = compute_u(key, id0, r)
+
+    n_pages = len(page_streams)
+    enc_num = 4 + 2 * n_pages
+    parts = [
+        f"<< /Filter /Standard /V {v} /R {r} /Length {bits} /P {p}",
+        f"/O <{o.hex()}> /U <{u.hex()}>",
+    ]
+    if v == 4:
+        cfm = "/AESV2" if aes else "/V2"
+        parts.append(
+            f"/CF << /StdCF << /CFM {cfm} /AuthEvent /DocOpen"
+            f" /Length {key_bytes} >> >> /StmF /StdCF /StrF /StdCF"
+        )
+    enc_body = (" ".join(parts) + " >>").encode()
+
+    return _assemble(
+        page_streams,
+        stream_filter=stream_filter,
+        extra_objects=[enc_body],
+        stream_encrypt=lambda num, data: encrypt_data(
+            key, num, 0, data, aes
+        ),
+        trailer_extra=(
+            f" /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
+        ),
+    )
