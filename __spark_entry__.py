@@ -72,6 +72,17 @@ def _q_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_documents(_extract(spark, sf_dir))
 
 
+def _q_layout_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 layout sink (core_pdf_processor.py:650-781): the indented
+    layout-text artifact for PDF turns (rows-only; golden-tested in
+    tests/test_pdf_layout_text.py)."""
+    ex = _extract(spark, sf_dir)
+    return ex.where(F.col("method") == "pdf").select(
+        "conv_id", "turn_idx", "layout_text",
+        F.length("layout_text").alias("layout_chars"),
+    )
+
+
 def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction_metrics(_extract(spark, sf_dir)).select(
         "method", "n_turns", "bytes_in", "chars_out",
@@ -85,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_turns": _q_extract_turns,
         "assemble_docs": _q_assemble_docs,
         "extract_metrics": _q_extract_metrics,
+        "layout_text": _q_layout_text,
         # --- SURVEY §2 relational operators ---------------------------
         "pending_filter": relational.pending_filter,
         "success_counts": relational.success_counts,

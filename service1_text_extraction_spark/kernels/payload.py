@@ -42,6 +42,9 @@ class TurnResult:
     bytes_in: int
     chars_out: int
     boilerplate_ratio: float
+    # indented layout-text artifact (reference sink S8 / W6 full form,
+    # core_pdf_processor.py:650-781); empty for non-PDF methods
+    layout_text: str = ""
 
 
 def sniff_payload(payload: str) -> str:
@@ -117,6 +120,7 @@ def _extract_turn_inner(payload: str | None) -> TurnResult:
                 len(raw),
                 len(stripped),
                 0.0,
+                result.joined_layout(),
             )
         return _failed(
             "quality gate failed and no OCR fallback available", len(raw)

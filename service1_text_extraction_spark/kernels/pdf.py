@@ -754,6 +754,7 @@ def interpret_content(
 class PageText:
     text: str
     spans: list[tuple[int, int, str]]
+    layout_text: str = ""
 
 
 def _join_spans(texts: list[str]) -> str:
@@ -770,6 +771,27 @@ def _join_spans(texts: list[str]) -> str:
     return line
 
 
+def render_layout_text(blocks: list[list[tuple[float, float, str]]]) -> str:
+    """Reference ``_recreate_text_with_layout``
+    (core_pdf_processor.py:708-781): indentation from x in 20-unit
+    two-space steps, one blank line between blocks (the reference's
+    ``>20`` and ``>10`` spacing branches both emit a single blank line,
+    and our blocks only form at gaps > BLOCK_GAP=20), and a blank line
+    inside a block when consecutive lines sit more than 15 units apart.
+    PyMuPDF's y grows downward while PDF user space grows upward, so
+    the reference's ``next_top - prev_bottom`` is our ``prev_y - y``."""
+    out: list[str] = []
+    for bi, block in enumerate(blocks):
+        if bi:
+            out.append("")
+        for i, (x, y, text) in enumerate(block):
+            indent = "  " * max(0, int(x / 20))
+            out.append(indent + text.strip())
+            if i + 1 < len(block) and (y - block[i + 1][1]) > 15:
+                out.append("")
+    return "\n".join(out)
+
+
 def assemble_page(runs: list[Run]) -> PageText:
     if not runs:
         return PageText("", [])
@@ -782,8 +804,8 @@ def assemble_page(runs: list[Run]) -> PageText:
         else:
             lines.append([r])
 
-    # lines -> blocks on vertical gap
-    blocks: list[list[str]] = []
+    # lines -> blocks on vertical gap, keeping (x, y, text) per line
+    blocks: list[list[tuple[float, float, str]]] = []
     prev_y: float | None = None
     for line_runs in lines:
         line_runs.sort(key=lambda r: r.x)
@@ -791,17 +813,18 @@ def assemble_page(runs: list[Run]) -> PageText:
         if not text:
             continue
         y = line_runs[0].y
+        x = line_runs[0].x
         if prev_y is None or (prev_y - y) > BLOCK_GAP:
-            blocks.append([text])
+            blocks.append([(x, y, text)])
         else:
-            blocks[-1].append(text)
+            blocks[-1].append((x, y, text))
         prev_y = y
 
     # hyphenation repair at line joins within a block, then join
     block_texts: list[str] = []
     for lines_in_block in blocks:
         merged = ""
-        for t in lines_in_block:
+        for _, _, t in lines_in_block:
             if merged.endswith("-") and t[:1].islower():
                 merged = merged[:-1] + t
             elif merged:
@@ -821,7 +844,7 @@ def assemble_page(runs: list[Run]) -> PageText:
         spans.append((offset, offset + len(bt), "block"))
         parts.append(bt)
         offset += len(bt)
-    return PageText("".join(parts), spans)
+    return PageText("".join(parts), spans, render_layout_text(blocks))
 
 
 @dataclass
@@ -842,6 +865,12 @@ class PdfResult:
             parts.append(p.text)
             offset += len(p.text)
         return "".join(parts), spans
+
+    def joined_layout(self) -> str:
+        """Layout-text artifact across pages (reference sink S8 writes
+        one layout_text file per page, core_pdf_processor.py:650-707;
+        the Spark shape is one column, pages joined by blank lines)."""
+        return "\n\n".join(p.layout_text for p in self.pages)
 
 
 def extract_pdf(data: bytes) -> PdfResult:

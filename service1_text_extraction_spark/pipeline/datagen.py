@@ -197,11 +197,35 @@ def transcripts_from_documents(spark, sf_dir: str):
     ``documents`` parquet (TESTDATA.md) — used by ``__spark_entry__``
     and the benchmark so no external data is synthesized at test time.
 
-    Every document becomes one conversation with three turns: an HTML
-    wrap of its text, a plain-text turn, and (doc_id % 10 == 0) an
-    adversarial control-character turn.
+    Every document becomes one conversation with four turns: an HTML
+    wrap of its text, a plain-text turn, (doc_id % 10 == 0) an
+    adversarial control-character turn, and a base64 PDF rendering of
+    the text (exercising the full PDF kernel — fonts, layout,
+    block/line assembly — on the driver-checked path).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _pdf_turn(texts: pd.Series) -> pd.Series:
+        # datagen-only UDF (not engine hot path): deterministically
+        # renders each document's text into a one-page Flate PDF
+        out = []
+        for t in texts:
+            words = (t or "").split()
+            lines = [
+                " ".join(words[k : k + 8])
+                for k in range(0, min(len(words), 64), 8)
+            ] or ["empty"]
+            blocks, y = [], 720.0
+            for j in range(0, len(lines), 4):
+                blocks.append((72.0, y, lines[j : j + 4]))
+                y -= 14.0 * 6
+            data = pdfgen.build_pdf(
+                [pdfgen.simple_page(blocks)], compress=True
+            )
+            out.append(base64.b64encode(data).decode("ascii"))
+        return pd.Series(out)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     html_turn = F.concat(
@@ -225,6 +249,7 @@ def transcripts_from_documents(spark, sf_dir: str):
         html_turn.alias("t1"),
         plain_turn.alias("t2"),
         adversarial.alias("t3"),
+        _pdf_turn(F.col("text")).alias("t4"),
     )
     turns = base.select(
         "conv_id",
@@ -233,6 +258,7 @@ def transcripts_from_documents(spark, sf_dir: str):
                 F.struct(F.lit(1).alias("turn_idx"), F.col("t1").alias("text")),
                 F.struct(F.lit(2).alias("turn_idx"), F.col("t2").alias("text")),
                 F.struct(F.lit(3).alias("turn_idx"), F.col("t3").alias("text")),
+                F.struct(F.lit(4).alias("turn_idx"), F.col("t4").alias("text")),
             )
         ).alias("t"),
     )
@@ -241,9 +267,12 @@ def transcripts_from_documents(spark, sf_dir: str):
         F.col("t.turn_idx").cast("int").alias("turn_idx"),
         F.element_at(
             F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
-            F.col("t.turn_idx"),
+            F.pmod(F.col("t.turn_idx") - 1, F.lit(3)) + 1,
         ).alias("role"),
         F.col("t.text").alias("text"),
-        F.when(F.col("t.turn_idx") == 3, F.lit("extractor")).alias("tool"),
+        F.when(
+            F.pmod(F.col("t.turn_idx") - 1, F.lit(3)) + 1 == 3,
+            F.lit("extractor"),
+        ).alias("tool"),
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
     )

@@ -64,6 +64,7 @@ RESULT_FIELDS = StructType(
         StructField("bytes_in", LongType()),
         StructField("chars_out", LongType()),
         StructField("boilerplate_ratio", DoubleType()),
+        StructField("layout_text", StringType()),
     ]
 )
 
@@ -97,6 +98,7 @@ def extract_turn_udf(payloads: pd.Series) -> pd.DataFrame:
                 r.bytes_in,
                 r.chars_out,
                 r.boilerplate_ratio,
+                r.layout_text,
             )
             memo[key] = cached
         rows.append(cached)
@@ -110,6 +112,7 @@ def extract_turn_udf(payloads: pd.Series) -> pd.DataFrame:
             "bytes_in",
             "chars_out",
             "boilerplate_ratio",
+            "layout_text",
         ],
     )
 
@@ -135,6 +138,7 @@ def run_extraction(
 
     Output columns: conv_id, turn_idx, role, tool, ts, bucket_id, text,
     method, error, spans, bytes_in, chars_out, boilerplate_ratio,
+    layout_text (indented layout artifact for PDF turns, sink S8),
     turn_seq (dense per-conversation order), doc_char_offset (char
     offset of this turn's text inside the assembled document).
     """
@@ -165,6 +169,7 @@ def run_extraction(
         F.col("ex.bytes_in").alias("bytes_in"),
         F.col("ex.chars_out").alias("chars_out"),
         F.col("ex.boilerplate_ratio").alias("boilerplate_ratio"),
+        F.col("ex.layout_text").alias("layout_text"),
     )
 
     # W1: stable turn ordering (reference 1-based page loop,
