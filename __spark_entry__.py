@@ -575,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
             " event_type = 'click' EXCEPT SELECT user_id, CAST(ts AS DATE)"
             " AS day FROM events WHERE event_type = 'error'"
         ),
+        "chunk_counts": _chunk_counts_sql(),
         "clean_unicode_sql": _clean_unicode_oracle_sql(),
         "normalize_ws_sql": (
             "SELECT doc_id, trim(regexp_replace("
@@ -583,10 +584,58 @@ def oracle_sql() -> dict[str, str]:
             + _sql_str("\n\nz  ")
             + r", '\s+', ' ', 'g')) AS normalized FROM documents"
         ),
-        # extract_turns / assemble_docs / extract_metrics / ann_lsh_topk /
-        # multimodal_features / multimodal_frames / chunk_counts are
-        # kernel/UDF-backed -> rows-only checks.
+        # Remaining rows-only (no oracle) keys, all kernel-backed or
+        # metadata-dependent: extract_turns / assemble_docs /
+        # extract_metrics / layout_text (the from-scratch PDF+HTML
+        # extraction kernels are not SQL-expressible; their correctness
+        # gate is the golden-fixture pytest suite) and source_files
+        # (input_file_name() metadata is invisible to the DuckDB views).
     }
+
+
+def _chunk_counts_sql(mx: int = 100, ov: int = 20) -> str:
+    """chunk_text (textnorm.py) as a DuckDB recursive CTE: same rfind
+    break-sequence priority, same overlap step and progress guard.
+    Last-occurrence-within-window via strpos on the reversed window."""
+    from service1_text_extraction_spark.kernels.textnorm import _BREAK_SEQS
+
+    o_exprs, bp_cases = [], []
+    for k, seq in enumerate(_BREAK_SEQS):
+        rev = _sql_str(seq[::-1])
+        o_exprs.append(
+            f"CASE WHEN strpos(reverse(sub), {rev}) > 0 THEN {mx + 2} -"
+            f" strpos(reverse(sub), {rev}) - {len(seq)} ELSE 0 END AS o{k}"
+        )
+        bp_cases.append(f"WHEN o{k} >= 2 THEN start + o{k} - 1 + {len(seq)}")
+    return f"""
+WITH RECURSIVE steps AS (
+  SELECT doc_id, text, length(text) AS n, 0 AS start, 0 AS n_chunks,
+         FALSE AS done
+  FROM documents WHERE length(text) > {mx}
+  UNION ALL
+  SELECT doc_id, text, n,
+         CASE WHEN done2 THEN start
+              WHEN bp - {ov} > start THEN bp - {ov}
+              ELSE bp END AS start,
+         n_chunks + 1 AS n_chunks, done2 AS done
+  FROM (
+    SELECT doc_id, text, n, start, n_chunks, done2,
+           CASE {' '.join(bp_cases)} ELSE start + {mx} END AS bp
+    FROM (
+      SELECT doc_id, text, n, start, n_chunks,
+             (start + {mx} >= n) AS done2,
+             {', '.join(o_exprs)}
+      FROM (SELECT doc_id, text, n, start, n_chunks,
+                   substring(text, start + 1, {mx}) AS sub
+            FROM steps WHERE NOT done)
+    )
+  )
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS n_chunks FROM documents
+WHERE length(text) <= {mx}
+UNION ALL
+SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks FROM steps WHERE done
+"""
 
 
 def _clean_unicode_oracle_sql() -> str:
