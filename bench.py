@@ -69,6 +69,7 @@ def main() -> None:
 
     from service1_text_extraction_spark.functions import (
         dedup,
+        jsonfuncs,
         relational,
         similarity,
         textstats,
@@ -99,8 +100,11 @@ def main() -> None:
         "dedup_simhash": q(dedup.simhash_fingerprints),
         "dedup_exact": q(dedup.exact_dedup),
         "dedup_minhash_clusters": q(dedup.minhash_clusters),
+        "dedup_simhash_neardup": q(dedup.simhash_neardup_pairs),
         "ann_cosine_topk": q(similarity.cosine_topk),
         "ann_ivf_topk": q(similarity.ivf_ann_topk),
+        "ann_lsh_topk": q(similarity.lsh_ann_topk),
+        "json_sanitize": q(jsonfuncs.json_sanitize),
         "neardup_cosine": q(similarity.cosine_neardup_pairs),
         "pricing_summary": q(relational.pricing_summary),
         "broadcast_dim_rollup": q(relational.broadcast_dim_rollup),
