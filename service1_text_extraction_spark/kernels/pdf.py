@@ -641,26 +641,55 @@ def _decode_pdf_text(raw: bytes) -> str:
     return s.translate(_LIGATURES)
 
 
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m: tuple, n: tuple) -> tuple:
+    """Affine concat for row-vector points (p' = p × M × N)."""
+    ma, mb, mc, md, me, mf = m
+    na, nb, nc, nd, ne, nf = n
+    return (
+        ma * na + mb * nc,
+        ma * nb + mb * nd,
+        mc * na + md * nc,
+        mc * nb + md * nd,
+        me * na + mf * nc + ne,
+        me * nb + mf * nd + nf,
+    )
+
+
+_INLINE_IMG_END_RE = re.compile(rb"\sEI(?=\s|$)")
+
+
 def interpret_content(
     content: bytes, fonts: dict[str, Font] | None = None
 ) -> list[Run]:
     """Execute text operators, emitting positioned runs. ``fonts`` maps
     resource names (``/F1``) to decoders; ``Tf`` switches the current
-    one (composite fonts decode 2-byte CIDs, see :class:`Font`)."""
+    one (composite fonts decode 2-byte CIDs, see :class:`Font`).
+
+    Geometry: the full CTM is tracked through ``cm`` concatenation and
+    the ``q``/``Q`` state stack, and the text matrix through
+    ``Tm/Td/TD/T*`` composition, so content positioned via ``cm``
+    translation (a very common wild-PDF pattern) lands at its real
+    device coordinates. Inline images (``BI ... ID <binary> EI``) are
+    skipped wholesale so their bytes never reach the tokenizer."""
     fonts = fonts or {}
     runs: list[Run] = []
     stack: list[object] = []
     size = 12.0
     leading = 0.0
     cur_font = _DEFAULT_FONT
-    # text matrix origin (we track translation only; fixtures use
-    # translation-style Tm, which is also the overwhelmingly common case)
-    tx = ty = 0.0
+    ctm = _IDENTITY
+    gs_stack: list[tuple] = []
+    tm = _IDENTITY  # text line matrix
 
     def show(raw: bytes) -> None:
         text = cur_font.decode(raw)
         if text:
-            runs.append(Run(tx, ty, size, text))
+            x = tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4]
+            y = tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
+            runs.append(Run(x, y, size, text))
 
     pos = 0
     n = len(content)
@@ -700,23 +729,39 @@ def interpret_content(
             if len(stack) >= 2 and isinstance(stack[-2], str):
                 cur_font = fonts.get(stack[-2], _DEFAULT_FONT)
         elif op == "Tm" and len(stack) >= 6:
-            tx, ty = _f(-2), _f(-1)
+            tm = (_f(-6), _f(-5), _f(-4), _f(-3), _f(-2), _f(-1))
         elif op == "Td" and len(stack) >= 2:
-            tx += _f(-2)
-            ty += _f(-1)
+            tm = _mat_mul((1.0, 0.0, 0.0, 1.0, _f(-2), _f(-1)), tm)
         elif op == "TD" and len(stack) >= 2:
             leading = -_f(-1)
-            tx += _f(-2)
-            ty += _f(-1)
+            tm = _mat_mul((1.0, 0.0, 0.0, 1.0, _f(-2), _f(-1)), tm)
         elif op == "TL" and stack:
             leading = _f(-1)
         elif op == "T*":
-            ty -= leading
+            tm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tm)
+        elif op == "cm" and len(stack) >= 6:
+            ctm = _mat_mul(
+                (_f(-6), _f(-5), _f(-4), _f(-3), _f(-2), _f(-1)), ctm
+            )
+        elif op == "q":
+            gs_stack.append(ctm)
+        elif op == "Q":
+            if gs_stack:
+                ctm = gs_stack.pop()
+        elif op == "BI":
+            # inline image: jump past `ID <binary> EI` so image bytes
+            # never hit the tokenizer
+            id_pos = content.find(b"ID", pos)
+            if id_pos != -1:
+                m_ei = _INLINE_IMG_END_RE.search(content, id_pos + 2)
+                pos = m_ei.end() if m_ei else n
+            else:
+                pos = n
         elif op == "Tj" and stack:
             if isinstance(stack[-1], bytes):
                 show(stack[-1])
         elif op in ("'", '"') and stack:
-            ty -= leading
+            tm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tm)
             if isinstance(stack[-1], bytes):
                 show(stack[-1])
         elif op == "TJ":
@@ -737,9 +782,12 @@ def interpret_content(
                     parts.append(" ")
             text = "".join(parts)
             if text:
-                runs.append(Run(tx, ty, size, text))
+                show_text = text
+                x = tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4]
+                y = tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
+                runs.append(Run(x, y, size, show_text))
         elif op == "BT":
-            tx = ty = 0.0
+            tm = _IDENTITY
         # operands precede their operator; once handled they are consumed
         stack.clear()
     return runs

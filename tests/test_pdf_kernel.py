@@ -132,3 +132,36 @@ def test_objstm_pdf15(n_pages):
     assert [p.text for p in res.pages] == [
         f"page {i} body text here" for i in range(n_pages)
     ]
+
+
+def test_cm_translation_positions_text():
+    """Content positioned via cm (not Tm) must land at device coords —
+    q/Q save/restore and cm concatenation drive the reading order."""
+    cs = (
+        b"q\n1 0 0 1 72 700 cm\nBT /F1 12 Tf 0 0 Td (top line via cm) Tj ET\nQ\n"
+        b"q\n1 0 0 1 72 600 cm\nBT /F1 12 Tf 0 0 Td (bottom line via cm) Tj ET\nQ\n"
+    )
+    p = _one_page(cs)
+    assert p.text == "top line via cm\nbottom line via cm"
+
+
+def test_cm_scaling_composes_with_td():
+    """A scaled CTM multiplies Td steps: 2x vertical scale turns a
+    7-unit leading into 14 device units (distinct lines, same block)."""
+    cs = (
+        b"q\n2 0 0 2 0 0 cm\nBT /F1 6 Tf 36 350 Td (first) Tj 0 -7 Td (second) Tj ET\nQ\n"
+    )
+    p = _one_page(cs)
+    assert p.text == "first\nsecond"
+
+
+def test_inline_image_bytes_skipped():
+    """BI..ID <binary> EI must not feed the tokenizer: the binary can
+    contain anything, including fake text operators."""
+    img = b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x00(fake) Tj\xff\xfe\x01 EI\n"
+    cs = (
+        b"BT /F1 12 Tf 72 700 Td (before image) Tj ET\n" + img +
+        b"BT /F1 12 Tf 72 680 Td (after image) Tj ET\n"
+    )
+    p = _one_page(cs)
+    assert p.text == "before image\nafter image"
