@@ -214,6 +214,7 @@ _LSH_BUCKET = "concat(" + ", ".join(
     + "]::DOUBLE[]) > 0 THEN '1' ELSE '0' END"
     for p in range(similarity.N_PLANES)
 ) + ")"
+_ND_W = similarity.N_PLANES // similarity.NEARDUP_BANDS
 _LSH_HAMMING = " + ".join(
     f"CASE WHEN substring(bucket, {j + 1}, 1) <> substring(qb, {j + 1}, 1)"
     " THEN 1 ELSE 0 END"
@@ -429,13 +430,29 @@ def oracle_sql() -> dict[str, str]:
             " FROM embeddings, q WHERE vec_id <> 0"
             " ORDER BY cos DESC, vec_id LIMIT 10"
         ),
+        # hyperplane-LSH band blocking mirrored from similarity.py:
+        # candidates share >=1 of 4 bands of 4 sign bits, bucket cap
+        # MAX_BUCKET_DF, exact cosine only inside candidate pairs
         "neardup_cosine_pairs": (
-            "SELECT a.vec_id AS a_id, b.vec_id AS b_id,"
-            " round(list_cosine_similarity(a.embedding::DOUBLE[],"
-            " b.embedding::DOUBLE[]), 4) AS cos FROM embeddings a JOIN"
-            " embeddings b ON a.label = b.label AND a.vec_id < b.vec_id"
-            " WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],"
-            " b.embedding::DOUBLE[]), 4) >= 0.30"
+            f"WITH bk AS (SELECT vec_id, embedding, {_LSH_BUCKET} AS bucket"
+            " FROM embeddings),"
+            " bands AS (SELECT vec_id, bd AS band_idx,"
+            f" substring(bucket, bd * {_ND_W} + 1, {_ND_W}) AS band_val"
+            " FROM (SELECT vec_id, bucket, unnest(generate_series(0,"
+            f" {similarity.NEARDUP_BANDS - 1})) AS bd FROM bk)),"
+            " capped AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2"
+            f" HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET_DF}),"
+            " cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id"
+            " FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND"
+            " a.band_val = b.band_val AND a.vec_id < b.vec_id"
+            " JOIN capped c ON c.band_idx = a.band_idx AND c.band_val ="
+            " a.band_val)"
+            " SELECT a_id, b_id, round(list_cosine_similarity("
+            "ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos"
+            " FROM cand JOIN embeddings ea ON ea.vec_id = a_id"
+            " JOIN embeddings eb ON eb.vec_id = b_id"
+            " WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],"
+            " eb.embedding::DOUBLE[]), 4) >= 0.30"
         ),
         "ann_lsh_topk": (
             f"WITH b AS (SELECT vec_id, embedding, {_LSH_BUCKET} AS bucket"

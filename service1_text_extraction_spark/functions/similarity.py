@@ -62,29 +62,64 @@ def cosine_topk(
     return scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
 
 
+NEARDUP_BANDS = 4  # 4 bands x 4 sign bits from the 16 hyperplanes
+
+
 def cosine_neardup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.30
 ) -> DataFrame:
-    """Embedding near-dup pairs, blocked by label (at scale the block
-    key would be a coarse LSH bucket; the label stands in for it)."""
+    """Embedding near-dup pairs with hyperplane-LSH band blocking.
+
+    Candidates must share at least one of ``NEARDUP_BANDS`` bands of
+    sign bits (the same md5-derived plane family as ``lsh_ann_topk``);
+    exact cosine is then computed only inside those bucket-local pairs.
+    This is the blocking a 10^12-row corpus requires — no global
+    pairwise join ever forms, and the ``MAX_BUCKET_DF`` cap bounds any
+    one bucket's pair explosion (mirrored in the DuckDB oracle).
+    Recall is the standard LSH trade: pairs approach probability 1 of
+    sharing a band as cosine -> 1; at a loose threshold like 0.30 the
+    blocking is intentionally lossy (round 1 blocked on the *label*
+    column, which is a test-data crutch, not a computable key).
+    At real scale, raise N_PLANES and the band width together (e.g. 64
+    planes -> 4 bands of 16 bits) to keep buckets sparse."""
+    from .dedup import _bucket_pairs
+
+    width = N_PLANES // NEARDUP_BANDS
     e = _emb(spark, sf_dir).select(
-        "vec_id", "label", "embedding", _norm("embedding").alias("nrm")
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        "vec_id", "embedding", _norm("embedding").alias("nrm")
+    ).withColumn("bucket", _bucket_col())
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.substring("bucket", b * width + 1, width).alias("band_val"),
         )
+        for b in range(NEARDUP_BANDS)
+    ]
+    exploded = e.select(
+        "vec_id", F.explode(F.array(*bands)).alias("b")
+    ).select("vec_id", F.col("b.band_idx"), F.col("b.band_val"))
+    buckets = exploded.groupBy("band_idx", "band_val").agg(
+        F.array_sort(F.collect_list("vec_id")).alias("ids")
+    )
+    pairs = _bucket_pairs(buckets).distinct()
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
         .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
+            "a_id",
+            "b_id",
             F.round(
-                _dot("a.embedding", "b.embedding")
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                4,
+                _dot("ea", "eb") / (F.col("na") * F.col("nb")), 4
             ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
