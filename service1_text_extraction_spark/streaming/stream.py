@@ -116,3 +116,86 @@ def stream_turn_metrics(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    *,
+    gap_minutes: int = 30,
+    query_name: str = "conv_sessions",
+):
+    """Custom stateful operator via ``applyInPandasWithState``: per-
+    conversation sessionization with the batch pipeline's 30-minute gap
+    rule, running counts carried in the state store across
+    micro-batches. Each trigger emits the conversation's updated
+    running totals (update output mode); the state (last event time,
+    session/turn counts) survives restarts through the checkpoint.
+
+    The batch twin is the lag-window sessionize (functions/
+    relational.py:180); parity between the two on ordered input is
+    asserted by tests.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType as _Long
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("n_sessions", _Long()),
+            StructField("n_turns", _Long()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_us", _Long()),
+            StructField("n_sessions", _Long()),
+            StructField("n_turns", _Long()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        last_us, n_sessions, n_turns = (
+            state.get if state.exists else (-1, 0, 0)
+        )
+        for pdf in pdfs:
+            for ts in pdf.sort_values("ts")["ts"]:
+                us = int(pd.Timestamp(ts).value // 1_000)
+                if last_us < 0 or us - last_us > gap_us:
+                    n_sessions += 1
+                n_turns += 1
+                last_us = us
+        state.update((last_us, n_sessions, n_turns))
+        yield pd.DataFrame(
+            [(conv_id, n_sessions, n_turns)],
+            columns=["conv_id", "n_sessions", "n_turns"],
+        )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .select("conv_id", "ts")
+        .groupBy(F.col("conv_id"))
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

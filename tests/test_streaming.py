@@ -82,3 +82,65 @@ def test_watermarked_event_time_metrics(spark, tmp_path):
     assert roles <= {"user", "assistant", "tool"}
     # window structs are real event-time buckets
     assert all(r.window.start < r.window.end for r in rows)
+
+
+@pytest.mark.slow
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: state carries across
+    micro-batches (maxFilesPerTrigger=1, two files split by time) and
+    final totals equal the batch lag-window computation."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = []
+    t0 = dt.datetime(2026, 1, 1)
+    for c in range(8):
+        n = 6 + c
+        for k in range(n):
+            # gaps alternate between 5 and 40+c minutes -> several sessions
+            minutes = sum(5 if j % 2 == 0 else 40 + c for j in range(k))
+            rows.append((f"c{c:02d}", k + 1, "user",
+                         f"turn {k}", None, t0 + dt.timedelta(minutes=minutes)))
+    t = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                    "tool", "ts"])
+    t["turn_idx"] = t["turn_idx"].astype("int32")
+    inp = str(tmp_path / "in_s")
+    half = t["ts"].median()
+    sdf1 = spark.createDataFrame(t[t.ts <= half])
+    sdf2 = spark.createDataFrame(t[t.ts > half])
+    sdf1.coalesce(1).write.mode("append").parquet(inp)
+    sdf2.coalesce(1).write.mode("append").parquet(inp)
+
+    from service1_text_extraction_spark.streaming.stream import (
+        stream_sessionize,
+    )
+
+    q = stream_sessionize(spark, inp, str(tmp_path / "ckpt_s"),
+                          query_name="sess_test")
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT conv_id, max(n_sessions) AS n_sessions,"
+                  " max(n_turns) AS n_turns FROM sess_test GROUP BY conv_id")
+        .toPandas().set_index("conv_id").sort_index()
+    )
+
+    # batch twin: lag-window gap rule over the full input
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    full = spark.createDataFrame(t)
+    w = Window.partitionBy("conv_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col("ts"))
+    batch = (
+        full.withColumn(
+            "new_s",
+            F.when(prev.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
+        )
+        .groupBy("conv_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_turns"))
+        .toPandas().set_index("conv_id").sort_index()
+    )
+    assert got["n_turns"].to_dict() == batch["n_turns"].to_dict()
+    assert got["n_sessions"].to_dict() == batch["n_sessions"].to_dict()
