@@ -519,8 +519,42 @@ class PdfDocument:
                     tounicode = parse_tounicode(self.stream_data(tu))
                 except (PdfError, ValueError, IndexError, zlib.error):
                     tounicode = None
-            out[name] = Font(two_byte=two_byte, tounicode=tounicode)
+            base, diffs = self._simple_encoding(fd)
+            out[name] = Font(
+                two_byte=two_byte,
+                tounicode=tounicode,
+                base_encoding=base,
+                differences=diffs,
+            )
         return out
+
+    _BASE_ENCODINGS = {
+        "/WinAnsiEncoding": "cp1252",
+        "/MacRomanEncoding": "mac_roman",
+    }
+
+    def _simple_encoding(
+        self, fd: dict
+    ) -> tuple[str | None, dict[int, str] | None]:
+        """Simple-font /Encoding: a base-encoding name, or a dict with
+        /BaseEncoding + /Differences ([code name name code name ...])."""
+        enc = self.resolve(fd.get("/Encoding"))
+        if isinstance(enc, str):
+            return self._BASE_ENCODINGS.get(enc), None
+        if not isinstance(enc, dict):
+            return None, None
+        base = self._BASE_ENCODINGS.get(enc.get("/BaseEncoding"))
+        diffs: dict[int, str] = {}
+        code = 0
+        for item in self.resolve(enc.get("/Differences")) or []:
+            if isinstance(item, int):
+                code = item
+            elif isinstance(item, str) and item.startswith("/"):
+                u = glyph_to_unicode(item[1:])
+                if u is not None:
+                    diffs[code] = u
+                code += 1
+        return base, diffs or None
 
 
 # --------------------------------------------------------------------------
@@ -587,6 +621,55 @@ def parse_tounicode(data: bytes) -> dict[int, str]:
     return out
 
 
+# glyph-name -> unicode for /Differences arrays: the punctuation /
+# symbol names that differ between PDF base encodings, plus the
+# uniXXXX / uXXXX(XX) systematic forms handled in code. Latin letter
+# names (eacute, ...) resolve via their Latin-1 position fallback.
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "trademark": "™",
+    "Euro": "€", "florin": "ƒ", "circumflex": "ˆ",
+    "tilde": "˜", "Scaron": "Š", "scaron": "š",
+    "Zcaron": "Ž", "zcaron": "ž", "OE": "Œ",
+    "oe": "œ", "Ydieresis": "Ÿ",
+    "fi": "fi", "fl": "fl", "ff": "ff", "ffi": "ffi", "ffl": "ffl",
+}
+
+
+def glyph_to_unicode(name: str) -> str | None:
+    """Resolve a glyph name to text: table, uniXXXX/uXXXX forms, or a
+    single-char name (Latin letters name themselves: /a /B ...)."""
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and len(name) in (5, 7):
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    if len(name) == 1:
+        return name
+    return None
+
+
 @dataclass
 class Font:
     """String-show decoder for one font resource.
@@ -594,11 +677,28 @@ class Font:
     ``two_byte`` (Type0/Identity-H): codes are 2-byte CIDs mapped via
     ToUnicode; an unmapped CID falls back to ``chr(cid)`` (exactly what
     Identity CIDSystemInfo implies for the fixture fonts). Simple fonts
-    without ToUnicode keep the legacy Latin-1 / UTF-16-BOM sniff.
+    decode per-byte: ToUnicode first, then /Differences overrides, then
+    the base encoding (/WinAnsiEncoding == cp1252, /MacRomanEncoding ==
+    mac-roman); without any of those, the legacy Latin-1 / UTF-16-BOM
+    sniff.
     """
 
     two_byte: bool = False
     tounicode: dict[int, str] | None = None
+    base_encoding: str | None = None  # 'cp1252' | 'mac_roman'
+    differences: dict[int, str] | None = None
+
+    def _simple_byte(self, b: int) -> str:
+        if self.tounicode is not None and b in self.tounicode:
+            return self.tounicode[b]
+        if self.differences is not None and b in self.differences:
+            return self.differences[b]
+        if self.base_encoding is not None:
+            try:
+                return bytes([b]).decode(self.base_encoding)
+            except UnicodeDecodeError:
+                return chr(b)
+        return chr(b)
 
     def decode(self, raw: bytes) -> str:
         if self.two_byte:
@@ -610,8 +710,12 @@ class Font:
                     for i in range(0, len(raw) - 1, 2)
                 )
             )
-        elif self.tounicode is not None:
-            s = "".join(self.tounicode.get(b, chr(b)) for b in raw)
+        elif (
+            self.tounicode is not None
+            or self.base_encoding is not None
+            or self.differences is not None
+        ):
+            s = "".join(self._simple_byte(b) for b in raw)
         else:
             return _decode_pdf_text(raw)
         return s.translate(_LIGATURES)

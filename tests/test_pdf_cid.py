@@ -71,3 +71,39 @@ def test_parse_tounicode_bfchar_pairs():
     )
     mapping = pdf.parse_tounicode(cmap)
     assert mapping == {0x10: "X", 0x11: "YZ"}
+
+
+def _pdf_with_font(font_body: bytes, content: bytes) -> bytes:
+    return pdfgen._assemble([content], None, font_body, [])
+
+
+def test_winansi_encoding_decodes_high_bytes():
+    """WinAnsi bytes 0x80-0x9F are smart punctuation, not C1 controls."""
+    # \x93text\x94 \x96 dash \x85 = “text” – dash …
+    content = b"BT /F1 12 Tf 72 700 Td (\x93quoted\x94 \x96 dash\x85) Tj ET"
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>"
+    )
+    p = pdf.extract_pdf(_pdf_with_font(font, content)).pages[0]
+    assert p.text == "“quoted” – dash…"
+
+
+def test_differences_encoding_overrides():
+    content = b"BT /F1 12 Tf 72 700 Td (ab\x80\x81) Tj ET"
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding << /Differences [128 /bullet /uni20AC] >> >>"
+    )
+    p = pdf.extract_pdf(_pdf_with_font(font, content)).pages[0]
+    assert p.text == "ab•€"
+
+
+def test_glyph_name_resolution():
+    assert pdf.glyph_to_unicode("emdash") == "—"
+    assert pdf.glyph_to_unicode("uni0041") == "A"
+    assert pdf.glyph_to_unicode("u00E9") == "é"
+    assert pdf.glyph_to_unicode("a") == "a"
+    assert pdf.glyph_to_unicode("nonexistentglyph") is None
+    # ligature glyph names expand through the ligature table downstream
+    assert pdf.glyph_to_unicode("fi") == "fi"
