@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_candidates": dedup.minhash_band_candidates,
         "dedup_minhash_clusters": dedup.minhash_clusters,
+        "dedup_minhash_cc": dedup.minhash_connected_components,
+        "kmeans_assign": similarity.kmeans_assign,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
         "ann_cosine_topk": similarity.cosine_topk,
@@ -388,6 +390,25 @@ def oracle_sql() -> dict[str, str]:
             " cluster_rep FROM bands b JOIN m USING (band_idx, band_val)"
             " GROUP BY b.doc_id"
         ),
+        # transitive closure over the same band buckets, as a recursive
+        # reachability CTE (min over the reachable set == the fixpoint
+        # of Spark's min-label propagation)
+        "dedup_minhash_cc": (
+            f"WITH RECURSIVE {_TOKS_CTE}, {_SHINGLES_CTE},"
+            f" sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY"
+            " doc_id), bands AS ("
+            " SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS"
+            " band_val FROM sig UNION ALL SELECT doc_id, 1, md5(h4 || h5 ||"
+            " h6 || h7) FROM sig),"
+            " adj AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM"
+            " bands a JOIN bands b ON a.band_idx = b.band_idx AND"
+            " a.band_val = b.band_val),"
+            " reach AS (SELECT doc_id AS a, doc_id AS b FROM documents"
+            " UNION SELECT r.a, j.b FROM reach r JOIN adj j ON j.a = r.b)"
+            " SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep"
+            " FROM reach GROUP BY a"
+        ),
+        "kmeans_assign": _kmeans_sql(),
         "dedup_simhash": (
             f"WITH {_TOKS_CTE},"
             " tk AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id,"
@@ -464,18 +485,12 @@ def oracle_sql() -> dict[str, str]:
             f" WHERE vec_id <> 0 AND ({_LSH_HAMMING}) <= {similarity.LSH_RADIUS}"
             " ORDER BY cos DESC, vec_id LIMIT 10"
         ),
+        # same k-means quantizer CTEs as kmeans_assign, then probe the
+        # query's 2 nearest lists with exact cosine
         "ann_ivf_topk": (
-            "WITH c AS (SELECT label AS list_id, list(c ORDER BY pos) AS"
-            " centroid FROM (SELECT label, i AS pos, avg(embedding[i]) AS c"
-            " FROM (SELECT label, embedding, unnest(generate_series(1,"
-            " len(embedding))) AS i FROM embeddings) GROUP BY label, i)"
-            " GROUP BY label),"
-            " asn AS (SELECT vec_id, list_id FROM (SELECT e.vec_id,"
-            " c.list_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY"
-            " list_inner_product(e.embedding::DOUBLE[], c.centroid) DESC,"
-            " c.list_id) AS rn FROM embeddings e, c) WHERE rn = 1),"
+            f"WITH {_KM_CTES}, asn AS ({_KM_ASSIGN}),"
             " q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),"
-            " qlists AS (SELECT list_id FROM c, q ORDER BY"
+            f" qlists AS (SELECT list_id FROM {_KM_FINAL} c, q ORDER BY"
             " list_inner_product(q.qe::DOUBLE[], c.centroid) DESC, list_id"
             " LIMIT 2)"
             " SELECT e.vec_id, round(list_cosine_similarity("
@@ -608,6 +623,60 @@ def oracle_sql() -> dict[str, str]:
         # gate is the golden-fixture pytest suite) and source_files
         # (input_file_name() metadata is invisible to the DuckDB views).
     }
+
+
+def _kmeans_parts(k: int = similarity.K_LISTS,
+                  iters: int = similarity.KMEANS_ITERS) -> tuple:
+    """kmeans_assign mirrored in SQL: iterations unrolled as CTEs.
+    Init = the k lowest vec_ids' embeddings (exact float->double);
+    every centroid update quantized to CENTROID_DP decimals, exactly
+    as the Spark side does, so assignments are engine-independent."""
+    dp = similarity.CENTROID_DP
+    ctes = [
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS"
+        " list_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS"
+        " centroid FROM (SELECT vec_id, embedding FROM embeddings"
+        f" ORDER BY vec_id LIMIT {k}))"
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, list_id FROM (SELECT e.vec_id,"
+            " c.list_id, row_number() OVER (PARTITION BY e.vec_id ORDER"
+            " BY list_inner_product(e.embedding::DOUBLE[], c.centroid)"
+            f" DESC, c.list_id) AS rn FROM embeddings e, c{i - 1} c)"
+            " WHERE rn = 1)"
+        )
+        ctes.append(
+            f"u{i} AS (SELECT list_id, list(c ORDER BY pos) AS centroid"
+            " FROM (SELECT list_id, i AS pos, round(avg(embedding[i]),"
+            f" {dp}) AS c FROM (SELECT a.list_id, e.embedding,"
+            " unnest(generate_series(1, len(e.embedding))) AS i FROM"
+            f" a{i} a JOIN embeddings e ON e.vec_id = a.vec_id)"
+            " GROUP BY list_id, i) GROUP BY list_id)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT p.list_id, coalesce(u.centroid, p.centroid)"
+            f" AS centroid FROM c{i - 1} p LEFT JOIN u{i} u ON u.list_id"
+            " = p.list_id)"
+        )
+    assign = (
+        "SELECT vec_id, list_id FROM (SELECT e.vec_id, c.list_id,"
+        " row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+        " list_inner_product(e.embedding::DOUBLE[], c.centroid) DESC,"
+        f" c.list_id) AS rn FROM embeddings e, c{iters} c) WHERE rn = 1"
+    )
+    return ", ".join(ctes), f"c{iters}", assign
+
+
+def _kmeans_sql() -> str:
+    ctes, _, assign = _kmeans_parts()
+    return (
+        f"WITH {ctes} SELECT vec_id, CAST(list_id AS INT) AS list_id"
+        f" FROM ({assign})"
+    )
+
+
+_KM_CTES, _KM_FINAL, _KM_ASSIGN = _kmeans_parts()
 
 
 def _chunk_counts_sql(mx: int = 100, ov: int = 20) -> str:

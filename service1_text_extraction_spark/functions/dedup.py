@@ -276,3 +276,72 @@ def simhash_neardup_pairs(
             F.col("a").alias("a_id"), F.col("b").alias("b_id"), "hamming"
         )
     )
+
+
+def minhash_connected_components(
+    spark: SparkSession, sf_dir: str, max_iters: int = 20
+) -> DataFrame:
+    """Full transitive closure over MinHash band buckets — the fixpoint
+    upgrade of ``minhash_clusters``' single propagation step.
+
+    Iterative min-label propagation doc -> bucket -> doc until no label
+    changes (the alternating-aggregation form of the large-star /
+    small-star CC algorithm): each round is two hash-aggregates and a
+    join over the linear (doc, bucket) edge list — no pairwise
+    materialization ever, so a 10^6-doc duplicate mega-cluster costs
+    O(edges) per round instead of 10^12 pairs. Rounds needed = cluster
+    diameter in the bucket graph (tiny for dup clusters); the
+    convergence check is one bounded count per round and
+    ``localCheckpoint`` cuts the growing lineage.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    n_bands = N_MINHASH // BAND_SIZE
+    bands = []
+    for band in range(n_bands):
+        cols = [f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+        bands.append(
+            F.concat(
+                F.lit(f"{band}:"),
+                F.md5(F.concat(*[F.col(c) for c in cols])),
+            )
+        )
+    edges = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bucket")
+    ).localCheckpoint()
+
+    labels = edges.select("doc_id").distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(max_iters):
+        bmin = (
+            edges.join(labels, "doc_id")
+            .groupBy("bucket")
+            .agg(F.min("label").alias("bmin"))
+        )
+        proposed = (
+            edges.join(bmin, "bucket")
+            .groupBy("doc_id")
+            .agg(F.min("bmin").alias("nl"))
+        )
+        new_labels = (
+            labels.join(proposed, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").cast("long").alias("cluster_rep")
+    )

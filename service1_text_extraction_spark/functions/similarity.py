@@ -214,24 +214,92 @@ def embedding_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Coarse quantizer: per-label centroids (IVF lists). At 10^12 rows
-    the lists come from a sampled k-means; the label column stands in as
-    the deterministic cluster structure of the test data."""
-    e = _emb(spark, sf_dir)
-    return (
-        e.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("centroid")
-        )
-        .select(F.col("label").alias("list_id"), "centroid")
+K_LISTS = 10
+KMEANS_ITERS = 3
+CENTROID_DP = 6  # fixed-point quantization of centroids per update
+
+
+def kmeans_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_LISTS,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd's, inner-product
+    assignment) trained entirely with DataFrame ops; returns the final
+    (vec_id, list_id) assignment.
+
+    Determinism at cluster scale: init = the ``k`` lowest vec_ids'
+    embeddings, ties on the dot break to the lowest list id, and every
+    centroid update is quantized to ``CENTROID_DP`` decimals — so the
+    result is bit-identical regardless of partitioning/aggregation
+    order (and reproducible in the DuckDB oracle). Each iteration
+    collects only k x dim doubles to the driver (bounded by k, never by
+    data) and re-broadcasts them as literal arrays, so assignment is a
+    pure per-row projection — zero shuffle; the update is one
+    hash-aggregate."""
+    centroids = _kmeans_centroids(spark, sf_dir, k, iters)
+    return _emb(spark, sf_dir).select(
+        "vec_id", _assign_col(centroids).cast("int").alias("list_id")
     )
+
+
+def _assign_col(cents: list[list[float]]) -> Column:
+    """argmax over k centroid dots via greatest-struct (pure per-row
+    projection, zero shuffle); ties -> lowest list id."""
+    structs = []
+    for li, c in enumerate(cents):
+        arr = F.array(*[F.lit(x) for x in c])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), arr,
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        structs.append(
+            F.struct(
+                dot.alias("d"),
+                F.lit(-li).alias("neg"),
+                F.lit(li).alias("list_id"),
+            )
+        )
+    return F.greatest(*structs)["list_id"]
+
+
+def _kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int = K_LISTS,
+    iters: int = KMEANS_ITERS,
+) -> list[list[float]]:
+    """Lloyd's loop; returns the final quantized centroids as plain
+    Python lists (k x dim doubles — bounded by k, never by data)."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    init = e.orderBy("vec_id").limit(k).orderBy("vec_id").collect()
+    # init stays unrounded: float32 -> double is exact in any engine,
+    # while Python/Spark/DuckDB rounding modes differ at exact halves
+    centroids = [[float(x) for x in r.embedding] for r in init]
+    for _ in range(iters):
+        assigned = e.withColumn("list_id", _assign_col(centroids))
+        upd = (
+            assigned.select(
+                "list_id", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.round(F.avg("v"), CENTROID_DP).alias("c"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {r.list_id: [float(x) for x in r.centroid] for r in upd}
+        # a list that lost all members keeps its previous centroid
+        centroids = [new.get(li, centroids[li]) for li in range(k)]
+    return centroids
 
 
 def ivf_ann_topk(
@@ -241,49 +309,40 @@ def ivf_ann_topk(
     k: int = 10,
     n_probe: int = 2,
 ) -> DataFrame:
-    """IVF-style ANN: broadcast the centroid table, assign every vector
-    to its nearest list, search only the query's ``n_probe`` nearest
-    lists with exact cosine. One broadcast + one filter — no pairwise
-    shuffle ever forms."""
+    """IVF ANN on the k-means coarse quantizer (kmeans_assign's
+    centroids - round 1 used the test data's label column as a
+    stand-in): every vector's list assignment is a per-row expression
+    over centroid literals (zero shuffle), the query's ``n_probe``
+    nearest lists are computed driver-side from the same k x dim
+    centroids, and candidates reduce to a literal ``list_id IN (...)``
+    filter - partition-prunable when the table is laid out by list -
+    followed by exact cosine. No window, no centroid shuffle, no
+    pairwise join."""
+    cents = _kmeans_centroids(spark, sf_dir)
     e = _emb(spark, sf_dir)
-    cents = _centroids(spark, sf_dir)
-    # arg-max via a struct-max aggregate (partial-aggregating, sort-free
-    # — no window/sort of n_lists rows per vector); ties on the dot
-    # break to the smallest list_id via the negated key
-    best = F.max(
-        F.struct(
-            _dot("embedding", "centroid").alias("d"),
-            (-F.col("list_id")).alias("neg_list"),
-            F.col("list_id").alias("list_id"),
-            F.col("embedding").alias("embedding"),
-        )
-    )
-    assigned = (
-        e.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(best.alias("b"))
-        .select(
-            "vec_id",
-            F.col("b.embedding").alias("embedding"),
-            F.col("b.list_id").alias("list_id"),
-        )
-    )
-    q_lists = (
-        e.where(F.col("vec_id") == query_vec_id)
-        .select("embedding")
-        .crossJoin(F.broadcast(cents))
-        .withColumn("dist", _dot("embedding", "centroid"))
-        .orderBy(F.col("dist").desc(), F.col("list_id"))
-        .limit(n_probe)
-        .select("list_id")
-    )
+    q_emb = [
+        float(x)
+        for x in e.where(F.col("vec_id") == query_vec_id)
+        .first()
+        .embedding
+    ]
+    # query's n_probe nearest lists, same dot + tie rule as assignment
+    dots = [
+        (sum(a * b for a, b in zip(q_emb, c)), li)
+        for li, c in enumerate(cents)
+    ]
+    probe_lists = [
+        li for _, li in sorted(dots, key=lambda t: (-t[0], t[1]))[:n_probe]
+    ]
     q = e.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q")
     )
     cands = (
-        assigned.join(F.broadcast(q_lists), on="list_id", how="left_semi")
-        .where(F.col("vec_id") != query_vec_id)
+        e.withColumn("list_id", _assign_col(cents))
+        .where(
+            F.col("list_id").isin(probe_lists)
+            & (F.col("vec_id") != query_vec_id)
+        )
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
