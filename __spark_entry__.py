@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "normalize_ws_sql": textstats.normalize_ws_sql,
         "chunk_counts": textstats.chunk_counts,
+        "train_test_split": textstats.train_test_split,
     }
 
 
@@ -608,6 +609,20 @@ def oracle_sql() -> dict[str, str]:
             " AS day FROM events WHERE event_type = 'error'"
         ),
         "chunk_counts": _chunk_counts_sql(),
+        # hash bucket = int(md5[:4], 16) % 100, hex parsed via strpos
+        "train_test_split": (
+            "WITH hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m"
+            " FROM documents),"
+            " b AS (SELECT doc_id,"
+            " (4096 * (strpos('0123456789abcdef', substring(m, 1, 1)) - 1)"
+            " + 256 * (strpos('0123456789abcdef', substring(m, 2, 1)) - 1)"
+            " + 16 * (strpos('0123456789abcdef', substring(m, 3, 1)) - 1)"
+            " + strpos('0123456789abcdef', substring(m, 4, 1)) - 1) % 100"
+            " AS bucket FROM hx)"
+            " SELECT doc_id, CAST(bucket AS INT) AS bucket,"
+            " CASE WHEN bucket < 10 THEN 'test' ELSE 'train' END AS split"
+            " FROM b"
+        ),
         "clean_unicode_sql": _clean_unicode_oracle_sql(),
         "normalize_ws_sql": (
             "SELECT doc_id, trim(regexp_replace("

@@ -156,3 +156,24 @@ def chunk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", n_chunks("text").alias("n_chunks")
     )
+
+
+def train_test_split(
+    spark: SparkSession, sf_dir: str, test_pct: int = 10
+) -> DataFrame:
+    """Deterministic hash split for corpus curation: bucket =
+    int(md5(doc_id)[:4], 16) % 100, 'test' below ``test_pct``. Unlike
+    ``df.sample`` this is reproducible across engines, runs, and
+    cluster sizes — the property a 100 TB train/held-out split must
+    have (re-running the job can never migrate a document across the
+    split). The %100 of a 16-bit value carries a ~0.05% bucket-size
+    bias, irrelevant for splitting."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 100)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

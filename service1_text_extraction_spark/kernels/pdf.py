@@ -494,6 +494,57 @@ class PdfDocument:
                 parts.append(self.stream_data(r))
         return b"\n".join(parts)
 
+    def page_xobjects(self, node: dict) -> dict[str, Ref]:
+        """Form-XObject resources of a page (or of another form):
+        ``/Resources /XObject`` name -> stream ref, forms only (images
+        are opaque to text extraction)."""
+        res = self.resolve(node.get("/Resources"))
+        xs = (
+            self.resolve(res.get("/XObject"))
+            if isinstance(res, dict)
+            else None
+        )
+        out: dict[str, Ref] = {}
+        if not isinstance(xs, dict):
+            return out
+        for name, ref in xs.items():
+            if not isinstance(ref, Ref):
+                continue
+            d = self.resolve(ref)
+            if isinstance(d, dict) and d.get("/Subtype") == "/Form":
+                out[name] = ref
+        return out
+
+    def load_forms(
+        self, node: dict, depth: int = 0, seen: frozenset = frozenset()
+    ) -> dict[str, "FormXObject"]:
+        """Recursively materialize a node's form XObjects (nested forms
+        allowed; cycles cut by the seen-set, depth capped)."""
+        if depth > 8:
+            return {}
+        out: dict[str, FormXObject] = {}
+        for name, ref in self.page_xobjects(node).items():
+            if ref.num in seen:
+                continue
+            d = self.resolve(ref)
+            try:
+                content = self.stream_data(ref)
+            except (PdfError, zlib.error):
+                continue
+            mtx = self.resolve(d.get("/Matrix"))
+            matrix = (
+                tuple(float(x) for x in mtx)
+                if isinstance(mtx, list) and len(mtx) == 6
+                else _IDENTITY
+            )
+            out[name] = FormXObject(
+                content,
+                self.page_fonts(d),
+                self.load_forms(d, depth + 1, seen | {ref.num}),
+                matrix,
+            )
+        return out
+
     def page_fonts(self, page: dict) -> dict[str, "Font"]:
         """Font resources for a page: ``/Resources /Font`` name ->
         decoder. Composite ``/Type0`` fonts (Identity-H/V 2-byte CIDs,
@@ -724,6 +775,18 @@ class Font:
 _DEFAULT_FONT = Font()
 
 
+@dataclass
+class FormXObject:
+    """A /Form XObject's executable content: its stream, its own font /
+    form resources (empty -> inherit the invoker's), and its /Matrix
+    (concatenated onto the CTM at ``Do`` time)."""
+
+    content: bytes
+    fonts: dict[str, Font]
+    forms: dict[str, "FormXObject"]
+    matrix: tuple
+
+
 _CS_TOKEN_RE = re.compile(
     rb"""
     (?P<str>\()                    # literal string start
@@ -766,7 +829,11 @@ _INLINE_IMG_END_RE = re.compile(rb"\sEI(?=\s|$)")
 
 
 def interpret_content(
-    content: bytes, fonts: dict[str, Font] | None = None
+    content: bytes,
+    fonts: dict[str, Font] | None = None,
+    forms: dict[str, FormXObject] | None = None,
+    base_ctm: tuple = _IDENTITY,
+    depth: int = 0,
 ) -> list[Run]:
     """Execute text operators, emitting positioned runs. ``fonts`` maps
     resource names (``/F1``) to decoders; ``Tf`` switches the current
@@ -779,12 +846,13 @@ def interpret_content(
     device coordinates. Inline images (``BI ... ID <binary> EI``) are
     skipped wholesale so their bytes never reach the tokenizer."""
     fonts = fonts or {}
+    forms = forms or {}
     runs: list[Run] = []
     stack: list[object] = []
     size = 12.0
     leading = 0.0
     cur_font = _DEFAULT_FONT
-    ctm = _IDENTITY
+    ctm = base_ctm
     gs_stack: list[tuple] = []
     tm = _IDENTITY  # text line matrix
 
@@ -852,6 +920,18 @@ def interpret_content(
         elif op == "Q":
             if gs_stack:
                 ctm = gs_stack.pop()
+        elif op == "Do" and stack and isinstance(stack[-1], str):
+            f = forms.get(stack[-1])
+            if f is not None and depth < 8:
+                runs.extend(
+                    interpret_content(
+                        f.content,
+                        f.fonts or fonts,
+                        f.forms or forms,
+                        _mat_mul(f.matrix, ctm),
+                        depth + 1,
+                    )
+                )
         elif op == "BI":
             # inline image: jump past `ID <binary> EI` so image bytes
             # never hit the tokenizer
@@ -1032,5 +1112,8 @@ def extract_pdf(data: bytes) -> PdfResult:
     for page in doc.pages():
         content = doc.page_content(page)
         fonts = doc.page_fonts(page)
-        pages.append(assemble_page(interpret_content(content, fonts)))
+        forms = doc.load_forms(page)
+        pages.append(
+            assemble_page(interpret_content(content, fonts, forms))
+        )
     return PdfResult(pages)

@@ -165,3 +165,55 @@ def test_inline_image_bytes_skipped():
     )
     p = _one_page(cs)
     assert p.text == "before image\nafter image"
+
+
+def test_form_xobject_text_extracted():
+    """Text living inside a /Form XObject (invoked via Do, positioned
+    by the form /Matrix) must extract at its device position."""
+    form_cs = b"BT /F1 12 Tf 0 0 Td (text inside a form) Tj ET"
+    page_cs = (
+        b"BT /F1 12 Tf 72 700 Td (before the form) Tj ET\n"
+        b"q 1 0 0 1 72 650 cm /Fx1 Do Q\n"
+        b"BT /F1 12 Tf 72 600 Td (after the form) Tj ET"
+    )
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /XObject << /Fx1 5 0 R >> >> >>\nendobj\n"
+        + f"4 0 obj\n<< /Length {len(page_cs)} >>\nstream\n".encode()
+        + page_cs + b"\nendstream\nendobj\n"
+        + f"5 0 obj\n<< /Type /XObject /Subtype /Form /Matrix [1 0 0 1 0 0]"
+          f" /BBox [0 0 612 792] /Length {len(form_cs)} >>\nstream\n".encode()
+        + form_cs + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    p = pdf.extract_pdf(data).pages[0]
+    assert p.text == "before the form\ntext inside a form\nafter the form"
+
+
+def test_nested_form_xobject_with_matrix():
+    inner_cs = b"BT /F1 12 Tf 0 0 Td (inner) Tj ET"
+    outer_cs = b"/In Do\nBT /F1 12 Tf 0 -20 Td (outer) Tj ET"
+    page_cs = b"q 1 0 0 1 100 500 cm /Out Do Q"
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /XObject << /Out 5 0 R >> >> >>\nendobj\n"
+        + f"4 0 obj\n<< /Length {len(page_cs)} >>\nstream\n".encode()
+        + page_cs + b"\nendstream\nendobj\n"
+        + f"5 0 obj\n<< /Type /XObject /Subtype /Form"
+          f" /Resources << /XObject << /In 6 0 R >> >>"
+          f" /Length {len(outer_cs)} >>\nstream\n".encode()
+        + outer_cs + b"\nendstream\nendobj\n"
+        + f"6 0 obj\n<< /Type /XObject /Subtype /Form"
+          f" /Matrix [1 0 0 1 0 40] /Length {len(inner_cs)} >>\nstream\n".encode()
+        + inner_cs + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    p = pdf.extract_pdf(data).pages[0]
+    # inner renders at y=540 (500+40), outer at y=480 (500-20)
+    assert p.text == "inner\nouter"

@@ -112,3 +112,66 @@ def test_pdf_writer_parser_roundtrip(blocks, compress):
     assert "".join(got_lines).replace(" ", "") == "".join(
         expected_lines
     ).replace(" ", "")
+
+
+# ---- dirty-JSON recovery properties -----------------------------------
+
+_json_scalars = st.one_of(
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.booleans(),
+    st.none(),
+    st.text(
+        alphabet=string.ascii_letters + string.digits + " _-.,!?'\"\n\t",
+        max_size=30,
+    ),
+)
+_json_objects = st.dictionaries(
+    st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+    st.one_of(_json_scalars, st.lists(_json_scalars, max_size=4)),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(_json_objects)
+@settings(max_examples=200, deadline=None)
+def test_jsonsan_recovers_fenced_objects(obj):
+    import json
+
+    from service1_text_extraction_spark.kernels.jsonsan import (
+        parse_ai_response,
+    )
+
+    payload = json.dumps(obj)
+    text = f"Sure, here's the result:\n```json\n{payload}\n```\nDone."
+    got, strategy = parse_ai_response(text)
+    assert strategy == "fenced" and got == obj
+
+
+@given(_json_objects)
+@settings(max_examples=200, deadline=None)
+def test_jsonsan_repairs_trailing_commas(obj):
+    import json
+
+    from service1_text_extraction_spark.kernels.jsonsan import (
+        parse_ai_response,
+    )
+
+    payload = json.dumps(obj)
+    # inject a trailing comma before the final close brace
+    dirty = payload[:-1].rstrip() + ",}"
+    got, strategy = parse_ai_response(dirty)
+    assert strategy == "direct" and got == obj
+
+
+@given(_json_objects)
+@settings(max_examples=100, deadline=None)
+def test_jsonsan_sanitize_is_noop_on_valid_json(obj):
+    import json
+
+    from service1_text_extraction_spark.kernels.jsonsan import (
+        sanitize_json_string,
+    )
+
+    payload = json.dumps(obj)
+    assert sanitize_json_string(payload) == payload
