@@ -186,6 +186,13 @@ _ESCAPES = {
 
 
 def _parse_literal_string(data: bytes, pos: int):
+    # fast path: no escapes and no nesting before the close paren —
+    # the overwhelmingly common case for content-stream text
+    close = data.find(b")", pos + 1)
+    if close != -1:
+        seg = data[pos + 1 : close]
+        if b"\\" not in seg and b"(" not in seg:
+            return seg, close + 1
     out = bytearray()
     depth = 1
     i = pos + 1
@@ -863,6 +870,10 @@ def interpret_content(
             y = tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
             runs.append(Run(x, y, size, text))
 
+    def _f(i: int) -> float:
+        v = stack[i]
+        return float(v) if isinstance(v, (int, float)) else 0.0
+
     pos = 0
     n = len(content)
     while pos < n:
@@ -870,31 +881,29 @@ def interpret_content(
         if not m:
             break
         pos = m.end()
-        if m.group("str") is not None:
+        kind = m.lastgroup
+        if kind == "str":
             raw, pos = _parse_literal_string(content, m.start())
             stack.append(raw)
             continue
-        if m.group("hex") is not None:
+        if kind == "hex":
             hx = re.sub(rb"\s", b"", m.group("hex"))
             if len(hx) % 2:
                 hx += b"0"
             stack.append(bytes.fromhex(hx.decode("ascii")))
             continue
-        if m.group("name") is not None:
+        if kind == "name":
             stack.append("/" + m.group("name").decode("latin-1"))
             continue
-        if m.group("num") is not None:
+        if kind == "num":
             t = m.group("num")
             stack.append(float(t) if b"." in t else int(t))
             continue
-        if m.group("arr") is not None:
+        if kind == "arr":
             stack.append(m.group("arr").decode("ascii"))
             continue
 
         op = m.group("op").decode("latin-1")
-        def _f(i: int) -> float:
-            v = stack[i]
-            return float(v) if isinstance(v, (int, float)) else 0.0
 
         if op == "Tf" and len(stack) >= 1:
             size = _f(-1)

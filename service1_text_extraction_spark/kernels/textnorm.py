@@ -315,7 +315,8 @@ def is_garbage_text_np(text: str) -> bool:
     if int(special.sum()) / n > 0.5:
         return True
 
-    if np.unique(cp).size < 5:
+    # len(set) is O(n) C-speed vs np.unique's O(n log n) sort
+    if len(set(text)) < 5:
         return True
 
     # word lengths: runs of non-whitespace per str.split() semantics
