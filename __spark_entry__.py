@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_frames": multimodal.multimodal_frames,
         "revenue_by_nation": relational.revenue_by_nation,
+        "promo_revenue": relational.promo_revenue,
+        "supplier_balance_by_region": relational.supplier_balance_by_region,
         "distinct_users": relational.distinct_users,
         "clickers_without_errors": relational.clickers_without_errors,
         "embedding_meanpool": similarity.embedding_meanpool,
@@ -580,6 +582,22 @@ def oracle_sql() -> dict[str, str]:
             " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "distinct_users": "SELECT DISTINCT user_id FROM events",
+        "promo_revenue": (
+            "SELECT strftime(l_shipdate, '%Y-%m') AS month,"
+            " round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN"
+            " l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS DOUBLE)"
+            " / CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE),"
+            " 4) AS promo_pct, count(*)::BIGINT AS n_items"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " GROUP BY month"
+        ),
+        "supplier_balance_by_region": (
+            "SELECT r_name, count(*)::BIGINT AS n_suppliers,"
+            " round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS total_acctbal,"
+            " round(CAST(avg(s_acctbal) AS DOUBLE), 4) AS avg_acctbal"
+            " FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
         "embedding_meanpool": (
             "SELECT label, CAST(i AS INT) AS pos, round(avg(embedding[i]),"
             " 4) AS avg_val FROM (SELECT label, embedding,"

@@ -274,6 +274,48 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style conditional aggregate: promo revenue share per
+    month. Broadcast the part dim; the fact table never shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), rev)
+                    .otherwise(0.0)
+                )
+                * 100.0
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way dim chain (supplier -> nation -> region) with broadcast
+    joins: account-balance rollup per region."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
 def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op (§2.7): dropDuplicates (reference list(set(...)) analogue,
     ml_document_processor.py:155)."""
