@@ -60,8 +60,10 @@ MIN_SOUP_TAGS = 2
 
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _RAWTEXT_RE = re.compile(
-    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+    r"<(script|style|textarea)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
 )
+_CDATA_RE = re.compile(r"<!\[CDATA\[.*?\]\]>", re.DOTALL)
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>")
 _DOCTYPE_RE = re.compile(r"<![^>]*>")
 
@@ -130,6 +132,7 @@ def extract_html(payload: str) -> HtmlResult:
     """
     src = _COMMENT_RE.sub(" ", payload)
     src = _RAWTEXT_RE.sub(" ", src)
+    src = _CDATA_RE.sub(" ", src)  # before DOCTYPE: <![CDATA[ ... ]]>
     src = _DOCTYPE_RE.sub(" ", src)
 
     blocks: list[Block] = []

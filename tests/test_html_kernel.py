@@ -74,3 +74,20 @@ def test_empty_and_whitespace():
     assert extract_html("").text == ""
     assert extract_html("   \n  ").text == ""
     assert extract_html("<div></div><p>  </p>").text == ""
+
+
+def test_textarea_and_cdata_stripped():
+    from service1_text_extraction_spark.kernels.html import extract_html
+
+    payload = (
+        "<html><body><p>Real content paragraph here.</p>"
+        "<textarea>raw editor text with <fake> tags</textarea>"
+        "<![CDATA[ cdata payload should vanish ]]>"
+        "<p>Second real paragraph.</p></body></html>"
+    )
+    r = extract_html(payload)
+    assert "Real content paragraph here." in r.text
+    assert "Second real paragraph." in r.text
+    assert "raw editor" not in r.text
+    assert "cdata payload" not in r.text
+    assert "]]" not in r.text
