@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_candidates": dedup.minhash_band_candidates,
         "dedup_minhash_clusters": dedup.minhash_clusters,
         "dedup_minhash_cc": dedup.minhash_connected_components,
+        "duplicate_passages": dedup.duplicate_passages,
+        "value_quantiles": relational.value_quantiles,
+        "rollup_lang_source": relational.rollup_lang_source,
         "kmeans_assign": similarity.kmeans_assign,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
@@ -412,6 +415,35 @@ def oracle_sql() -> dict[str, str]:
             " FROM reach GROUP BY a"
         ),
         "kmeans_assign": _kmeans_sql(),
+        # strided 64-char gram hashes; grams in >=2 docs mark duplicated
+        # passages (floor() keeps Spark/DuckDB division semantics equal)
+        "duplicate_passages": (
+            f"WITH grams AS (SELECT doc_id, (i - 1) * {dedup.GRAM_STRIDE}"
+            " AS off, md5(substring(text,"
+            f" (i - 1) * {dedup.GRAM_STRIDE} + 1, {dedup.GRAM_LEN})) AS h"
+            " FROM (SELECT doc_id, text, unnest(generate_series(1,"
+            f" greatest(CAST(floor((length(text) - {dedup.GRAM_LEN}) /"
+            f" {dedup.GRAM_STRIDE}) AS INT), 0) + 1)) AS i FROM documents)),"
+            " multi AS (SELECT h, count(*) AS n_occ,"
+            " count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY h"
+            " HAVING count(DISTINCT doc_id) >= 2 AND count(*) <="
+            f" {dedup.MAX_BUCKET_DF})"
+            " SELECT g.doc_id, CAST(g.off AS BIGINT) AS off, g.h,"
+            " CAST(m.n_docs AS BIGINT) AS n_docs FROM grams g"
+            " JOIN multi m ON m.h = g.h"
+        ),
+        "value_quantiles": (
+            "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,"
+            " round(quantile_cont(value, 0.9), 4) AS p90,"
+            " round(quantile_cont(value, 0.99), 4) AS p99,"
+            " count(value)::BIGINT AS n FROM events"
+            " WHERE value IS NOT NULL GROUP BY event_type"
+        ),
+        "rollup_lang_source": (
+            "SELECT lang, source, count(*)::BIGINT AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents"
+            " GROUP BY ROLLUP (lang, source)"
+        ),
         "dedup_simhash": (
             f"WITH {_TOKS_CTE},"
             " tk AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id,"

@@ -345,3 +345,48 @@ def minhash_connected_components(
     return labels.select(
         "doc_id", F.col("label").cast("long").alias("cluster_rep")
     )
+
+
+GRAM_LEN = 64  # duplicate-passage gram width (chars)
+GRAM_STRIDE = 16  # stride between gram starts
+
+
+def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage detection — the removal target
+    of exact-substring corpus dedup (Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better" family, re-expressed
+    relationally): every strided 64-char gram is hashed; grams whose
+    hash occurs in more than one document mark a duplicated passage at
+    (doc_id, offset).
+
+    Scale shape: one explode (len/stride grams per doc, each shuffled
+    as a 16-byte md5, never the text), one hash-aggregate to find
+    multi-doc grams, one bucket-local explode back to positions. No
+    pairwise join; a passage shared by 10^6 docs costs its occurrence
+    list, not 10^12 pairs (MAX_BUCKET_DF caps pathological grams the
+    same way the shingle paths do).
+    """
+    grams = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(cast(floor((length(text) -"
+                f" {GRAM_LEN}) / {GRAM_STRIDE}) as int), 0)), i -> struct("
+                f"i * {GRAM_STRIDE} as off, md5(substring(text,"
+                f" i * {GRAM_STRIDE} + 1, {GRAM_LEN})) as h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.off").alias("off"), F.col("g.h").alias("h"))
+    multi = grams.groupBy("h").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    ).where((F.col("n_docs") >= 2) & (F.col("n_occ") <= MAX_BUCKET_DF))
+    return (
+        grams.join(multi, "h")
+        .select(
+            "doc_id",
+            F.col("off").cast("long").alias("off"),
+            "h",
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )

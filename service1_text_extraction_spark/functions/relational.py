@@ -355,3 +355,38 @@ def source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (F.percentile is
+    the exact sort-based form — at 100 TB swap for percentile_approx's
+    mergeable t-digest-style sketch; the exact form is the oracle-able
+    correctness baseline)."""
+    pcts = F.percentile(
+        F.col("value").cast("double"), F.array(*[F.lit(p) for p in (0.5, 0.9, 0.99)])
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(pcts[0], 4).alias("p50"),
+            F.round(pcts[1], 4).alias("p90"),
+            F.round(pcts[2], 4).alias("p99"),
+            F.count("value").alias("n"),
+        )
+    )
+
+
+def rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (lang, source) -> per-pair, per-lang subtotal,
+    and grand total in one pass (Catalyst expands the grouping sets;
+    partial aggregation applies to every set)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -278,7 +278,16 @@ class PdfDocument:
             if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
                 id0 = ids[0]
         if enc_ref is None:
-            return
+            # PDF 1.5+ files with cross-reference *streams* carry no
+            # `trailer` keyword; the xref-stream dict (plain bytes in
+            # the object scan) holds /Encrypt and /ID instead
+            m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.data)
+            if m is None:
+                return
+            enc_ref = Ref(int(m.group(1)), int(m.group(2)))
+            mid = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", self.data)
+            if mid is not None:
+                id0 = bytes.fromhex(mid.group(1).decode("ascii"))
         enc = self.resolve(enc_ref)
         if not isinstance(enc, dict) or enc.get("/Filter") != "/Standard":
             raise PdfError("password_required: unsupported encryption")
@@ -478,14 +487,21 @@ class PdfDocument:
         root = self.resolve(cat.get("/Pages"))
         out: list[dict] = []
 
-        def walk(node, depth=0):
+        def walk(node, depth=0, inherited=()):
             if not isinstance(node, dict) or depth > 64:
                 return
+            # /Rotate and /MediaBox inherit down the page tree
+            inh = dict(inherited)
+            for key in ("/Rotate", "/MediaBox"):
+                if key in node:
+                    inh[key] = node[key]
             if node.get("/Type") == "/Page":
-                out.append(node)
+                merged = dict(inh)
+                merged.update(node)
+                out.append(merged)
                 return
             for kid in self.resolve(node.get("/Kids")) or []:
-                walk(self.resolve(kid), depth + 1)
+                walk(self.resolve(kid), depth + 1, tuple(inh.items()))
 
         walk(root)
         if not out:
@@ -1122,7 +1138,40 @@ def extract_pdf(data: bytes) -> PdfResult:
         content = doc.page_content(page)
         fonts = doc.page_fonts(page)
         forms = doc.load_forms(page)
-        pages.append(
-            assemble_page(interpret_content(content, fonts, forms))
-        )
+        runs = interpret_content(content, fonts, forms)
+        runs = _apply_rotation(runs, doc, page)
+        pages.append(assemble_page(runs))
     return PdfResult(pages)
+
+
+def _apply_rotation(
+    runs: list[Run], doc: PdfDocument, page: dict
+) -> list[Run]:
+    """Normalize run coordinates for the page /Rotate attribute
+    (inherited) so reading order follows the *displayed* page — a
+    landscape scan saved with /Rotate 90 must not interleave its lines.
+    """
+    rot = doc.resolve(page.get("/Rotate"))
+    if not isinstance(rot, int) or rot % 360 == 0:
+        return runs
+    rot = rot % 360
+    mb = doc.resolve(page.get("/MediaBox"))
+    if isinstance(mb, list) and len(mb) == 4:
+        x0, y0, x1, y1 = (float(v) for v in mb)
+    else:
+        x0 = y0 = 0.0
+        x1, y1 = 612.0, 792.0
+    w, h = x1 - x0, y1 - y0
+    out = []
+    for r in runs:
+        x, y = r.x - x0, r.y - y0
+        if rot == 90:
+            nx, ny = y, w - x
+        elif rot == 180:
+            nx, ny = w - x, h - y
+        elif rot == 270:
+            nx, ny = h - y, x
+        else:
+            nx, ny = x, y
+        out.append(Run(nx, ny, r.size, r.text))
+    return out

@@ -217,3 +217,42 @@ def test_nested_form_xobject_with_matrix():
     p = pdf.extract_pdf(data).pages[0]
     # inner renders at y=540 (500+40), outer at y=480 (500-20)
     assert p.text == "inner\nouter"
+
+
+def test_rotate_90_restores_reading_order():
+    """A /Rotate 90 page (landscape scan): lines run along the unrotated
+    x axis; normalization must stack them as separate reading lines in
+    increasing-x order."""
+    cb = pdfgen.ContentBuilder()
+    cb.tm(72, 300).tj("first displayed line")
+    cb.tm(100, 300).tj("second displayed line")
+    data = pdfgen.build_pdf([cb.build()])
+    data = data.replace(
+        b"/MediaBox [0 0 612 792]", b"/MediaBox [0 0 612 792] /Rotate 90"
+    )
+    p = pdf.extract_pdf(data).pages[0]
+    assert p.text == "first displayed line\nsecond displayed line"
+
+
+def test_rotate_inherited_from_pages_node():
+    cb = pdfgen.ContentBuilder()
+    cb.tm(72, 300).tj("alpha")
+    cb.tm(100, 300).tj("beta")
+    data = pdfgen.build_pdf([cb.build()])
+    # /Rotate on the /Pages parent inherits to the kid page
+    data = data.replace(b"/Type /Pages", b"/Type /Pages /Rotate 90")
+    p = pdf.extract_pdf(data).pages[0]
+    assert p.text == "alpha\nbeta"
+
+
+def test_encrypt_found_without_trailer_keyword():
+    """Xref-stream-style files have no `trailer` keyword: the /Encrypt
+    reference must still be discovered (and here, decrypted)."""
+    data = pdfgen.build_pdf_encrypted(
+        [pdfgen.simple_page([(72, 700, ["no trailer keyword here"])])],
+        mode="rc4-128",
+    )
+    data = data.replace(b"trailer\n", b"%tr\n")  # simulate xref-stream file
+    assert b"trailer" not in data
+    p = pdf.extract_pdf(data).pages[0]
+    assert p.text == "no trailer keyword here"
