@@ -103,6 +103,34 @@ def test_textstats_tokenize_once(spark, sf_dir):
         assert plan.count("split(") == 1, (q.__name__, plan)
 
 
+def test_kmeans_assignment_is_pure_projection(spark, sf_dir):
+    """The final k-means assignment must be a per-row expression over
+    centroid literals: no Exchange in the plan at all."""
+    from service1_text_extraction_spark.functions import similarity
+
+    plan = _plan(similarity.kmeans_assign(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_duplicate_passages_never_joins_text(spark, sf_dir):
+    """Gram hashes shuffle (16-byte md5), never document text: the
+    aggregate side's exchange must not carry the text column."""
+    from service1_text_extraction_spark.functions import dedup
+
+    plan = _plan(dedup.duplicate_passages(spark, sf_dir))
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), plan
+
+
+def test_json_sanitize_is_arrow_batched(spark, sf_dir):
+    from service1_text_extraction_spark.functions import jsonfuncs
+
+    plan = _plan(jsonfuncs.json_sanitize(spark, sf_dir))
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
 def test_filter_pushdown_quality_gate(spark, sf_dir):
     plan = _plan(relational.quality_gate_length(spark, sf_dir))
     # length(trim(x)) is not pushable, but the scan must still prune

@@ -175,3 +175,42 @@ def test_jsonsan_sanitize_is_noop_on_valid_json(obj):
 
     payload = json.dumps(obj)
     assert sanitize_json_string(payload) == payload
+
+
+# ---- hostile-input robustness ------------------------------------------
+
+_pdf_fragments = st.lists(
+    st.one_of(
+        st.binary(max_size=40),
+        st.sampled_from([
+            b"%PDF-1.4\n", b"1 0 obj", b"endobj", b"stream\n", b"endstream",
+            b"<< /Type /Page >>", b"<< /Length 5 >>", b"trailer",
+            b"<< /Root 1 0 R >>", b"[1 2 R]", b"(open paren", b"<<<<",
+            b"/Filter /FlateDecode", b"BT (txt) Tj ET", b"xref\n",
+            b"/Encrypt 9 0 R", b"<deadbeef>", b"\\(esc",
+        ]),
+    ),
+    max_size=12,
+)
+
+
+@given(_pdf_fragments)
+@settings(max_examples=300, deadline=None)
+def test_pdf_parser_fails_clean_on_hostile_bytes(frags):
+    """Mutated/garbage PDFs must raise PdfError (or parse) — never leak
+    IndexError/KeyError/RecursionError or hang. extract_turn depends on
+    this boundary to survive hostile 10^12-row corpora."""
+    data = b"%PDF-1.4\n" + b"\n".join(frags)
+    try:
+        pdf.extract_pdf(data)
+    except pdf.PdfError:
+        pass
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_pdf_parser_fails_clean_on_random_bytes(data):
+    try:
+        pdf.extract_pdf(b"%PDF-" + data)
+    except pdf.PdfError:
+        pass
