@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 # Adobe padding constant (PDF 32000-1 Table 21 / Algorithm 2 step a)
 PAD = bytes(
     [
@@ -199,22 +201,50 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+# vectorized inverse cipher: CBC *decryption* parallelizes perfectly
+# (P_i = D(C_i) xor C_{i-1}), so all blocks run through the inverse
+# rounds at once via uint8 table lookups — ~100x the per-block Python
+# loop on megabyte streams (wild encrypted PDFs are that size)
+_INV_SBOX_NP = np.array(_INV_SBOX, dtype=np.uint8)
+_INV_SHIFT_NP = np.array(_INV_SHIFT)
+_MULT = {
+    m: np.array([_mul(a, m) for a in range(256)], dtype=np.uint8)
+    for m in (9, 11, 13, 14)
+}
+
+
+def _decrypt_blocks_np(blocks: "np.ndarray", rks: list[bytes]) -> "np.ndarray":
+    s = blocks ^ np.frombuffer(rks[10], np.uint8)
+    for rnd in range(9, 0, -1):
+        s = _INV_SBOX_NP[s[:, _INV_SHIFT_NP]]
+        s = s ^ np.frombuffer(rks[rnd], np.uint8)
+        t = np.empty_like(s)
+        for c in range(0, 16, 4):
+            a0, a1 = s[:, c], s[:, c + 1]
+            a2, a3 = s[:, c + 2], s[:, c + 3]
+            t[:, c] = _MULT[14][a0] ^ _MULT[11][a1] ^ _MULT[13][a2] ^ _MULT[9][a3]
+            t[:, c + 1] = _MULT[9][a0] ^ _MULT[14][a1] ^ _MULT[11][a2] ^ _MULT[13][a3]
+            t[:, c + 2] = _MULT[13][a0] ^ _MULT[9][a1] ^ _MULT[14][a2] ^ _MULT[11][a3]
+            t[:, c + 3] = _MULT[11][a0] ^ _MULT[13][a1] ^ _MULT[9][a2] ^ _MULT[14][a3]
+        s = t
+    s = _INV_SBOX_NP[s[:, _INV_SHIFT_NP]]
+    return s ^ np.frombuffer(rks[0], np.uint8)
+
+
 def aes128_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     if len(data) % 16:
         raise CryptError("AES ciphertext not block-aligned")
-    rks = _round_keys(_expand_key(key))
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        block = data[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block(block, rks), prev))
-        prev = block
-    if not out:
+    if not data:
         return b""
+    rks = _round_keys(_expand_key(key))
+    blocks = np.frombuffer(data, np.uint8).reshape(-1, 16)
+    plain = _decrypt_blocks_np(blocks, rks)
+    prev = np.vstack([np.frombuffer(iv, np.uint8), blocks[:-1]])
+    out = (plain ^ prev).tobytes()
     pad_n = out[-1]
     if not 1 <= pad_n <= 16:
         raise CryptError("bad AES padding")
-    return bytes(out[:-pad_n])
+    return out[:-pad_n]
 
 
 # --------------------------------------------------------------------------
