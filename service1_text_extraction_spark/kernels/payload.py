@@ -9,8 +9,13 @@ spans, bytes-in, chars-out and boilerplate ratio. With no OCR binary
 in scope, a gate failure yields the reference's no-tesseract failure
 row (``:410-416``): empty text, method ``failed``.
 
-Methods: ``html`` | ``pdf`` | ``text`` | ``failed``
-(reference: ``fitz`` | ``tesseract`` | ``failed``).
+Methods: ``html`` | ``pdf`` | ``ocr`` | ``text`` | ``failed``
+(reference: ``fitz`` | ``tesseract`` | ``failed``). The ``ocr`` path
+is a pluggable hook (:func:`set_ocr_hook`): no OCR binary ships in
+this sandbox, so the default hook is None and gate failures produce
+the reference's no-tesseract failure row — but a deployment with
+tesseract wires it in without touching the pipeline, and the method
+tag + gate semantics are already exercised by tests with a fake hook.
 """
 
 from __future__ import annotations
@@ -26,6 +31,18 @@ from .pdf import PdfError, extract_pdf
 
 # The service's quality gate (document_text_extraction_service.py:174-178).
 MIN_PDF_TEXT_LENGTH = 250
+
+# F5 OCR fallback hook (reference core_pdf_processor.py:467-495 runs
+# tesseract over page images when the structured extraction fails the
+# gate). Signature: (pdf_bytes) -> extracted text.
+_OCR_HOOK = None
+
+
+def set_ocr_hook(fn) -> None:
+    """Install (or clear, with None) the OCR fallback used when a PDF
+    fails the quality gate."""
+    global _OCR_HOOK
+    _OCR_HOOK = fn
 
 # base64 of "%PDF-" is "JVBERi0"; payloads are sniffed, not trusted.
 _B64_PDF_PREFIX = "JVBER"
@@ -122,6 +139,24 @@ def _extract_turn_inner(payload: str | None) -> TurnResult:
                 0.0,
                 result.joined_layout(),
             )
+        if _OCR_HOOK is not None:
+            try:
+                ocr_text = textnorm.clean_unicode(_OCR_HOOK(raw)).strip()
+            except Exception:  # noqa: BLE001 - hook errors -> failure row
+                ocr_text = ""
+            if (
+                len(ocr_text) >= MIN_PDF_TEXT_LENGTH
+                and not textnorm.is_garbage_text_np(ocr_text)
+            ):
+                return TurnResult(
+                    ocr_text,
+                    "ocr",
+                    None,
+                    [(0, len(ocr_text), "ocr")],
+                    len(raw),
+                    len(ocr_text),
+                    0.0,
+                )
         return _failed(
             "quality gate failed and no OCR fallback available", len(raw)
         )

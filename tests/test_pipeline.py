@@ -181,3 +181,43 @@ def test_adversarial_payloads_never_raise(spark):
     assert bad_b64.method == "failed" and "base64" in bad_b64.error
     not_pdf = extract_turn("JVBERi0" + "QUJD" * 40)
     assert not_pdf.method == "failed"
+
+
+def test_ocr_hook_contract():
+    """F5 OCR fallback: with a hook installed, a gate-failing PDF takes
+    the 'ocr' method (reference 'tesseract' tag); hook errors and
+    absent hooks both yield the no-tesseract failure row."""
+    import base64
+
+    from service1_text_extraction_spark.kernels import payload, pdfgen
+
+    short_pdf = pdfgen.build_pdf(
+        [pdfgen.simple_page([(72, 700, ["too short"])])]
+    )
+    b64 = base64.b64encode(short_pdf).decode("ascii")
+
+    r = payload.extract_turn(b64)
+    assert r.method == "failed" and "no OCR fallback" in (r.error or "")
+
+    fake_text = "ocr recovered sentence. " * 20  # > 250 chars, clean
+    payload.set_ocr_hook(lambda raw: fake_text)
+    try:
+        r2 = payload.extract_turn(b64)
+        assert r2.method == "ocr"
+        assert r2.text == fake_text.strip()
+        assert r2.chars_out == len(fake_text.strip())
+        payload.set_ocr_hook(lambda raw: 1 / 0)  # hook crash -> failed row
+        r3 = payload.extract_turn(b64)
+        assert r3.method == "failed"
+    finally:
+        payload.set_ocr_hook(None)
+    # good PDFs never consult the hook
+    payload.set_ocr_hook(lambda raw: (_ for _ in ()).throw(AssertionError))
+    try:
+        long_pdf = pdfgen.build_pdf([pdfgen.simple_page(
+            [(72, 700, [f"A full sentence number {i} here." for i in range(12)])]
+        )])
+        r4 = payload.extract_turn(base64.b64encode(long_pdf).decode("ascii"))
+        assert r4.method == "pdf"
+    finally:
+        payload.set_ocr_hook(None)
