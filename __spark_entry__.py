@@ -210,9 +210,22 @@ def _HEXBYTE(i: int) -> str:
     )
 
 
+# Kirsch-Mitzenmacher double hashing, mirroring dedup.minhash_signatures:
+# h_i = (a + i*b) mod 2^32 from the two 32-bit halves of md5(shingle)
+_MH_A = "('0x' || substring(md5(shingle), 1, 8))::BIGINT"
+_MH_B = "('0x' || substring(md5(shingle), 9, 8))::BIGINT"
 _MINHASH_AGGS = ", ".join(
-    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(dedup.N_MINHASH)
+    f"min(({_MH_A} + {i} * {_MH_B}) % {dedup._H_MOD}) AS h{i}"
+    for i in range(dedup.N_MINHASH)
 )
+
+
+def _band_sql(cols):
+    return "md5(" + " || '|' || ".join(f"{c}::VARCHAR" for c in cols) + ")"
+
+
+_BAND0 = _band_sql(["h0", "h1", "h2", "h3"])
+_BAND1 = _band_sql(["h4", "h5", "h6", "h7"])
 
 # LSH hyperplanes as DOUBLE[] literals from the same derivation the Spark
 # side uses (similarity.plane_weights) — bit p = sign of the inner product
@@ -371,9 +384,9 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_TOKS_CTE}, {_SHINGLES_CTE},"
             f" sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY"
             " doc_id), bands AS ("
-            " SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS"
-            " band_val FROM sig UNION ALL SELECT doc_id, 1, md5(h4 || h5 ||"
-            " h6 || h7) FROM sig),"
+            f" SELECT doc_id, 0 AS band_idx, {_BAND0} AS"
+            f" band_val FROM sig UNION ALL SELECT doc_id, 1, {_BAND1}"
+            " FROM sig),"
             # mirror the MAX_BUCKET_DF band-bucket cap from dedup.py
             " capped AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2"
             f" HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET_DF})"
@@ -387,9 +400,9 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_TOKS_CTE}, {_SHINGLES_CTE},"
             f" sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY"
             " doc_id), bands AS ("
-            " SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS"
-            " band_val FROM sig UNION ALL SELECT doc_id, 1, md5(h4 || h5 ||"
-            " h6 || h7) FROM sig),"
+            f" SELECT doc_id, 0 AS band_idx, {_BAND0} AS"
+            f" band_val FROM sig UNION ALL SELECT doc_id, 1, {_BAND1}"
+            " FROM sig),"
             " m AS (SELECT band_idx, band_val, min(doc_id) AS bucket_min"
             " FROM bands GROUP BY 1, 2)"
             " SELECT b.doc_id, CAST(min(m.bucket_min) AS BIGINT) AS"
@@ -403,9 +416,9 @@ def oracle_sql() -> dict[str, str]:
             f"WITH RECURSIVE {_TOKS_CTE}, {_SHINGLES_CTE},"
             f" sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY"
             " doc_id), bands AS ("
-            " SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS"
-            " band_val FROM sig UNION ALL SELECT doc_id, 1, md5(h4 || h5 ||"
-            " h6 || h7) FROM sig),"
+            f" SELECT doc_id, 0 AS band_idx, {_BAND0} AS"
+            f" band_val FROM sig UNION ALL SELECT doc_id, 1, {_BAND1}"
+            " FROM sig),"
             " adj AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM"
             " bands a JOIN bands b ON a.band_idx = b.band_idx AND"
             " a.band_val = b.band_val),"

@@ -21,13 +21,18 @@ from pyspark.sql import functions as F
 N_MINHASH = 8
 BAND_SIZE = 4  # 2 bands of 4 -> candidates need one identical half-signature
 
-# word 3-gram shingles; docs with <3 tokens contribute one short shingle
+# word 3-gram shingles; docs with <3 tokens contribute one short shingle.
+# The token array MUST be materialized in its own projection before the
+# shingle transform: inlining the tokenizer into the per-element lambda
+# re-tokenizes the whole document for every element access (measured
+# O(n^2): the bare explode over sf0.1 took 9.6 s for 260k rows; with the
+# materialized column it is sub-second).
 _TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
-SHINGLES_EXPR = (
-    "array_distinct(transform(sequence(1, greatest(size({t})-2, 1)), "
-    "i -> concat_ws(' ', try_element_at({t}, i), try_element_at({t}, i+1), "
-    "try_element_at({t}, i+2))))"
-).format(t=_TOKENS)
+SHINGLES_OF_T = (
+    "array_distinct(transform(sequence(1, greatest(size(t)-2, 1)), "
+    "i -> concat_ws(' ', try_element_at(t, i), try_element_at(t, i+1), "
+    "try_element_at(t, i+2))))"
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +55,8 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("shingle"))
+        .select("doc_id", F.expr(_TOKENS).alias("t"))
+        .select("doc_id", F.explode(F.expr(SHINGLES_OF_T)).alias("shingle"))
         .distinct()
     )
 
@@ -116,12 +122,29 @@ def ngram_jaccard_pairs(
     )
 
 
+_H_MOD = 4294967296  # 2^32
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N_MINHASH min-hashes per doc; hash_i(s) = md5(i || ':' || s)
-    (string mins are portable across engines)."""
-    sh = _shingled(spark, sf_dir)
+    """N_MINHASH min-hashes per doc via Kirsch-Mitzenmacher double
+    hashing: hash_i(s) = (a + i*b) mod 2^32 with (a, b) the two 32-bit
+    halves of one md5(shingle) — one digest per shingle occurrence
+    instead of N_MINHASH (the md5s were the dominant CPU cost of the
+    MinHash family at sf0.1). Integer mins stay portable to DuckDB
+    ('0x'-prefixed hex casts)."""
+    sh = _shingled(spark, sf_dir).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("a"),
+        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("b"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min(
+            F.pmod(F.col("a") + i * F.col("b"), F.lit(_H_MOD))
+        ).alias(f"h{i}")
         for i in range(N_MINHASH)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -139,7 +162,11 @@ def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.append(
             F.struct(
                 F.lit(band).alias("band_idx"),
-                F.md5(F.concat(*[F.col(c) for c in cols])).alias("band_val"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(c).cast("string") for c in cols]
+                    )
+                ).alias("band_val"),
             )
         )
     exploded = sig.select(
@@ -201,7 +228,11 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.append(
             F.struct(
                 F.lit(band).alias("band_idx"),
-                F.md5(F.concat(*[F.col(c) for c in cols])).alias("band_val"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(c).cast("string") for c in cols]
+                    )
+                ).alias("band_val"),
             )
         )
     exploded = sig.select(
@@ -302,7 +333,11 @@ def minhash_connected_components(
         bands.append(
             F.concat(
                 F.lit(f"{band}:"),
-                F.md5(F.concat(*[F.col(c) for c in cols])),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(c).cast("string") for c in cols]
+                    )
+                ),
             )
         )
     edges = sig.select(

@@ -93,6 +93,20 @@ def test_ivf_assignment_is_sort_free(spark, sf_dir):
     assert "Window" not in plan, plan
 
 
+def test_shingles_tokenize_once(spark, sf_dir):
+    """The shingle path must materialize the token array before the
+    per-element transform — inlining the tokenizer into the lambda
+    re-tokenizes the document per shingle (measured O(n^2): 9.6 s for a
+    260k-row explode at sf0.1; ~1 s materialized)."""
+    plan = (
+        dedup.minhash_band_candidates(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan
+
+
 def test_textstats_tokenize_once(spark, sf_dir):
     """lang_id/quality_score must tokenize each row exactly once — not
     once per stopword language (5x the corpus at 100 TB)."""
