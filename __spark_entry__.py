@@ -251,10 +251,19 @@ _SIMHASH_BITS = "concat(" + ", ".join(
     f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END"
     for j in range(dedup.N_SIMHASH_BITS)
 ) + ")"
-_SIMHASH_HAMMING = " + ".join(
-    f"CASE WHEN substring(ha, {j + 1}, 1) <> substring(hb, {j + 1}, 1)"
-    " THEN 1 ELSE 0 END"
-    for j in range(dedup.N_SIMHASH_BITS)
+_SIMHASH_SEGS = ", ".join(
+    "("
+    + " + ".join(
+        f"CASE WHEN s{b * dedup.SIMHASH_BAND_BITS + k} > 0"
+        f" THEN {1 << (dedup.SIMHASH_BAND_BITS - 1 - k)} ELSE 0 END"
+        for k in range(dedup.SIMHASH_BAND_BITS)
+    )
+    + f") AS f{b}"
+    for b in range(dedup.N_SIMHASH_BITS // dedup.SIMHASH_BAND_BITS)
+)
+_SIMHASH_HAMMING_INT = " + ".join(
+    f"bit_count(xor(a{b}::BIGINT, b{b}::BIGINT))"
+    for b in range(dedup.N_SIMHASH_BITS // dedup.SIMHASH_BAND_BITS)
 )
 
 
@@ -473,24 +482,24 @@ def oracle_sql() -> dict[str, str]:
             " h AS (SELECT doc_id, md5('0:' || tok) AS h0,"
             " md5('1:' || tok) AS h1 FROM tk),"
             f" s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),"
-            f" fp AS (SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM s),"
-            # band-local candidates + MAX_BUCKET_DF cap, mirroring the
-            # Spark-side pigeonhole banding (4 bands of 16 bits)
-            " bands AS (SELECT doc_id, simhash, b AS band_idx,"
-            f" substring(simhash, b * {dedup.SIMHASH_BAND_BITS} + 1,"
-            f" {dedup.SIMHASH_BAND_BITS}) AS band_val FROM"
-            " (SELECT doc_id, simhash, unnest(generate_series(0,"
-            f" {dedup.N_SIMHASH_BITS // dedup.SIMHASH_BAND_BITS - 1}))"
-            " AS b FROM fp)),"
+            # 4 x 16-bit integer fingerprint segments (mirroring the
+            # Spark side); band key = the segment value itself
+            f" fp AS (SELECT doc_id, {_SIMHASH_SEGS} FROM s),"
+            " bands AS (SELECT doc_id, f0, f1, f2, f3, bd AS band_idx,"
+            " CASE bd WHEN 0 THEN f0 WHEN 1 THEN f1 WHEN 2 THEN f2"
+            " ELSE f3 END AS band_val FROM (SELECT *,"
+            " unnest(generate_series(0, 3)) AS bd FROM fp)),"
             " capped AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2"
             f" HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET_DF}),"
             " cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,"
-            " a.simhash AS ha, b.simhash AS hb FROM bands a JOIN bands b"
-            " ON a.band_idx = b.band_idx AND a.band_val = b.band_val"
-            " AND a.doc_id < b.doc_id JOIN capped c ON c.band_idx ="
-            " a.band_idx AND c.band_val = a.band_val)"
-            f" SELECT a_id, b_id, CAST({_SIMHASH_HAMMING} AS BIGINT)"
-            f" AS hamming FROM cand WHERE {_SIMHASH_HAMMING} <= 3"
+            " a.f0 AS a0, a.f1 AS a1, a.f2 AS a2, a.f3 AS a3,"
+            " b.f0 AS b0, b.f1 AS b1, b.f2 AS b2, b.f3 AS b3"
+            " FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND"
+            " a.band_val = b.band_val AND a.doc_id < b.doc_id"
+            " JOIN capped c ON c.band_idx = a.band_idx AND c.band_val ="
+            " a.band_val)"
+            f" SELECT a_id, b_id, CAST({_SIMHASH_HAMMING_INT} AS BIGINT)"
+            f" AS hamming FROM cand WHERE {_SIMHASH_HAMMING_INT} <= 3"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings"

@@ -182,12 +182,9 @@ N_SIMHASH_BITS = 64
 SIMHASH_BAND_BITS = 16  # 4 bands of 16 -> Hamming<=3 shares >=1 band
 
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash over distinct word tokens: bit j votes +1/-1 by
-    the high bit of hex nibble j%32 of md5((j//32) || ':' || token);
-    fingerprint is the sign vector. 64 bits (vs 16 in round 1) keeps
-    16-bit band buckets sparse at scale — a 16-bit fingerprint has only
-    2^4 values per band, which makes banding near-quadratic."""
+def _simhash_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bit-vote sums s0..s63: bit j votes +1/-1 by the high bit
+    of hex nibble j%32 of md5((j//32) || ':' || token)."""
     toks = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
@@ -203,7 +200,15 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"s{j}")
         for j in range(N_SIMHASH_BITS)
     ]
-    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over distinct word tokens; fingerprint is the
+    sign vector rendered as a bit string. 64 bits (vs 16 in round 1)
+    keeps 16-bit band buckets sparse at scale — a 16-bit fingerprint
+    has only 2^4 values per band, which makes banding near-quadratic."""
+    per_doc = _simhash_sums(spark, sf_dir)
     bits = [
         F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
         for j in range(N_SIMHASH_BITS)
@@ -259,30 +264,49 @@ def simhash_neardup_pairs(
     so candidates form bucket-locally and the exact Hamming check runs
     only inside buckets (never a global cross product). 16-bit bands
     have 2^16 values, so buckets stay sparse as the corpus grows —
-    expected bucket size n/2^16 per band."""
-    fp = simhash_fingerprints(spark, sf_dir)
+    expected bucket size n/2^16 per band.
+
+    The fingerprint travels as 4 x 16-bit integer segments instead of a
+    64-char bit string: band keys are the segment values directly and
+    Hamming distance is 4 ``bit_count(xor(...))`` terms instead of 64
+    per-character comparisons — both a smaller shuffle payload and a
+    far smaller codegen unit."""
+    n_bands = N_SIMHASH_BITS // SIMHASH_BAND_BITS
+    sums = _simhash_sums(spark, sf_dir)
+    segs = []
+    for b in range(n_bands):
+        seg = None
+        for k in range(SIMHASH_BAND_BITS):
+            bit = F.when(
+                F.col(f"s{b * SIMHASH_BAND_BITS + k}") > 0,
+                F.lit(1 << (SIMHASH_BAND_BITS - 1 - k)),
+            ).otherwise(F.lit(0))
+            seg = bit if seg is None else seg + bit
+        segs.append(seg.cast("long").alias(f"f{b}"))
+    fp = sums.select("doc_id", *segs)
+
     bands = [
         F.struct(
-            F.lit(b).alias("band_idx"),
-            F.substring(
-                "simhash", b * SIMHASH_BAND_BITS + 1, SIMHASH_BAND_BITS
-            ).alias("band_val"),
+            F.lit(b).alias("band_idx"), F.col(f"f{b}").alias("band_val")
         )
-        for b in range(N_SIMHASH_BITS // SIMHASH_BAND_BITS)
+        for b in range(n_bands)
     ]
+    fcols = [f"f{b}" for b in range(n_bands)]
     exploded = fp.select(
-        "doc_id", "simhash", F.explode(F.array(*bands)).alias("b")
-    ).select("doc_id", "simhash", F.col("b.band_idx"), F.col("b.band_val"))
+        "doc_id", *fcols, F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", *fcols, F.col("b.band_idx"), F.col("b.band_val"))
     buckets = exploded.groupBy("band_idx", "band_val").agg(
         F.array_sort(
-            F.collect_list(F.struct("doc_id", "simhash"))
+            F.collect_list(F.struct("doc_id", *fcols))
         ).alias("members")
+    )
+    pair_fields = ", ".join(
+        f"x.f{b} AS a{b}, y.f{b} AS b{b}" for b in range(n_bands)
     )
     pairs_expr = (
         "flatten(transform(members, (x, i) -> transform("
         "slice(members, i + 2, size(members)), "
-        "y -> struct(x.doc_id AS a, y.doc_id AS b, "
-        "x.simhash AS ha, y.simhash AS hb))))"
+        f"y -> struct(x.doc_id AS a, y.doc_id AS b, {pair_fields}))))"
     )
     # 16-bit bands keep buckets sparse, so the shared MAX_BUCKET_DF cap
     # applies (mirrored in the DuckDB oracle); an over-full bucket means
@@ -291,14 +315,12 @@ def simhash_neardup_pairs(
     cand = (
         buckets.where(F.size("members").between(2, MAX_BUCKET_DF))
         .select(F.explode(F.expr(pairs_expr)).alias("p"))
-        .select("p.a", "p.b", "p.ha", "p.hb")
+        .select("p.*")
         .distinct()
     )
     hamming = sum(
-        (F.substring("ha", j + 1, 1) != F.substring("hb", j + 1, 1)).cast(
-            "int"
-        )
-        for j in range(N_SIMHASH_BITS)
+        F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
+        for b in range(n_bands)
     )
     return (
         cand.withColumn("hamming", hamming.cast("long"))
