@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_ws_sql": textstats.normalize_ws_sql,
         "chunk_counts": textstats.chunk_counts,
         "train_test_split": textstats.train_test_split,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
     }
 
 
@@ -681,6 +682,24 @@ def oracle_sql() -> dict[str, str]:
             " AS day FROM events WHERE event_type = 'error'"
         ),
         "chunk_counts": _chunk_counts_sql(),
+        # smoothed tf-idf; ln == Spark F.log == DuckDB ln
+        "tfidf_top_terms": (
+            f"WITH {_TOKS_CTE},"
+            " tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),"
+            " tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok"
+            " GROUP BY 1, 2),"
+            " df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok"
+            " GROUP BY tok),"
+            " n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),"
+            " scored AS (SELECT tf.doc_id, tf.tok,"
+            " round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0),"
+            " 6) AS tfidf FROM tf JOIN df ON df.tok = tf.tok, n),"
+            " ranked AS (SELECT doc_id, tok, tfidf, row_number() OVER"
+            " (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank"
+            " FROM scored)"
+            " SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf"
+            " FROM ranked WHERE rank <= 3"
+        ),
         # hash bucket = int(md5[:4], 16) % 100, hex parsed via strpos
         "train_test_split": (
             "WITH hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m"

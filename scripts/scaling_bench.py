@@ -166,6 +166,10 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    # every session also appends to the history file — the honest view
+    # on this drifting VM is the distribution, not any single sample
+    with open(os.path.join(REPO, "BENCH", "scaling_history.jsonl"), "a") as f:
+        f.write(json.dumps(summary) + "\n")
     print(json.dumps(summary, indent=2))
 
 

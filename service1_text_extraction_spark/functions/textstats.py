@@ -177,3 +177,40 @@ def train_test_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def tfidf_top_terms(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (classic corpus
+    characterization): tf = in-doc term count, idf = ln((N+1)/(df+1))+1
+    (the smoothed scikit-style form). The df table is tiny relative to
+    the corpus (vocabulary-sized) and broadcasts; the per-doc top-k is
+    a bounded window over each doc's distinct terms. Ties break on the
+    term string, so results are deterministic and oracle-checkable."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()  # one scalar action (corpus size)
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count("*").alias("df")
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                "tok", "tfidf")
+    )
