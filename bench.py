@@ -101,6 +101,8 @@ def main() -> None:
         "dedup_exact": q(dedup.exact_dedup),
         "dedup_minhash_clusters": q(dedup.minhash_clusters),
         "dedup_simhash_neardup": q(dedup.simhash_neardup_pairs),
+        "dedup_minhash_cc": q(dedup.minhash_connected_components),
+        "duplicate_passages": q(dedup.duplicate_passages),
         "ann_cosine_topk": q(similarity.cosine_topk),
         "ann_ivf_topk": q(similarity.ivf_ann_topk),
         "ann_lsh_topk": q(similarity.lsh_ann_topk),
@@ -111,6 +113,8 @@ def main() -> None:
         "sessionize": q(relational.sessionize),
         "token_counts": q(textstats.token_counts),
         "doc_fingerprint": q(textstats.doc_fingerprint),
+        "tfidf_top_terms": q(textstats.tfidf_top_terms),
+        "kmeans_assign": q(similarity.kmeans_assign),
     }
 
     # two runs per query, min wins: measures steady-state plan execution

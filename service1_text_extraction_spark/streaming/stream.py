@@ -199,3 +199,34 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_distinct_turns(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark: str = "1 hour",
+    query_name: str = "distinct_turns",
+):
+    """Streaming dedup: duplicate (conv_id, turn_idx) arrivals within
+    the watermark horizon (re-delivered files, at-least-once upstreams)
+    are dropped via the state store. dropDuplicatesWithinWatermark
+    bounds state: keys older than the event-time watermark are evicted,
+    so state size tracks the horizon, not the corpus."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+        .select("conv_id", "turn_idx", "role", "ts")
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

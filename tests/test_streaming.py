@@ -144,3 +144,28 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     )
     assert got["n_turns"].to_dict() == batch["n_turns"].to_dict()
     assert got["n_sessions"].to_dict() == batch["n_sessions"].to_dict()
+
+
+@pytest.mark.slow
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicated deliveries of the same (conv_id, turn_idx) collapse
+    to one output row via the dedup state store."""
+    t, _ = generate_transcripts(n_convs=10, seed=7, max_turns=20,
+                                with_golden=False)
+    inp = str(tmp_path / "in_d")
+    sdf = spark.createDataFrame(t)
+    sdf.coalesce(1).write.mode("append").parquet(inp)
+    sdf.coalesce(1).write.mode("append").parquet(inp)  # full re-delivery
+
+    from service1_text_extraction_spark.streaming.stream import (
+        stream_distinct_turns,
+    )
+
+    q = stream_distinct_turns(spark, inp, str(tmp_path / "ckpt_d"),
+                              query_name="dd_test")
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT conv_id || '#' || turn_idx)"
+        " AS nd FROM dd_test"
+    ).first()
+    assert got.n == len(t) and got.nd == len(t)
