@@ -40,7 +40,13 @@ _OCR_HOOK = None
 
 def set_ocr_hook(fn) -> None:
     """Install (or clear, with None) the OCR fallback used when a PDF
-    fails the quality gate."""
+    fails the quality gate.
+
+    Cluster note: Spark executors run separate Python workers, so a
+    hook set on the driver does not propagate — a deployment installs
+    it at module-import time on the workers (e.g. a small wrapper
+    module shipped via --py-files that imports payload and calls
+    set_ocr_hook before the UDF runs)."""
     global _OCR_HOOK
     _OCR_HOOK = fn
 

@@ -991,10 +991,9 @@ def interpret_content(
                     parts.append(" ")
             text = "".join(parts)
             if text:
-                show_text = text
                 x = tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4]
                 y = tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
-                runs.append(Run(x, y, size, show_text))
+                runs.append(Run(x, y, size, text))
         elif op == "BT":
             tm = _IDENTITY
         # operands precede their operator; once handled they are consumed
