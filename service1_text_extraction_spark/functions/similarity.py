@@ -331,12 +331,12 @@ def ivf_ann_topk(
     pairwise join."""
     cents = _kmeans_centroids(spark, sf_dir)
     e = _emb(spark, sf_dir)
-    q_emb = [
-        float(x)
-        for x in e.where(F.col("vec_id") == query_vec_id)
-        .first()
-        .embedding
-    ]
+    q_row = e.where(F.col("vec_id") == query_vec_id).first()
+    if q_row is None:  # unknown query id -> empty result, not a crash
+        return e.select(
+            "vec_id", F.lit(0.0).alias("cos")
+        ).where(F.lit(False))
+    q_emb = [float(x) for x in q_row.embedding]
     # query's n_probe nearest lists, same dot + tie rule as assignment
     dots = [
         (sum(a * b for a, b in zip(q_emb, c)), li)

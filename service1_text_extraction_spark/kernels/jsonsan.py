@@ -71,7 +71,9 @@ def _escape_in_strings(s: str) -> str:
             continue
         if ch == '"':
             j = i + 1
-            while j < n and s[j] in " \t":
+            # skip any JSON inter-token whitespace (incl. newlines —
+            # pretty-printed objects close values at end of line)
+            while j < n and s[j] in " \t\r\n":
                 j += 1
             if j >= n or s[j] in ",}]:":
                 in_str = False  # a real closing quote

@@ -277,18 +277,26 @@ class PdfDocument:
             ids = d.get("/ID")
             if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
                 id0 = ids[0]
+        fallback = False
         if enc_ref is None:
             # PDF 1.5+ files with cross-reference *streams* carry no
             # `trailer` keyword; the xref-stream dict (plain bytes in
-            # the object scan) holds /Encrypt and /ID instead
+            # the object scan) holds /Encrypt and /ID instead. The byte
+            # scan runs ONLY for such files — in a classic file the
+            # pattern could be a coincidence inside a content stream.
+            if b"trailer" in self.data:
+                return
             m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.data)
             if m is None:
                 return
             enc_ref = Ref(int(m.group(1)), int(m.group(2)))
+            fallback = True
             mid = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", self.data)
             if mid is not None:
                 id0 = bytes.fromhex(mid.group(1).decode("ascii"))
         enc = self.resolve(enc_ref)
+        if fallback and not isinstance(enc, dict):
+            return  # byte-scan coincidence, not a real Encrypt dict
         if not isinstance(enc, dict) or enc.get("/Filter") != "/Standard":
             raise PdfError("password_required: unsupported encryption")
         v = _int_of(self.resolve(enc.get("/V")), 0)
@@ -490,9 +498,10 @@ class PdfDocument:
         def walk(node, depth=0, inherited=()):
             if not isinstance(node, dict) or depth > 64:
                 return
-            # /Rotate and /MediaBox inherit down the page tree
+            # /Resources, /Rotate and /MediaBox inherit down the page
+            # tree (PDF 32000-1 Table 30)
             inh = dict(inherited)
-            for key in ("/Rotate", "/MediaBox"):
+            for key in ("/Resources", "/Rotate", "/MediaBox"):
                 if key in node:
                     inh[key] = node[key]
             if node.get("/Type") == "/Page":
@@ -689,9 +698,12 @@ def parse_tounicode(data: bytes) -> dict[int, str]:
             elif isinstance(dst, bytes):  # incrementing destination
                 base = int.from_bytes(dst, "big")
                 for k in range(hi_i - lo_i + 1):
-                    out[lo_i + k] = _utf16_of(
-                        (base + k).to_bytes(max(2, len(dst)), "big")
-                    )
+                    v = base + k
+                    # widen rather than overflow when the increment
+                    # crosses the destination's byte width
+                    nbytes = max(2, len(dst), (v.bit_length() + 7) // 8)
+                    nbytes += nbytes % 2  # utf-16 needs an even width
+                    out[lo_i + k] = _utf16_of(v.to_bytes(nbytes, "big"))
     return out
 
 

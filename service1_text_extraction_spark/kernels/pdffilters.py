@@ -127,7 +127,10 @@ def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                 raise FilterError(f"LZW: code {code} out of sequence")
             out += entry
             prev = entry
-            if next_code + early_change - 1 >= (1 << width) and width < 12:
+            # width bumps when the *next* code to assign reaches
+            # 2^width - early_change (511/1023/2047 with EarlyChange=1
+            # — the convention of every mainstream writer/reader)
+            if next_code + early_change >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 
@@ -159,9 +162,12 @@ def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
         emit(table[w])
         table[wc] = next_code
         next_code += 1
-        if next_code + early_change - 1 > (1 << width) and width < 12:
+        # the decoder's table lags the encoder's by exactly one entry
+        # (its first code after a reset adds nothing), so the encoder
+        # bumps one count later: enc_next-1+early >= 2^width
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
             width += 1
-        if next_code == 4096:  # table full: clear (rare in fixtures)
+        if next_code >= 4090:  # clear comfortably before table overflow
             emit(256)
             table = {bytes([i]): i for i in range(256)}
             next_code = 258

@@ -85,3 +85,12 @@ def test_direct_failure_does_not_fall_through():
 def test_unrepairable_raises(dirty, expected):
     with pytest.raises(json.JSONDecodeError):
         safe_json_loads(dirty)
+
+
+def test_pretty_printed_multiline_repair():
+    """Closing quotes at end-of-line (pretty-printed JSON) must not be
+    escaped as stray inner quotes while repairing a raw control char."""
+    dirty = '{"a": "line1\nline2",\n "b": "x"\n}'
+    assert safe_json_loads(dirty) == {"a": "line1\nline2", "b": "x"}
+    dirty2 = '{\n "a": "v",\n "b": "w"\n,}'
+    assert safe_json_loads(dirty2) == {"a": "v", "b": "w"}

@@ -154,3 +154,63 @@ def test_image_filters_pass_through():
     doc = pdf.PdfDocument(data)
     assert doc.stream_data(pdf.Ref(9, 0)) == b"\xff\xd8\xff\xd9"
     assert pdf.extract_pdf(data).pages[0].text == "Text next to an image."
+
+
+def _reference_lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """Independent check decoder, transcribed from the published
+    pdf.js/pdfminer convention (width bump at next_code+early >= 2^w)."""
+    out = bytearray()
+    dic = {i: bytes([i]) for i in range(256)}
+    nxt, width, prev = 258, 9, None
+    buf = cnt = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        cnt += 8
+        while cnt >= width:
+            cnt -= width
+            code = (buf >> cnt) & ((1 << width) - 1)
+            if code == 256:
+                dic = {i: bytes([i]) for i in range(256)}
+                nxt, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = dic[code]
+            elif code in dic:
+                entry = dic[code]
+                dic[nxt] = prev + entry[:1]
+                nxt += 1
+            else:
+                entry = prev + prev[:1]
+                dic[nxt] = entry
+                nxt += 1
+            out += entry
+            prev = entry
+            if nxt + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def test_lzw_width_convention_cross_checked():
+    """The encoder's output must decode identically under an
+    independently transcribed spec-convention decoder, including
+    payloads that push the dictionary across the 511 and 1023 width
+    boundaries (the round-1 codec was off by one there and only its
+    own round-trips passed)."""
+    import random
+
+    rng = random.Random(99)
+    for size in (600, 2000, 6000):
+        payload = bytes(rng.randrange(256) for _ in range(size))
+        enc = pdffilters.lzw_encode(payload)
+        assert pdffilters.lzw_decode(enc) == payload
+        assert _reference_lzw_decode(enc) == payload
+
+
+def test_lzw_pdf_spec_example():
+    """PDF 32000-1 §7.4.4.2 worked example (values are decimal)."""
+    enc = bytes.fromhex("800b6050220c0c8501")
+    assert pdffilters.lzw_decode(enc) == bytes(
+        [45, 45, 45, 45, 45, 65, 45, 45, 45, 66]
+    )

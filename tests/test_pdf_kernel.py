@@ -256,3 +256,42 @@ def test_encrypt_found_without_trailer_keyword():
     assert b"trailer" not in data
     p = pdf.extract_pdf(data).pages[0]
     assert p.text == "no trailer keyword here"
+
+
+def test_unencrypted_pdf_with_encrypt_lookalike_bytes():
+    """'/Encrypt N 0 R' inside a content stream of a normal (trailer-ed)
+    PDF must not trip the xref-stream fallback."""
+    cs = pdfgen.simple_page([(72, 700, ["mentions /Encrypt 9 0 R inline"])])
+    data = pdfgen.build_pdf([cs])
+    assert b"/Encrypt 9 0 R" in data  # via the literal string
+    p = pdf.extract_pdf(data).pages[0]
+    assert "mentions" in p.text
+
+
+def test_resources_inherited_from_pages_node():
+    """/Resources on the /Pages parent (PDF 32000-1 Table 30) must reach
+    the kid pages — CID text decoded garbage otherwise."""
+    data = pdfgen.build_pdf_cid([[(72, 700, ["inherited resources text"])]])
+    # move /Resources from the page dict to the /Pages parent
+    import re as _re
+
+    m = _re.search(rb"/Resources << /Font << /F1 3 0 R >> >> ", data)
+    assert m
+    data = data.replace(m.group(0), b"", 1)
+    data = data.replace(
+        b"<< /Type /Pages",
+        b"<< /Type /Pages /Resources << /Font << /F1 3 0 R >> >>",
+        1,
+    )
+    # classic xref offsets are now stale, but the object scan never
+    # consults them, so extraction still works
+    p = pdf.extract_pdf(data).pages[0]
+    assert p.text == "inherited resources text"
+
+
+def test_bfrange_increment_overflow_widens():
+    cmap = b"1 beginbfrange\n<0001> <0003> <FFFE>\nendbfrange"
+    mapping = pdf.parse_tounicode(cmap)
+    assert mapping[1] == "￾"
+    assert mapping[2] == "￿"
+    assert 3 in mapping  # 0x10000 widened, not OverflowError
