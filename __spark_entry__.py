@@ -203,6 +203,11 @@ _LANG_CASE = "CASE WHEN " + _LANG_GREATEST + " <= 0 THEN 'und' " + " ".join(
     for lang in textstats.STOPWORDS
 ) + " END"
 
+from service1_text_extraction_spark.kernels.textnorm import NUMBER_PATTERN
+
+_NUMBER_PATTERN_SQL = NUMBER_PATTERN.replace("'", "''")
+
+
 def _HEXBYTE(i: int) -> str:
     """DuckDB expression: the md5-hex byte at 1-based hex offset ``i``."""
     return (
@@ -315,9 +320,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE length(trim(text)) >= 250"
         ),
         "extract_numbers_count": (
-            "SELECT event_id, CAST(len(regexp_extract_all(coalesce(props, ''), "
-            r"'\b\d{1,3}(?:,\d{3})*(?:\.\d{1,2})?\b')) AS BIGINT) "
-            "AS n_numbers FROM events"
+            # regex interpolated from the same kernel constant the Spark
+            # side uses (valid in both Java regex and RE2)
+            "SELECT event_id, CAST(len(regexp_extract_all(coalesce(props,"
+            f" ''), '{_NUMBER_PATTERN_SQL}')) AS BIGINT)"
+            " AS n_numbers FROM events"
         ),
         "extract_dates_count": (
             "SELECT event_id, CAST(len(regexp_extract_all("
@@ -328,9 +335,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(list_filter(list_transform("
             "string_split(concat_ws(chr(10), 'Page 1', text, '42', '----'),"
             " chr(10)), l -> trim(l)), l -> NOT regexp_matches(l,"
-            " '^Page [0-9]+$') AND NOT regexp_matches(l, '^[0-9]+$') AND"
+            " '(?i)^Page [0-9]+$') AND NOT regexp_matches(l, '^[0-9]+$') AND"
             " length(l) >= 3 AND NOT regexp_matches(l, '^-+$'))) AS BIGINT)"
             " AS n_kept_lines FROM documents"
+            # (?i) on the Page pattern matches the Spark side above
         ),
         "page_marker_format": (
             "SELECT doc_id, printf('# Page %d - %s', doc_id, upper(source))"
@@ -667,13 +675,17 @@ def oracle_sql() -> dict[str, str]:
         # variant, so the oracle is the *clean* extraction — DuckDB never
         # needs the repair logic, which is exactly the contract
         "json_sanitize": (
+            # NULL/empty props yields no recoverable JSON under any dirt
+            # variant, matching parse_ai_response's 'none' outcome
             "SELECT event_id,"
-            " CASE WHEN event_id % 4 = 3 THEN NULL"
-            " ELSE CAST(props->>'$.k' AS BIGINT) END AS k_value,"
+            " CASE WHEN props IS NULL OR props = '' OR event_id % 4 = 3"
+            " THEN NULL ELSE CAST(props->>'$.k' AS BIGINT) END AS k_value,"
+            " CASE WHEN props IS NULL OR props = '' THEN 'none' ELSE"
             " CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'direct'"
-            " WHEN 1 THEN 'fenced' WHEN 2 THEN 'bare' ELSE 'none' END"
+            " WHEN 1 THEN 'fenced' WHEN 2 THEN 'bare' ELSE 'none' END END"
             " AS strategy,"
-            " CAST(CASE WHEN event_id % 4 = 3 THEN 0 ELSE 1 END AS BIGINT)"
+            " CAST(CASE WHEN props IS NULL OR props = '' OR"
+            " event_id % 4 = 3 THEN 0 ELSE 1 END AS BIGINT)"
             " AS ok FROM events"
         ),
         "clickers_without_errors": (

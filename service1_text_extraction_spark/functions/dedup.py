@@ -27,7 +27,9 @@ BAND_SIZE = 4  # 2 bands of 4 -> candidates need one identical half-signature
 # re-tokenizes the whole document for every element access (measured
 # O(n^2): the bare explode over sf0.1 took 9.6 s for 260k rows; with the
 # materialized column it is sub-second).
-_TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+# The tokenizer is the single shared constant (textstats) — the DuckDB
+# _TOKS_CTE mirrors both families, so they must never drift apart.
+from .textstats import _TOKENS  # noqa: E402
 SHINGLES_OF_T = (
     "array_distinct(transform(sequence(1, greatest(size(t)-2, 1)), "
     "i -> concat_ws(' ', try_element_at(t, i), try_element_at(t, i+1), "
@@ -150,16 +152,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: docs sharing any band of the signature become a
-    candidate pair. At 100 TB this is the *only* pairwise step that
-    survives: pairs form per-bucket, never globally."""
-    sig = minhash_signatures(spark, sf_dir)
-    bands = []
-    n_bands = N_MINHASH // BAND_SIZE
-    for band in range(n_bands):
+def _band_structs() -> list:
+    """The signature's LSH bands as (band_idx, band_val) structs —
+    shared by the pairwise, cluster, and connected-component variants
+    (and mirrored by the oracle's _band_sql) so banding can never
+    diverge between them."""
+    out = []
+    for band in range(N_MINHASH // BAND_SIZE):
         cols = [f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE)]
-        bands.append(
+        out.append(
             F.struct(
                 F.lit(band).alias("band_idx"),
                 F.md5(
@@ -169,8 +170,16 @@ def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("band_val"),
             )
         )
+    return out
+
+
+def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair. At 100 TB this is the *only* pairwise step that
+    survives: pairs form per-bucket, never globally."""
+    sig = minhash_signatures(spark, sf_dir)
     exploded = sig.select(
-        "doc_id", F.explode(F.array(*bands)).alias("b")
+        "doc_id", F.explode(F.array(*_band_structs())).alias("b")
     ).select("doc_id", F.col("b.band_idx"), F.col("b.band_val"))
     buckets = exploded.groupBy("band_idx", "band_val").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
@@ -226,22 +235,8 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. Full transitive closure would iterate this step to a fixed
     point; one step already merges everything sharing any band."""
     sig = minhash_signatures(spark, sf_dir)
-    n_bands = N_MINHASH // BAND_SIZE
-    bands = []
-    for band in range(n_bands):
-        cols = [f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE)]
-        bands.append(
-            F.struct(
-                F.lit(band).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(c).cast("string") for c in cols]
-                    )
-                ).alias("band_val"),
-            )
-        )
     exploded = sig.select(
-        "doc_id", F.explode(F.array(*bands)).alias("b")
+        "doc_id", F.explode(F.array(*_band_structs())).alias("b")
     ).select("doc_id", F.col("b.band_idx"), F.col("b.band_val"))
     w_min = (
         exploded.groupBy("band_idx", "band_val")
@@ -348,22 +343,15 @@ def minhash_connected_components(
     ``localCheckpoint`` cuts the growing lineage.
     """
     sig = minhash_signatures(spark, sf_dir)
-    n_bands = N_MINHASH // BAND_SIZE
-    bands = []
-    for band in range(n_bands):
-        cols = [f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE)]
-        bands.append(
-            F.concat(
-                F.lit(f"{band}:"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(c).cast("string") for c in cols]
-                    )
-                ),
-            )
-        )
     edges = sig.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bucket")
+        "doc_id", F.explode(F.array(*_band_structs())).alias("b")
+    ).select(
+        "doc_id",
+        F.concat(
+            F.col("b.band_idx").cast("string"),
+            F.lit(":"),
+            F.col("b.band_val"),
+        ).alias("bucket"),
     ).localCheckpoint()
 
     labels = edges.select("doc_id").distinct().withColumn(
@@ -399,6 +387,14 @@ def minhash_connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent partial labels would diverge from the exact closure
+        # (and its oracle); a bucket graph deeper than max_iters is a
+        # pathology the caller must see, not a wrong answer
+        raise RuntimeError(
+            f"minhash_connected_components did not converge in"
+            f" {max_iters} iterations"
+        )
     return labels.select(
         "doc_id", F.col("label").cast("long").alias("cluster_rep")
     )

@@ -76,22 +76,14 @@ def decode_features(df: DataFrame) -> DataFrame:
     would use PIL/libvips here; absent those libs, the deterministic
     fake keeps schema/batching real (clearly marked stub).
     """
-    try:  # pragma: no cover - the container has no imaging libs
-        import PIL.Image  # noqa: F401
-
-        has_pil = True
-    except ImportError:
-        has_pil = False
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                if has_pil:
-                    raise NotImplementedError(
-                        "real image decode not wired in this sandbox"
-                    )
+                # the deterministic fake codec is used unconditionally
+                # until a real decoder is wired in (a merely-importable
+                # imaging lib must not change behavior or crash batches)
                 w, h, feats = _fake_decode(data)
                 rows.append(
                     (

@@ -164,7 +164,8 @@ def header_footer_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = F.filter(
         F.transform(F.split(doc, "\n"), lambda l: F.trim(l)),
-        lambda l: ~l.rlike("^Page [0-9]+$")
+        # (?i) mirrors the kernel's re.IGNORECASE page-line pattern
+        lambda l: ~l.rlike("(?i)^Page [0-9]+$")
         & ~l.rlike("^[0-9]+$")
         & (F.length(l) >= 3)
         & ~l.rlike("^-+$"),

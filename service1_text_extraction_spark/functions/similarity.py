@@ -44,8 +44,10 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k against one query vector (broadcast)."""
     e = _emb(spark, sf_dir)
+    # the query's norm is a scalar: compute it once on the broadcast
+    # side instead of re-deriving it for every candidate row
     q = e.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q")
+        F.col("embedding").alias("q"), _norm("embedding").alias("qn")
     )
     scored = (
         e.where(F.col("vec_id") != query_vec_id)
@@ -54,7 +56,7 @@ def cosine_topk(
             "vec_id",
             F.round(
                 _dot("embedding", "q")
-                / (_norm("embedding") * _norm("q")),
+                / (_norm("embedding") * F.col("qn")),
                 4,
             ).alias("cos"),
         )
@@ -180,7 +182,9 @@ def lsh_ann_topk(
     generation never forms a pairwise join either way."""
     bucketed = _bucketed(spark, sf_dir)
     q = bucketed.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q"), F.col("bucket").alias("qb")
+        F.col("embedding").alias("q"),
+        F.col("bucket").alias("qb"),
+        _norm("embedding").alias("qn"),
     )
     hamming = sum(
         (F.substring("bucket", j + 1, 1) != F.substring("qb", j + 1, 1)).cast(
@@ -194,7 +198,8 @@ def lsh_ann_topk(
         .select(
             "vec_id",
             F.round(
-                _dot("embedding", "q") / (_norm("embedding") * _norm("q")), 4
+                _dot("embedding", "q") / (_norm("embedding") * F.col("qn")),
+                4,
             ).alias("cos"),
         )
     )
@@ -345,8 +350,19 @@ def ivf_ann_topk(
     probe_lists = [
         li for _, li in sorted(dots, key=lambda t: (-t[0], t[1]))[:n_probe]
     ]
-    q = e.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q")
+    # the query vector is already on the driver: score against literals
+    # (no second table scan, no broadcast join) and fold its constant
+    # norm in once instead of recomputing it per candidate row
+    import math
+
+    q_lit = F.array(*[F.lit(x) for x in q_emb])
+    q_norm = math.sqrt(sum(x * x for x in q_emb))
+    q_dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), q_lit, lambda x, w: x.cast("double") * w
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     cands = (
         e.withColumn("list_id", _assign_col(cents))
@@ -354,11 +370,10 @@ def ivf_ann_topk(
             F.col("list_id").isin(probe_lists)
             & (F.col("vec_id") != query_vec_id)
         )
-        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             F.round(
-                _dot("embedding", "q") / (_norm("embedding") * _norm("q")), 4
+                q_dot / (_norm("embedding") * F.lit(q_norm)), 4
             ).alias("cos"),
         )
     )

@@ -107,8 +107,15 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the exact kernel constants drive both the Spark expression and the
 # DuckDB oracle (see __spark_entry__), so the SQL form cannot drift
 DIRTY_SUFFIX = " \u201cq\u201d \u2013 \u2026 \u00a0x\ufeff ctrl\x01 high\u4e16 \u20ac"
-TRANS_FROM = "".join(chr(k) for k in _tn._CHAR_TABLE)
-TRANS_TO = "".join(v for v in _tn._CHAR_TABLE.values() if v is not None)
+# translate() deletes chars beyond len(TO), so kept mappings must come
+# first and deletions last \u2014 built positionally here so a None (delete)
+# entry added anywhere in _CHAR_TABLE cannot shift later mappings
+_KEPT = [(k, v) for k, v in _tn._CHAR_TABLE.items() if v is not None]
+_DELETED = [k for k, v in _tn._CHAR_TABLE.items() if v is None]
+TRANS_FROM = "".join(chr(k) for k, _ in _KEPT) + "".join(
+    chr(k) for k in _DELETED
+)
+TRANS_TO = "".join(v for _, v in _KEPT)
 CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
 HIGH_CLASS = "[^\\x00-\\xff\u20ac\u20a9\u20aa\u20ab\u20b9\u20bd]"
 
