@@ -122,7 +122,10 @@ def _extract_turn_inner(payload: str | None) -> TurnResult:
                 _B64_CLEAN_RE.sub("", payload), validate=True
             )
         except (binascii.Error, ValueError) as e:
-            return _failed(f"base64 decode failed: {e}", len(payload))
+            # UTF-8 byte count, same unit as every other bytes_in path
+            return _failed(
+                f"base64 decode failed: {e}", len(payload.encode("utf-8"))
+            )
         try:
             result = extract_pdf(raw)
         except PdfError as e:

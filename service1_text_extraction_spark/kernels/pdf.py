@@ -242,7 +242,9 @@ class PdfDocument:
     """Parsed object store + page walk."""
 
     def __init__(self, data: bytes):
-        if not data.lstrip()[:5].startswith(b"%PDF-"):
+        # the spec allows junk before the header within the first 1024
+        # bytes; slicing first also avoids copying a multi-MB buffer
+        if b"%PDF-" not in data[:1024]:
             raise PdfError("not a PDF: missing %PDF header")
         self.data = data
         self.objects: dict[int, object] = {}
@@ -291,9 +293,20 @@ class PdfDocument:
                 return
             enc_ref = Ref(int(m.group(1)), int(m.group(2)))
             fallback = True
-            mid = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", self.data)
+            mid = re.search(rb"/ID\s*\[", self.data)
             if mid is not None:
-                id0 = bytes.fromhex(mid.group(1).decode("ascii"))
+                # parse the array properly: /ID entries may be hex OR
+                # literal strings
+                try:
+                    ids, _ = _parse_value(self.data, mid.end() - 1)
+                except (PdfError, IndexError, ValueError):
+                    ids = None
+                if (
+                    isinstance(ids, list)
+                    and ids
+                    and isinstance(ids[0], bytes)
+                ):
+                    id0 = ids[0]
         enc = self.resolve(enc_ref)
         if fallback and not isinstance(enc, dict):
             return  # byte-scan coincidence, not a real Encrypt dict
@@ -363,9 +376,15 @@ class PdfDocument:
                 length = val.get("/Length")
                 if isinstance(length, int):
                     raw = data[pos : pos + length]
-                else:  # ref or missing: locate endstream
+                else:  # ref or missing: locate endstream; strip at most
+                    # ONE EOL before it — rstrip would eat real binary
+                    # bytes that happen to end in 0x0A/0x0D
                     end = data.find(b"endstream", pos)
-                    raw = data[pos:end].rstrip(b"\r\n")
+                    raw = data[pos:end]
+                    if raw.endswith(b"\r\n"):
+                        raw = raw[:-2]
+                    elif raw.endswith((b"\n", b"\r")):
+                        raw = raw[:-1]
                 self.streams[num] = raw
             self.objects[num] = val
 
@@ -519,7 +538,14 @@ class PdfDocument:
 
     def page_content(self, page: dict) -> bytes:
         contents = page.get("/Contents")
-        refs = contents if isinstance(contents, list) else [contents]
+        if isinstance(contents, Ref):
+            # /Contents may be an indirect ref to an ARRAY of streams
+            resolved = self.resolve(contents)
+            refs = resolved if isinstance(resolved, list) else [contents]
+        elif isinstance(contents, list):
+            refs = contents
+        else:
+            refs = []
         parts = []
         for r in refs:
             if isinstance(r, Ref):

@@ -129,10 +129,12 @@ def run_with_resume(
         )
         # dynamic partition overwrite: a crash between the data write and
         # the marker write leaves the bucket unmarked; the rerun then
-        # *replaces* (not duplicates) that bucket's partition -> idempotent
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # *replaces* (not duplicates) that bucket's partition -> idempotent.
+        # Scoped to this write — mutating the session conf would leak
+        # dynamic overwrite into unrelated jobs.
         (
             extracted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket_id")
             .parquet(output_dir)
         )

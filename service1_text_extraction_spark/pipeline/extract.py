@@ -140,7 +140,9 @@ def run_extraction(
     method, error, spans, bytes_in, chars_out, boilerplate_ratio,
     layout_text (indented layout artifact for PDF turns, sink S8),
     turn_seq (dense per-conversation order), doc_char_offset (char
-    offset of this turn's text inside the assembled document).
+    offset of this turn's text inside the plain in-order concatenation
+    of the conversation's turn texts — NOT inside assemble_documents'
+    page-marker format, whose markers shift every offset).
     """
     df = with_bucket(
         transcripts.select("conv_id", "turn_idx", "role", "tool", "text", "ts"),

@@ -65,8 +65,14 @@ def stream_extract(
         out = run_extraction(
             batch_df.sparkSession, batch_df, n_buckets=n_buckets, salt=salt
         )
+        # turn_seq / doc_char_offset are per-conversation *global*
+        # ordering columns; a file stream may split one conversation
+        # across triggers, so emitting them per micro-batch would
+        # produce restarting sequences. They are a batch-job /
+        # downstream-compaction concept — dropped from the stream sink.
         (
-            out.withColumn("batch_id", F.lit(batch_id))
+            out.drop("turn_seq", "doc_char_offset")
+            .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -93,8 +99,11 @@ def stream_turn_metrics(
 ):
     """Watermarked event-time aggregation over the transcript stream:
     turns per (event-time window, role), late data bounded by the
-    watermark. Results land in an in-memory sink (tests) — a real
-    deployment writes to the metrics table instead.
+    watermark. Update output mode — complete mode would ignore the
+    watermark and retain every window's state forever. Results land in
+    an in-memory sink (tests; update mode appends each trigger's
+    changed aggregates, so readers take the latest row per key) — a
+    real deployment writes to the metrics table instead.
     """
     from pyspark.sql import functions as F
 
@@ -109,7 +118,7 @@ def stream_turn_metrics(
         )
     )
     return (
-        stream.writeStream.outputMode("complete")
+        stream.writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
@@ -164,13 +173,19 @@ def stream_sessionize(
         last_us, n_sessions, n_turns = (
             state.get if state.exists else (-1, 0, 0)
         )
-        for pdf in pdfs:
-            for ts in pdf.sort_values("ts")["ts"]:
-                us = int(pd.Timestamp(ts).value // 1_000)
-                if last_us < 0 or us - last_us > gap_us:
-                    n_sessions += 1
-                n_turns += 1
-                last_us = us
+        # a large group arrives as several Arrow chunks in arbitrary
+        # order: concatenate before the single event-time sort (bounded
+        # by the group's rows in this trigger, same as any per-group op)
+        frames = [pdf for pdf in pdfs]
+        all_ts = (
+            pd.concat(frames).sort_values("ts")["ts"] if frames else []
+        )
+        for ts in all_ts:
+            us = int(pd.Timestamp(ts).value // 1_000)
+            if last_us < 0 or us - last_us > gap_us:
+                n_sessions += 1
+            n_turns += 1
+            last_us = us
         state.update((last_us, n_sessions, n_turns))
         yield pd.DataFrame(
             [(conv_id, n_sessions, n_turns)],

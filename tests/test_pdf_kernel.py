@@ -295,3 +295,49 @@ def test_bfrange_increment_overflow_widens():
     assert mapping[1] == "￾"
     assert mapping[2] == "￿"
     assert 3 in mapping  # 0x10000 widened, not OverflowError
+
+
+def test_contents_as_indirect_array():
+    """/Contents may be an indirect reference TO an array of streams."""
+    cs1 = b"BT /F1 12 Tf 72 700 Td (part one) Tj ET"
+    cs2 = b"BT /F1 12 Tf 72 680 Td (part two) Tj ET"
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n[5 0 R 6 0 R]\nendobj\n"
+        + f"5 0 obj\n<< /Length {len(cs1)} >>\nstream\n".encode()
+        + cs1 + b"\nendstream\nendobj\n"
+        + f"6 0 obj\n<< /Length {len(cs2)} >>\nstream\n".encode()
+        + cs2 + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert pdf.extract_pdf(data).pages[0].text == "part one\npart two"
+
+
+def test_indirect_length_stream_keeps_trailing_newline_bytes():
+    """With an indirect /Length the scanner must strip at most one EOL
+    before endstream — compressed data legitimately ends in 0x0A."""
+    import zlib as _z
+
+    cs = pdfgen.simple_page([(72, 700, ["indirect length page"])])
+    # find a compressed form ending in 0x0A by tweaking the stream
+    for pad in range(64):
+        comp = _z.compress(cs + b" " * pad)
+        if comp.endswith(b"\n"):
+            cs = cs + b" " * pad
+            break
+    else:
+        comp = _z.compress(cs)
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 7 0 R /Filter /FlateDecode >>\nstream\n"
+        + comp + b"\nendstream\nendobj\n"
+        + f"7 0 obj\n{len(comp)}\nendobj\n".encode()
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert "indirect length page" in pdf.extract_pdf(data).pages[0].text
