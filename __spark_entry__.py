@@ -662,8 +662,9 @@ def oracle_sql() -> dict[str, str]:
             " JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
         "embedding_meanpool": (
+            # + 0.0 collapses IEEE -0.0 exactly like the Spark side
             "SELECT label, CAST(i AS INT) AS pos, round(avg(embedding[i]),"
-            " 4) AS avg_val FROM (SELECT label, embedding,"
+            " 4) + 0.0 AS avg_val FROM (SELECT label, embedding,"
             " unnest(generate_series(1, len(embedding))) AS i FROM"
             " embeddings) GROUP BY label, i"
         ),

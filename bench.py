@@ -22,8 +22,14 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF_LABEL = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
+try:  # validate up front, not after minutes of benchmarking
+    SF = float(SF_LABEL)
+except ValueError:
+    sys.exit(f"bench.py: cannot parse scale factor from {SF_DIR!r}")
+# unmapped labels scale proportionally instead of silently running
+# the wrong corpus size under the claimed sf
 TARGET_TURNS = {"0.001": 2_000, "0.01": 20_000, "0.1": 200_000}.get(
-    SF_LABEL, 20_000
+    SF_LABEL, max(2_000, int(2_000_000 * SF))
 )
 CACHE = os.path.join(REPO, ".bench_cache", f"transcripts_sf{SF_LABEL}")
 
@@ -46,7 +52,8 @@ def get_spark():
 
 
 def ensure_transcripts(spark):
-    if not os.path.isdir(CACHE):
+    # a partially written cache (no _SUCCESS marker) must regenerate
+    if not os.path.exists(os.path.join(CACHE, "_SUCCESS")):
         from service1_text_extraction_spark.pipeline.datagen import (
             generate_transcripts,
         )
@@ -136,7 +143,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(SF_LABEL),
+        "sf": SF,
         "extract_turns_count": n_turns,
         "extract_turns_per_sec": round(n_turns / timings["extract_turns"], 1),
         "cpus": CPUS,

@@ -45,7 +45,9 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
-    if args.shuffle_partitions:
+    if args.shuffle_partitions is not None:
+        if args.shuffle_partitions <= 0:
+            raise SystemExit("--shuffle-partitions must be > 0")
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
         )

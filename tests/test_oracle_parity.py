@@ -24,9 +24,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "<nan>"
-        if v == 0.0:
-            v = 0.0  # collapse -0.0
-        return f"{round(v, 6):.6f}"
+        # round FIRST, then collapse -0.0: a value like -4e-07 rounds
+        # to -0.0 and must compare equal to +0.0 at the 6-dp tolerance
+        return f"{round(v, 6) + 0.0:.6f}"
     return str(v)
 
 
@@ -82,7 +82,7 @@ def test_rows_only_queries_run(spark, sf_dir):
     no_oracle = set(qs) - set(entry_mod.oracle_sql())
     for key in sorted(no_oracle):
         n = qs[key](spark, sf_dir).count()
-        assert n >= 0, key
+        assert n > 0, key  # empty results are regressions, not passes
 
 
 def test_entry_smoke(spark):
@@ -100,6 +100,12 @@ def test_ann_variants_recall(spark, sf_dir):
     assert len(ivf & set(brute)) >= 3, (brute, ivf)
     assert len(lsh) > 0
     # IVF with all lists probed == exact brute force
-    from service1_text_extraction_spark.functions.similarity import ivf_ann_topk
-    exact = [r.vec_id for r in ivf_ann_topk(spark, sf_dir, n_probe=10).collect()]
+    from service1_text_extraction_spark.functions import similarity
+
+    exact = [
+        r.vec_id
+        for r in similarity.ivf_ann_topk(
+            spark, sf_dir, n_probe=similarity.K_LISTS
+        ).collect()
+    ]
     assert exact == brute
