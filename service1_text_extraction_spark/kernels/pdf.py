@@ -201,6 +201,8 @@ def _parse_literal_string(data: bytes, pos: int):
         c = data[i]
         if c == 0x5C:  # backslash
             i += 1
+            if i >= n:
+                raise PdfError("unterminated literal string")
             e = data[i]
             if e in _ESCAPES:
                 out += _ESCAPES[e]

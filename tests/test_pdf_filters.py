@@ -214,3 +214,25 @@ def test_lzw_pdf_spec_example():
     assert pdffilters.lzw_decode(enc) == bytes(
         [45, 45, 45, 45, 45, 65, 45, 45, 45, 66]
     )
+
+
+def test_filter_error_branches():
+    with pytest.raises(pdffilters.FilterError):
+        pdffilters.asciihex_decode(b"zz>")  # non-hex
+    with pytest.raises(pdffilters.FilterError):
+        pdffilters.ascii85_decode(b"9jz~>")  # z inside a group
+    with pytest.raises(pdffilters.FilterError):
+        pdffilters.ascii85_decode(b"\x7f~>")  # byte out of range
+    with pytest.raises(pdffilters.FilterError):
+        pdffilters.ascii85_decode(b"9~>")  # group of one
+    with pytest.raises(pdffilters.FilterError):
+        pdffilters.lzw_decode(bytes([0xFF, 0xFF]))  # code out of sequence
+    with pytest.raises(pdffilters.FilterError):
+        pdffilters.apply_predictor(b"\x09\x00\x00", 10, columns=2)  # bad tag
+    with pytest.raises(pdffilters.FilterError):
+        pdffilters.apply_predictor(b"abc", 5, columns=3)  # predictor 3-9
+
+
+def test_ascii85_adobe_delimiters_and_ws():
+    assert pdffilters.ascii85_decode(b"<~9jqo^~>") == b"Man "
+    assert pdffilters.ascii85_decode(b"9j qo\n^~>") == b"Man "

@@ -341,3 +341,28 @@ def test_indirect_length_stream_keeps_trailing_newline_bytes():
         + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
     )
     assert "indirect length page" in pdf.extract_pdf(data).pages[0].text
+
+
+def test_literal_string_escape_edge_cases():
+    # octal escapes (1-3 digits), line continuations, nested parens
+    raw, end = pdf._parse_literal_string(b"(a\\101\\12b)", 0)
+    assert raw == b"aA\nb"
+    raw, _ = pdf._parse_literal_string(b"(one\\\ntwo)", 0)
+    assert raw == b"onetwo"  # backslash-newline continuation
+    raw, _ = pdf._parse_literal_string(b"(one\\\r\ntwo)", 0)
+    assert raw == b"onetwo"  # CRLF continuation
+    raw, _ = pdf._parse_literal_string(b"(ne(st)ed)", 0)
+    assert raw == b"ne(st)ed"
+    raw, _ = pdf._parse_literal_string(b"(\\q)", 0)  # unknown escape
+    assert raw == b"q"
+    with pytest.raises(pdf.PdfError):
+        pdf._parse_literal_string(b"(never closed \\", 0)
+
+
+def test_resolve_reference_cycle_guarded():
+    data = pdfgen.build_pdf([pdfgen.simple_page([(72, 700, ["x"])])])
+    doc = pdf.PdfDocument(data)
+    doc.objects[90] = pdf.Ref(91, 0)
+    doc.objects[91] = pdf.Ref(90, 0)
+    with pytest.raises(pdf.PdfError, match="cycle"):
+        doc.resolve(pdf.Ref(90, 0))
