@@ -6,11 +6,13 @@ kernels at test time), these fixtures were frozen at commit time —
 any later kernel change that alters extraction output for any of the
 479 turns fails here, even if it is self-consistent."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from service1_text_extraction_spark.pipeline import run_extraction
 
-DATA = "tests/data"
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
 
 def test_frozen_golden_equality(spark):
@@ -23,12 +25,15 @@ def test_frozen_golden_equality(spark):
         | ~F.col("method").eqNullSafe(F.col("expected_method"))
         | ~F.col("chars_out").eqNullSafe(F.col("expected_chars_out"))
         | ~F.col("bytes_in").eqNullSafe(F.col("expected_bytes_in"))
-        | (
+        # null-safe: a NULL ratio on either side is a mismatch, not a
+        # three-valued-logic escape
+        | ~F.coalesce(
             F.abs(
                 F.col("boilerplate_ratio")
                 - F.col("expected_boilerplate_ratio")
             )
-            > 1e-12
+            <= 1e-12,
+            F.lit(False),
         )
     )
     rows = bad.select(

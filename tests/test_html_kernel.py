@@ -77,8 +77,6 @@ def test_empty_and_whitespace():
 
 
 def test_textarea_and_cdata_stripped():
-    from service1_text_extraction_spark.kernels.html import extract_html
-
     payload = (
         "<html><body><p>Real content paragraph here.</p>"
         "<textarea>raw editor text with <fake> tags</textarea>"

@@ -1,17 +1,14 @@
 """End-to-end Spark pipeline tests: golden equality, salt-invariance,
 document assembly, metrics, and exact resume (FIXTURES.md §2-4)."""
 
-import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
 from service1_text_extraction_spark.pipeline import (
     assemble_documents,
-    compute_markers,
     extraction_metrics,
     run_extraction,
     run_with_resume,
-    with_bucket,
 )
 from service1_text_extraction_spark.pipeline.datagen import generate_transcripts
 
@@ -33,6 +30,14 @@ def test_per_turn_golden_equality(spark, data):
         | ~F.col("method").eqNullSafe(F.col("expected_method"))
         | ~F.col("chars_out").eqNullSafe(F.col("expected_chars_out"))
         | ~F.col("bytes_in").eqNullSafe(F.col("expected_bytes_in"))
+        | ~F.coalesce(
+            F.abs(
+                F.col("boilerplate_ratio")
+                - F.col("expected_boilerplate_ratio")
+            )
+            <= 1e-12,
+            F.lit(False),
+        )
     )
     bad = mismatches.select(
         "conv_id", "turn_idx", "method", "expected_method", "text", "expected_text"
@@ -57,6 +62,7 @@ def test_turn_ordering_and_offsets(spark, data):
         .select("turn_idx", "turn_seq", "chars_out", "doc_char_offset")
         .collect()
     )
+    assert one, "hardcoded conv_id matched no rows"
     assert [r.turn_seq for r in one] == list(range(1, len(one) + 1))
     running = 0
     for r in one:
@@ -116,8 +122,8 @@ def test_exact_resume(spark, data, tmp_path):
     assert resumed["buckets_processed"] == full["buckets_processed"] - 3
 
     # final output identical to the uninterrupted run
-    a = spark.read.parquet(out1).drop("spans")
-    b = spark.read.parquet(out2).drop("spans")
+    a = spark.read.parquet(out1)
+    b = spark.read.parquet(out2)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
     # markers carry lineage + metrics per bucket
@@ -141,6 +147,7 @@ def test_null_and_empty_payloads(spark):
         "tool string, ts timestamp"
     )
     out = run_extraction(spark, tdf, n_buckets=4, salt=2).collect()
+    assert len(out) == 3  # rows must fail, not silently disappear
     assert all(r.method == "failed" and r.text == "" for r in out)
 
 

@@ -58,12 +58,17 @@ def test_chunk_text_bounds_and_coverage(t, max_chars, overlap):
     # chunks cover the text: each chunk is a contiguous slice and the
     # last one ends the text
     assert chunks[-1] == "" or t.endswith(chunks[-1])
-    pos = 0
+    # exact positional walk mirroring the kernel's advance rule (a
+    # str.find-based walk can latch onto earlier duplicate occurrences
+    # of a repetitive chunk and spuriously fail on correct output)
+    start = 0
+    end = 0
     for c in chunks:
-        found = t.find(c, max(0, pos - overlap - len(c)))
-        assert found != -1
-        pos = found + len(c)
-    assert pos >= len(t)
+        assert t[start : start + len(c)] == c
+        end = start + len(c)
+        nxt = end - overlap if overlap > 0 else end
+        start = nxt if nxt > start else end
+    assert end == len(t)
 
 
 @given(

@@ -12,7 +12,7 @@ Reference anchors:
 import random
 
 import pandas as pd
-import pytest
+import pytest  # noqa: F401 - parametrize in property tests
 
 from service1_text_extraction_spark.kernels import textnorm as tn
 
@@ -98,7 +98,12 @@ def test_chunk_text_breaks_and_overlap():
     assert tn.chunk_text("short", 10, 2) == ["short"]
     text = ("word " * 50).strip()  # 249 chars, no preferred break except '. '
     chunks = tn.chunk_text(text, max_chars=100, overlap=10)
-    assert "".join(c[10:] if i else c for i, c in enumerate(chunks)) or True
+    assert len(chunks) > 1
+    # consecutive chunks genuinely share the overlap region
+    for prev, cur in zip(chunks, chunks[1:]):
+        assert prev[-10:] == cur[:10]
+    # stitched back together (dropping each overlap) == the input
+    assert chunks[0] + "".join(c[10:] for c in chunks[1:]) == text
     # paragraph break is preferred
     t2 = "a" * 90 + "\n\n" + "b" * 90
     c2 = tn.chunk_text(t2, max_chars=100, overlap=0)
