@@ -38,9 +38,13 @@ def _recover_k(texts: pd.Series) -> pd.DataFrame:
     for t in texts:
         obj, strategy = parse_ai_response(t)
         k = obj.get("k") if isinstance(obj, dict) else None
-        rows.append(
-            (int(k) if k is not None else None, strategy, int(obj is not None))
-        )
+        # recovered JSON may carry a non-integral "k" (string, dict,
+        # float-string) — a bad row must yield NULL, not crash the batch
+        try:
+            k_val = int(k) if isinstance(k, (int, float, str)) else None
+        except (ValueError, TypeError):
+            k_val = None
+        rows.append((k_val, strategy, int(obj is not None)))
     return pd.DataFrame(rows, columns=["k_value", "strategy", "ok"])
 
 

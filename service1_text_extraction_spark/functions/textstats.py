@@ -191,10 +191,14 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-k TF-IDF terms per document (classic corpus
     characterization): tf = in-doc term count, idf = ln((N+1)/(df+1))+1
-    (the smoothed scikit-style form). The df table is tiny relative to
-    the corpus (vocabulary-sized) and broadcasts; the per-doc top-k is
-    a bounded window over each doc's distinct terms. Ties break on the
-    term string, so results are deterministic and oracle-checkable."""
+    (the smoothed scikit-style form). The tf↔df join is a plain
+    shuffle join on ``tok``: at 100 TB the df table is
+    vocabulary-sized (10^8–10^9 distinct tokens), far past any
+    broadcast threshold, so it must NOT carry a broadcast hint — both
+    sides are partial-aggregated before the exchange and token skew is
+    AQE's skew-join case. The per-doc top-k is a bounded window over
+    each doc's distinct terms. Ties break on the term string, so
+    results are deterministic and oracle-checkable."""
     from pyspark.sql import Window
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -207,7 +211,7 @@ def tfidf_top_terms(
         F.count("*").alias("df")
     )
     idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(F.broadcast(df), "tok").select(
+    scored = tf.join(df, "tok").select(
         "doc_id",
         "tok",
         F.round(F.col("tf") * idf, 6).alias("tfidf"),

@@ -251,6 +251,7 @@ class PdfDocument:
         self.data = data
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}
+        self._obj_pos: dict[int, int] = {}  # byte offset of winning rev
         self._file_key: bytes | None = None
         self._aes = False
         self._encrypt_num: int | None = None
@@ -322,6 +323,11 @@ class PdfDocument:
             pass
         elif v == 4:
             stmf = enc.get("/StmF", "/Identity")
+            if stmf == "/Identity":
+                # spec-legal V4 config: streams are NOT encrypted
+                # (only strings, which we never extract) — skip the
+                # file key entirely so streams pass through verbatim.
+                return
             cf = self.resolve(enc.get("/CF"))
             cfm = None
             if isinstance(cf, dict) and isinstance(stmf, str):
@@ -338,7 +344,35 @@ class PdfDocument:
                 raise PdfError(
                     f"password_required: unsupported crypt filter {cfm}"
                 )
-        else:  # V5/R6 AES-256 et al: out of scope
+        elif v == 5:  # AES-256: R5 (Adobe ext) / R6 (PDF 2.0)
+            if r not in (5, 6):
+                raise PdfError(
+                    f"password_required: unsupported revision R={r}"
+                )
+            if enc.get("/StmF", "/Identity") == "/Identity":
+                return  # streams not encrypted
+            u5 = enc.get("/U")
+            ue = enc.get("/UE")
+            o5 = enc.get("/O")
+            oe = enc.get("/OE")
+            key = None
+            if isinstance(u5, bytes) and isinstance(ue, bytes):
+                key = pdfcrypt.check_user_password_v5(b"", u5, ue, r)
+            if (
+                key is None
+                and isinstance(o5, bytes)
+                and isinstance(oe, bytes)
+                and isinstance(u5, bytes)
+            ):
+                key = pdfcrypt.check_owner_password_v5(b"", o5, oe, u5, r)
+            if key is None:
+                raise PdfError("password_required: document is encrypted")
+            self._file_key = key  # 32 bytes: used directly per object
+            self._aes = True
+            if isinstance(enc_ref, Ref):
+                self._encrypt_num = enc_ref.num
+            return
+        else:
             raise PdfError(
                 f"password_required: unsupported encryption V={v}"
             )
@@ -361,6 +395,13 @@ class PdfDocument:
             self._encrypt_num = enc_ref.num
 
     def _scan_objects(self) -> None:
+        """Byte-scan every ``N G obj`` body. Incremental updates
+        (Acrobat "save" appends a new body + xref for changed objects)
+        put the live revision *later in the file*, so last occurrence
+        wins — the xref-free analogue of the reference's
+        PyMuPDF-resolved object table (core_pdf_processor.py:273-354).
+        ``_obj_pos`` records each winner's byte offset so object-stream
+        expansion can apply the same later-revision-wins rule."""
         data = self.data
         for m in _OBJ_RE.finditer(data):
             num = int(m.group(1))
@@ -369,7 +410,9 @@ class PdfDocument:
             except (PdfError, IndexError, ValueError):
                 continue
             pos = _skip_ws(data, pos)
+            has_stream = False
             if isinstance(val, dict) and data.startswith(b"stream", pos):
+                has_stream = True
                 pos += len(b"stream")
                 if data.startswith(b"\r\n", pos):
                     pos += 2
@@ -388,18 +431,27 @@ class PdfDocument:
                     elif raw.endswith((b"\n", b"\r")):
                         raw = raw[:-1]
                 self.streams[num] = raw
+            elif num in self.streams and not has_stream:
+                # a later revision replaced a stream object with a
+                # plain one: drop the superseded bytes
+                del self.streams[num]
             self.objects[num] = val
+            self._obj_pos[num] = m.start()
 
     def _expand_object_streams(self) -> None:
         """PDF 1.5+ object streams: modern writers keep most dict
         objects (catalog, pages, fonts) inside compressed ``/ObjStm``
         streams, invisible to the raw byte scan. Header of the decoded
         stream is N (objnum, offset) integer pairs; object i starts at
-        ``/First + offset_i``. Embedded objects never override a
-        top-level object with the same number."""
+        ``/First + offset_i``. Same-number conflicts resolve by file
+        position of the *container*: an embedded object wins over a
+        top-level (or earlier-ObjStm) copy only when its ObjStm sits
+        later in the file — i.e. belongs to a later incremental
+        revision."""
         for num, val in list(self.objects.items()):
             if not (isinstance(val, dict) and val.get("/Type") == "/ObjStm"):
                 continue
+            container_pos = self._obj_pos.get(num, 0)
             try:
                 data = self.stream_data(Ref(num, 0))
                 n = self.resolve(val.get("/N"))
@@ -413,10 +465,14 @@ class PdfDocument:
                     offset, pos = _parse_value(data, pos)
                     pairs.append((int(objnum), int(offset)))
                 for objnum, offset in pairs:
-                    if objnum in self.objects:
+                    if (
+                        objnum in self.objects
+                        and self._obj_pos.get(objnum, -1) >= container_pos
+                    ):
                         continue
                     obj, _ = _parse_value(data, first + offset)
                     self.objects[objnum] = obj
+                    self._obj_pos[objnum] = container_pos
             except (PdfError, IndexError, ValueError, zlib.error):
                 continue
 

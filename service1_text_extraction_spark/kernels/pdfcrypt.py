@@ -16,8 +16,10 @@ module implements what that takes with no crypto library:
   per-object key schedule (+ the AES ``sAlT`` suffix).
 
 Revision/versions in scope: R2/R3/R4 with V1/V2/V4 (/StdCF /V2 or
-/AESV2). V5/R6 (AES-256, SHA-2 based) is out of scope and surfaces the
-``password_required`` failure like a wrong password would.
+/AESV2), plus V5 with R5 (deprecated Adobe extension, plain SHA-256
+key derivation) and R6 (PDF 2.0, the Algorithm 2.B iterated
+SHA-256/384/512 hash). V5 uses the 32-byte file key directly per
+object (no per-object md5 schedule) with AES-256-CBC.
 """
 
 from __future__ import annotations
@@ -99,32 +101,41 @@ def _build_sbox() -> tuple[list[int], list[int]]:
 _SBOX, _INV_SBOX = _build_sbox()
 
 
+def _sub_word(t: int) -> int:
+    return (
+        (_SBOX[(t >> 24) & 0xFF] << 24)
+        | (_SBOX[(t >> 16) & 0xFF] << 16)
+        | (_SBOX[(t >> 8) & 0xFF] << 8)
+        | _SBOX[t & 0xFF]
+    )
+
+
 def _expand_key(key: bytes) -> list[int]:
-    """128-bit key schedule: 44 32-bit words."""
-    if len(key) != 16:
-        raise CryptError("AES-128 key must be 16 bytes")
-    words = [int.from_bytes(key[i : i + 4], "big") for i in range(0, 16, 4)]
+    """FIPS-197 §5.2 key schedule for 128/192/256-bit keys:
+    4*(Nr+1) 32-bit words, Nr = Nk + 6."""
+    nk = len(key) // 4
+    if len(key) not in (16, 24, 32):
+        raise CryptError("AES key must be 16/24/32 bytes")
+    words = [
+        int.from_bytes(key[i : i + 4], "big") for i in range(0, len(key), 4)
+    ]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nk + 7)):
         t = words[i - 1]
-        if i % 4 == 0:
+        if i % nk == 0:
             t = ((t << 8) | (t >> 24)) & 0xFFFFFFFF  # RotWord
-            t = (
-                (_SBOX[(t >> 24) & 0xFF] << 24)
-                | (_SBOX[(t >> 16) & 0xFF] << 16)
-                | (_SBOX[(t >> 8) & 0xFF] << 8)
-                | _SBOX[t & 0xFF]
-            )
-            t ^= rcon << 24
+            t = _sub_word(t) ^ (rcon << 24)
             rcon = _xtime(rcon)
-        words.append(words[i - 4] ^ t)
+        elif nk > 6 and i % nk == 4:
+            t = _sub_word(t)
+        words.append(words[i - nk] ^ t)
     return words
 
 
 def _round_keys(words: list[int]) -> list[bytes]:
     return [
         b"".join(w.to_bytes(4, "big") for w in words[i : i + 4])
-        for i in range(0, 44, 4)
+        for i in range(0, len(words), 4)
     ]
 
 
@@ -149,29 +160,71 @@ def _mul(a: int, b: int) -> int:
     return out
 
 
+# GF(2^8) x2/x3 lookup tables: MixColumns runs per block per round —
+# the table form is ~6x the _mul loop (matters for the R6 hash_2b
+# iteration, which encrypts ~10k blocks per password check)
+_M2 = [_mul(a, 2) for a in range(256)]
+_M3 = [_mul(a, 3) for a in range(256)]
+
+# 32-bit T-tables (the classic software-AES formulation): one table
+# lookup per state byte fuses SubBytes+ShiftRows+MixColumns. CBC
+# *encryption* is an inherently serial block chain (unlike decryption,
+# vectorized below), so the per-block constant matters.
+_T0 = [(_M2[v] << 24) | (v << 16) | (v << 8) | _M3[v] for v in _SBOX]
+_T1 = [(_M3[v] << 24) | (_M2[v] << 16) | (v << 8) | v for v in _SBOX]
+_T2 = [(v << 24) | (_M3[v] << 16) | (_M2[v] << 8) | v for v in _SBOX]
+_T3 = [(v << 24) | (v << 16) | (_M3[v] << 8) | _M2[v] for v in _SBOX]
+
+
+def _encrypt_words(
+    w0: int, w1: int, w2: int, w3: int, words: list[int]
+) -> tuple[int, int, int, int]:
+    """One block through the cipher; state = 4 big-endian column words
+    already XORed with round key 0."""
+    nr = len(words) // 4 - 1
+    for rnd in range(1, nr):
+        b = 4 * rnd
+        t0 = (_T0[(w0 >> 24) & 255] ^ _T1[(w1 >> 16) & 255]
+              ^ _T2[(w2 >> 8) & 255] ^ _T3[w3 & 255] ^ words[b])
+        t1 = (_T0[(w1 >> 24) & 255] ^ _T1[(w2 >> 16) & 255]
+              ^ _T2[(w3 >> 8) & 255] ^ _T3[w0 & 255] ^ words[b + 1])
+        t2 = (_T0[(w2 >> 24) & 255] ^ _T1[(w3 >> 16) & 255]
+              ^ _T2[(w0 >> 8) & 255] ^ _T3[w1 & 255] ^ words[b + 2])
+        t3 = (_T0[(w3 >> 24) & 255] ^ _T1[(w0 >> 16) & 255]
+              ^ _T2[(w1 >> 8) & 255] ^ _T3[w2 & 255] ^ words[b + 3])
+        w0, w1, w2, w3 = t0, t1, t2, t3
+    b = 4 * nr
+    s = _SBOX
+    f0 = ((s[(w0 >> 24) & 255] << 24) | (s[(w1 >> 16) & 255] << 16)
+          | (s[(w2 >> 8) & 255] << 8) | s[w3 & 255]) ^ words[b]
+    f1 = ((s[(w1 >> 24) & 255] << 24) | (s[(w2 >> 16) & 255] << 16)
+          | (s[(w3 >> 8) & 255] << 8) | s[w0 & 255]) ^ words[b + 1]
+    f2 = ((s[(w2 >> 24) & 255] << 24) | (s[(w3 >> 16) & 255] << 16)
+          | (s[(w0 >> 8) & 255] << 8) | s[w1 & 255]) ^ words[b + 2]
+    f3 = ((s[(w3 >> 24) & 255] << 24) | (s[(w0 >> 16) & 255] << 16)
+          | (s[(w1 >> 8) & 255] << 8) | s[w2 & 255]) ^ words[b + 3]
+    return f0, f1, f2, f3
+
+
 def _encrypt_block(block: bytes, rks: list[bytes]) -> bytes:
-    s = bytearray(block)
-    _add(s, rks[0])
-    for rnd in range(1, 10):
-        s = bytearray(_SBOX[s[_SHIFT[i]]] for i in range(16))
-        t = bytearray(16)
-        for c in range(0, 16, 4):
-            a0, a1, a2, a3 = s[c], s[c + 1], s[c + 2], s[c + 3]
-            t[c] = _mul(a0, 2) ^ _mul(a1, 3) ^ a2 ^ a3
-            t[c + 1] = a0 ^ _mul(a1, 2) ^ _mul(a2, 3) ^ a3
-            t[c + 2] = a0 ^ a1 ^ _mul(a2, 2) ^ _mul(a3, 3)
-            t[c + 3] = _mul(a0, 3) ^ a1 ^ a2 ^ _mul(a3, 2)
-        s = t
-        _add(s, rks[rnd])
-    s = bytearray(_SBOX[s[_SHIFT[i]]] for i in range(16))
-    _add(s, rks[10])
-    return bytes(s)
+    words = [
+        int.from_bytes(rk[i : i + 4], "big")
+        for rk in rks
+        for i in (0, 4, 8, 12)
+    ]
+    w = [
+        int.from_bytes(block[i : i + 4], "big") ^ words[i // 4]
+        for i in (0, 4, 8, 12)
+    ]
+    out = _encrypt_words(w[0], w[1], w[2], w[3], words)
+    return b"".join(x.to_bytes(4, "big") for x in out)
 
 
 def _decrypt_block(block: bytes, rks: list[bytes]) -> bytes:
+    nr = len(rks) - 1
     s = bytearray(block)
-    _add(s, rks[10])
-    for rnd in range(9, 0, -1):
+    _add(s, rks[nr])
+    for rnd in range(nr - 1, 0, -1):
         s = bytearray(_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16))
         _add(s, rks[rnd])
         t = bytearray(16)
@@ -187,18 +240,35 @@ def _decrypt_block(block: bytes, rks: list[bytes]) -> bytes:
     return bytes(s)
 
 
-def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """CBC with PKCS#7 padding; returns iv-less ciphertext."""
-    rks = _round_keys(_expand_key(key))
-    pad_n = 16 - (len(data) % 16)
-    data = data + bytes([pad_n]) * pad_n
+def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC over already-block-aligned data (no padding). Key may be
+    16/24/32 bytes (AES-128/192/256)."""
+    if len(data) % 16:
+        raise CryptError("CBC input not block-aligned")
+    words = _expand_key(key)
+    w0, w1, w2, w3 = (int.from_bytes(iv[i : i + 4], "big") for i in (0, 4, 8, 12))
     out = bytearray()
-    prev = iv
+    k0, k1, k2, k3 = words[0], words[1], words[2], words[3]
     for i in range(0, len(data), 16):
-        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block(block, rks)
-        out += prev
+        w0, w1, w2, w3 = _encrypt_words(
+            w0 ^ k0 ^ int.from_bytes(data[i : i + 4], "big"),
+            w1 ^ k1 ^ int.from_bytes(data[i + 4 : i + 8], "big"),
+            w2 ^ k2 ^ int.from_bytes(data[i + 8 : i + 12], "big"),
+            w3 ^ k3 ^ int.from_bytes(data[i + 12 : i + 16], "big"),
+            words,
+        )
+        out += w0.to_bytes(4, "big")
+        out += w1.to_bytes(4, "big")
+        out += w2.to_bytes(4, "big")
+        out += w3.to_bytes(4, "big")
     return bytes(out)
+
+
+def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC with PKCS#7 padding; returns iv-less ciphertext. Despite the
+    legacy name the key may be 16/24/32 bytes."""
+    pad_n = 16 - (len(data) % 16)
+    return _cbc_encrypt_raw(key, iv, data + bytes([pad_n]) * pad_n)
 
 
 # vectorized inverse cipher: CBC *decryption* parallelizes perfectly
@@ -214,8 +284,9 @@ _MULT = {
 
 
 def _decrypt_blocks_np(blocks: "np.ndarray", rks: list[bytes]) -> "np.ndarray":
-    s = blocks ^ np.frombuffer(rks[10], np.uint8)
-    for rnd in range(9, 0, -1):
+    nr = len(rks) - 1
+    s = blocks ^ np.frombuffer(rks[nr], np.uint8)
+    for rnd in range(nr - 1, 0, -1):
         s = _INV_SBOX_NP[s[:, _INV_SHIFT_NP]]
         s = s ^ np.frombuffer(rks[rnd], np.uint8)
         t = np.empty_like(s)
@@ -231,7 +302,8 @@ def _decrypt_blocks_np(blocks: "np.ndarray", rks: list[bytes]) -> "np.ndarray":
     return s ^ np.frombuffer(rks[0], np.uint8)
 
 
-def aes128_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC decrypt without padding removal (vectorized)."""
     if len(data) % 16:
         raise CryptError("AES ciphertext not block-aligned")
     if not data:
@@ -240,11 +312,25 @@ def aes128_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     blocks = np.frombuffer(data, np.uint8).reshape(-1, 16)
     plain = _decrypt_blocks_np(blocks, rks)
     prev = np.vstack([np.frombuffer(iv, np.uint8), blocks[:-1]])
-    out = (plain ^ prev).tobytes()
+    return (plain ^ prev).tobytes()
+
+
+def aes128_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    out = _cbc_decrypt_raw(key, iv, data)
+    if not out:
+        return b""  # degenerate IV-only stream: treat as empty
     pad_n = out[-1]
     if not 1 <= pad_n <= 16:
         raise CryptError("bad AES padding")
     return out[:-pad_n]
+
+
+def _ecb_encrypt(key: bytes, block: bytes) -> bytes:
+    return _encrypt_block(block, _round_keys(_expand_key(key)))
+
+
+def _ecb_decrypt(key: bytes, block: bytes) -> bytes:
+    return _decrypt_block(block, _round_keys(_expand_key(key)))
 
 
 # --------------------------------------------------------------------------
@@ -338,7 +424,13 @@ def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
 
 def decrypt_data(file_key: bytes, num: int, gen: int, data: bytes,
                  aes: bool) -> bytes:
-    k = object_key(file_key, num, gen, aes)
+    # V5 (AES-256): the 32-byte file key is used directly — no
+    # per-object md5 schedule (PDF 32000-2 §7.6.3.3)
+    k = (
+        file_key
+        if len(file_key) == 32
+        else object_key(file_key, num, gen, aes)
+    )
     if aes:
         if len(data) < 16:
             raise CryptError("AES stream shorter than its IV")
@@ -349,8 +441,110 @@ def decrypt_data(file_key: bytes, num: int, gen: int, data: bytes,
 def encrypt_data(file_key: bytes, num: int, gen: int, data: bytes,
                  aes: bool, iv: bytes | None = None) -> bytes:
     """Fixture-writer twin of :func:`decrypt_data`."""
-    k = object_key(file_key, num, gen, aes)
+    k = (
+        file_key
+        if len(file_key) == 32
+        else object_key(file_key, num, gen, aes)
+    )
     if aes:
         iv = iv or hashlib.md5(f"iv:{num}:{gen}".encode()).digest()
         return iv + aes128_cbc_encrypt(k, iv, data)
     return rc4(k, data)
+
+
+# --------------------------------------------------------------------------
+# V5 (AES-256): R5 (deprecated Adobe extension) and R6 (PDF 2.0)
+# algorithms from PDF 32000-2 §7.6.4.3.3-4 and §7.6.4.4.9-11
+# --------------------------------------------------------------------------
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """Algorithm 2.B (R6) / plain SHA-256 (R5): the password hash.
+
+    R6 iterates: K1 = (pwd‖K‖udata)×64, E = AES-128-CBC(K1; key=K[:16],
+    iv=K[16:32]), next hash picked by sum(E[:16]) mod 3; stop after
+    round 64 once E[-1] <= round-32."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    if r == 5:
+        return k
+    hashers = (hashlib.sha256, hashlib.sha384, hashlib.sha512)
+    rnd = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _cbc_encrypt_raw(k[:16], k[16:32], k1)
+        k = hashers[sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def check_user_password_v5(
+    password: bytes, u_entry: bytes, ue_entry: bytes, r: int
+) -> bytes | None:
+    """Algorithm 11 + file-key recovery: /U is hash(32) ‖ validation
+    salt(8) ‖ key salt(8); the file key is AES-256-CBC-decrypt(/UE)
+    with iv=0 under the key-salt hash. Returns the 32-byte file key on
+    a match, else None."""
+    if len(u_entry) < 48 or len(ue_entry) < 32:
+        return None
+    vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+    if hash_2b(password[:127], vsalt, b"", r) != u_entry[:32]:
+        return None
+    ikey = hash_2b(password[:127], ksalt, b"", r)
+    return _cbc_decrypt_raw(ikey, b"\x00" * 16, ue_entry[:32])
+
+
+def check_owner_password_v5(
+    password: bytes, o_entry: bytes, oe_entry: bytes, u_entry: bytes, r: int
+) -> bytes | None:
+    """Algorithm 12 + file-key recovery (udata = the 48-byte /U)."""
+    if len(o_entry) < 48 or len(oe_entry) < 32 or len(u_entry) < 48:
+        return None
+    vsalt, ksalt = o_entry[32:40], o_entry[40:48]
+    if hash_2b(password[:127], vsalt, u_entry[:48], r) != o_entry[:32]:
+        return None
+    ikey = hash_2b(password[:127], ksalt, u_entry[:48], r)
+    return _cbc_decrypt_raw(ikey, b"\x00" * 16, oe_entry[:32])
+
+
+def compute_v5_entries(
+    user_pwd: bytes,
+    owner_pwd: bytes,
+    file_key: bytes,
+    r: int,
+    p: int = -44,
+    encrypt_metadata: bool = True,
+    salt_seed: bytes = b"fixture",
+) -> dict[str, bytes]:
+    """Fixture-writer side of Algorithms 8/9/10: /U /UE /O /OE /Perms.
+    Salts are derived deterministically from ``salt_seed``."""
+    if len(file_key) != 32:
+        raise CryptError("V5 file key must be 32 bytes")
+    s = hashlib.sha256(salt_seed).digest()
+    uv, uk, ov, ok_ = s[0:8], s[8:16], s[16:24], s[24:32]
+    u = hash_2b(user_pwd[:127], uv, b"", r) + uv + uk
+    ue = _cbc_encrypt_raw(
+        hash_2b(user_pwd[:127], uk, b"", r), b"\x00" * 16, file_key
+    )
+    o = hash_2b(owner_pwd[:127], ov, u, r) + ov + ok_
+    oe = _cbc_encrypt_raw(
+        hash_2b(owner_pwd[:127], ok_, u, r), b"\x00" * 16, file_key
+    )
+    perms = bytearray((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    perms += b"\xff\xff\xff\xff"
+    perms += b"T" if encrypt_metadata else b"F"
+    perms += b"adb" + s[:4]
+    return {
+        "U": u,
+        "UE": ue,
+        "O": o,
+        "OE": oe,
+        "Perms": _ecb_encrypt(file_key, bytes(perms)),
+    }
+
+
+def verify_perms(perms_entry: bytes, file_key: bytes) -> bool:
+    """Algorithm 13 sanity check: decrypted /Perms bytes 9-11 == 'adb'."""
+    if len(perms_entry) < 16:
+        return False
+    return _ecb_decrypt(file_key, perms_entry[:16])[9:12] == b"adb"

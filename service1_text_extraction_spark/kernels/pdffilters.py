@@ -190,6 +190,10 @@ def apply_predictor(
     bpp = max(1, (colors * bpc) // 8)
     row_len = (columns * colors * bpc + 7) // 8
     if predictor == 2:  # TIFF horizontal differencing (bpc=8 path)
+        if bpc != 8:
+            # sub-byte samples need bit-level carry we don't implement;
+            # fail loudly rather than emit silently corrupted bytes
+            raise FilterError(f"TIFF predictor 2 with bpc={bpc} unsupported")
         out = bytearray(data)
         for r in range(0, len(out), row_len):
             for i in range(r + bpp, min(r + row_len, len(out))):

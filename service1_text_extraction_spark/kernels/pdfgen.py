@@ -404,6 +404,8 @@ ENCRYPT_MODES = {
     "rc4-40": (1, 2, 40, False),
     "rc4-128": (2, 3, 128, False),
     "aes-128": (4, 4, 128, True),
+    "aes-256-r5": (5, 5, 256, True),
+    "aes-256": (5, 6, 256, True),
 }
 
 
@@ -414,25 +416,38 @@ def build_pdf_encrypted(
     owner_pwd: bytes = b"owner-secret",
     stream_filter: str | None = None,
     p: int = -44,
+    stmf_identity: bool = False,
 ) -> bytes:
     """Standard-security-handler fixture. With the default empty user
     password the document is "owner-locked" (openable by anyone) — the
-    case the parser must decrypt transparently."""
+    case the parser must decrypt transparently. ``stmf_identity``
+    writes the spec-legal V>=4 config where only strings are encrypted
+    (/StmF /Identity): streams stay plaintext."""
     import hashlib
 
     from .pdfcrypt import (
         compute_encryption_key,
         compute_o,
         compute_u,
+        compute_v5_entries,
         encrypt_data,
+        hash_2b,
     )
 
     v, r, bits, aes = ENCRYPT_MODES[mode]
+    if stmf_identity and v < 4:
+        raise ValueError("/StmF applies to V4+ crypt-filter modes only")
     key_bytes = bits // 8
     id0 = hashlib.md5(b"fixture-doc-id:" + mode.encode()).digest()
-    o = compute_o(owner_pwd, user_pwd, r, key_bytes)
-    key = compute_encryption_key(user_pwd, o, p, id0, r, key_bytes)
-    u = compute_u(key, id0, r)
+    if v == 5:
+        # the file key is random in real writers; any 32 bytes work
+        key = hash_2b(b"fixture-file-key:" + mode.encode(), b"", b"", 6)
+        ent = compute_v5_entries(user_pwd, owner_pwd, key, r, p=p)
+        o, u = ent["O"], ent["U"]
+    else:
+        o = compute_o(owner_pwd, user_pwd, r, key_bytes)
+        key = compute_encryption_key(user_pwd, o, p, id0, r, key_bytes)
+        u = compute_u(key, id0, r)
 
     n_pages = len(page_streams)
     enc_num = 4 + 2 * n_pages
@@ -440,11 +455,17 @@ def build_pdf_encrypted(
         f"<< /Filter /Standard /V {v} /R {r} /Length {bits} /P {p}",
         f"/O <{o.hex()}> /U <{u.hex()}>",
     ]
-    if v == 4:
-        cfm = "/AESV2" if aes else "/V2"
+    if v == 5:
+        parts.append(
+            f"/OE <{ent['OE'].hex()}> /UE <{ent['UE'].hex()}>"
+            f" /Perms <{ent['Perms'].hex()}>"
+        )
+    if v >= 4:
+        cfm = "/AESV3" if v == 5 else ("/AESV2" if aes else "/V2")
+        stmf = "/Identity" if stmf_identity else "/StdCF"
         parts.append(
             f"/CF << /StdCF << /CFM {cfm} /AuthEvent /DocOpen"
-            f" /Length {key_bytes} >> >> /StmF /StdCF /StrF /StdCF"
+            f" /Length {key_bytes} >> >> /StmF {stmf} /StrF /StdCF"
         )
     enc_body = (" ".join(parts) + " >>").encode()
 
@@ -452,10 +473,73 @@ def build_pdf_encrypted(
         page_streams,
         stream_filter=stream_filter,
         extra_objects=[enc_body],
-        stream_encrypt=lambda num, data: encrypt_data(
-            key, num, 0, data, aes
+        stream_encrypt=(
+            (lambda num, data: data)
+            if stmf_identity
+            else (lambda num, data: encrypt_data(key, num, 0, data, aes))
         ),
         trailer_extra=(
             f" /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# incremental-update fixtures (Acrobat "save": append new bodies + xref)
+# --------------------------------------------------------------------------
+
+
+def stream_obj(stream: bytes, extra_dict: str = "") -> bytes:
+    """Object body for a plain (uncompressed) stream."""
+    return (
+        f"<< /Length {len(stream)}{extra_dict} >>\n".encode()
+        + b"stream\n" + stream + b"\nendstream"
+    )
+
+
+def objstm_obj(embedded: list[tuple[int, bytes]]) -> bytes:
+    """Object body for a /FlateDecode /ObjStm holding ``embedded``
+    (objnum, body) dict objects."""
+    body = bytearray()
+    header = bytearray()
+    for objnum, objbytes in embedded:
+        header += f"{objnum} {len(body)} ".encode()
+        body += objbytes + b"\n"
+    compressed = zlib.compress(bytes(header) + bytes(body))
+    return (
+        f"<< /Type /ObjStm /N {len(embedded)} /First {len(header)} "
+        f"/Length {len(compressed)} /Filter /FlateDecode >>\n"
+    ).encode() + b"stream\n" + compressed + b"\nendstream"
+
+
+def append_incremental_update(data: bytes, updates: dict[int, bytes]) -> bytes:
+    """Append an incremental revision: new object bodies + a classic
+    xref section whose trailer /Prev chains to the previous startxref.
+    The updated copies supersede same-numbered objects in the original
+    body (PDF 32000-1 §7.5.6) — the parser must pick the later
+    revision."""
+    import re as _re
+
+    prevs = _re.findall(rb"startxref\s+(\d+)", data)
+    prev_pos = int(prevs[-1]) if prevs else 0
+    sizes = _re.findall(rb"/Size\s+(\d+)", data)
+    size = max(
+        [int(s) for s in sizes] + [max(updates) + 1] if updates else [1]
+    )
+
+    buf = bytearray(data)
+    if not buf.endswith(b"\n"):
+        buf += b"\n"
+    offsets: dict[int, int] = {}
+    for num in sorted(updates):
+        offsets[num] = len(buf)
+        buf += f"{num} 0 obj\n".encode() + updates[num] + b"\nendobj\n"
+    xref_pos = len(buf)
+    buf += b"xref\n0 1\n0000000000 65535 f \n"
+    for num in sorted(offsets):
+        buf += f"{num} 1\n{offsets[num]:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {size} /Root 1 0 R /Prev {prev_pos} >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(buf)

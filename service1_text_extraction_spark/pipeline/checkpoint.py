@@ -75,15 +75,17 @@ def read_markers(spark: SparkSession, markers_dir: str) -> DataFrame | None:
     # existence probe through the Hadoop FS API (works for any scheme,
     # not just local paths) so a first run doesn't trigger Spark's
     # WARN-with-stacktrace for the missing marker table
-    jvm = spark._jvm
-    jsc = spark._jsc
-    path = jvm.org.apache.hadoop.fs.Path(markers_dir)
-    fs = path.getFileSystem(jsc.hadoopConfiguration())
-    if not fs.exists(path):
-        return None
     try:
+        jvm = spark._jvm
+        jsc = spark._jsc
+        path = jvm.org.apache.hadoop.fs.Path(markers_dir)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return None
         return spark.read.schema(MARKER_SCHEMA).parquet(markers_dir)
     except Exception:
+        # a malformed URI (Path ctor raises) degrades to "no markers
+        # yet", same as a missing/unreadable table
         return None
 
 

@@ -11,13 +11,28 @@ from service1_text_extraction_spark.kernels import pdf, pdfcrypt, pdfgen
 from service1_text_extraction_spark.kernels.payload import extract_turn
 
 
-def test_aes_fips197_vector():
-    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
-    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+_FIPS_PT = bytes.fromhex("00112233445566778899aabbccddeeff")
+
+
+@pytest.mark.parametrize(
+    "key_hex,ct_hex",
+    [
+        # FIPS-197 Appendix C.1 (AES-128), C.2 (AES-192), C.3 (AES-256)
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f"
+         "101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ],
+)
+def test_aes_fips197_vector(key_hex, ct_hex):
+    key = bytes.fromhex(key_hex)
     rks = pdfcrypt._round_keys(pdfcrypt._expand_key(key))
-    ct = pdfcrypt._encrypt_block(pt, rks)
-    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
-    assert pdfcrypt._decrypt_block(ct, rks) == pt
+    ct = pdfcrypt._encrypt_block(_FIPS_PT, rks)
+    assert ct.hex() == ct_hex
+    assert pdfcrypt._decrypt_block(ct, rks) == _FIPS_PT
 
 
 def test_rc4_known_vector():
@@ -39,7 +54,10 @@ _BLOCKS = [(72, 700, ["Encrypted body text, line one.", "Line two."])]
 _EXPECT = "Encrypted body text, line one.\nLine two."
 
 
-@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128"])
+_ALL_MODES = ["rc4-40", "rc4-128", "aes-128", "aes-256-r5", "aes-256"]
+
+
+@pytest.mark.parametrize("mode", _ALL_MODES)
 @pytest.mark.parametrize("filt", [None, "flate"])
 def test_empty_user_password_decrypts(mode, filt):
     data = pdfgen.build_pdf_encrypted(
@@ -48,7 +66,7 @@ def test_empty_user_password_decrypts(mode, filt):
     assert pdf.extract_pdf(data).pages[0].text == _EXPECT
 
 
-@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128"])
+@pytest.mark.parametrize("mode", _ALL_MODES)
 def test_real_user_password_still_refused(mode):
     data = pdfgen.build_pdf_encrypted(
         [pdfgen.simple_page(_BLOCKS)], mode=mode, user_pwd=b"secret"
@@ -57,10 +75,44 @@ def test_real_user_password_still_refused(mode):
         pdf.extract_pdf(data)
 
 
-def test_aes256_v5_out_of_scope_refused():
+@pytest.mark.parametrize("mode", ["aes-128", "aes-256"])
+def test_stmf_identity_streams_are_plaintext(mode):
+    """Spec-legal V4+/StmF /Identity: only strings are encrypted, so
+    content streams must pass through undecrypted (ADVICE r2)."""
+    data = pdfgen.build_pdf_encrypted(
+        [pdfgen.simple_page(_BLOCKS)], mode=mode, stmf_identity=True
+    )
+    assert pdf.extract_pdf(data).pages[0].text == _EXPECT
+
+
+def test_v5_entry_roundtrip_and_perms():
+    key = bytes(range(32))
+    for r in (5, 6):
+        ent = pdfcrypt.compute_v5_entries(b"", b"owner-secret", key, r)
+        assert pdfcrypt.check_user_password_v5(b"", ent["U"], ent["UE"], r) == key
+        assert (
+            pdfcrypt.check_owner_password_v5(
+                b"owner-secret", ent["O"], ent["OE"], ent["U"], r
+            )
+            == key
+        )
+        assert pdfcrypt.check_user_password_v5(b"x", ent["U"], ent["UE"], r) is None
+        assert pdfcrypt.verify_perms(ent["Perms"], key)
+        assert not pdfcrypt.verify_perms(ent["Perms"], bytes(32))
+
+
+def test_hash_2b_r6_iterates_past_round_64():
+    # R6 differs from a single SHA-256 (the R5 form) — the iterated
+    # AES-feedback loop must actually run
+    h5 = pdfcrypt.hash_2b(b"pw", b"saltsalt", b"", 5)
+    h6 = pdfcrypt.hash_2b(b"pw", b"saltsalt", b"", 6)
+    assert len(h5) == len(h6) == 32 and h5 != h6
+
+
+def test_unsupported_v_still_refused():
     data = pdfgen.build_pdf([pdfgen.simple_page(_BLOCKS)])
     enc = (
-        b"9 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44"
+        b"9 0 obj\n<< /Filter /Standard /V 7 /R 7 /Length 256 /P -44"
         b" /O <00> /U <00> >>\nendobj\n"
     )
     data = data.replace(b"trailer\n<< ", enc + b"trailer\n<< /Encrypt 9 0 R ")
