@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": multimodal.binary_meta,
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_frames": multimodal.multimodal_frames,
+        "png_decode": multimodal.png_decode,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
         "json_sanitize": jsonfuncs.json_sanitize,
@@ -633,6 +634,21 @@ def oracle_sql() -> dict[str, str]:
             " AS DOUBLE), 6) AS feature"
             " FROM dims d JOIN grid g ON g.doc_id = d.doc_id"
             " LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = g.bin"
+        ),
+        # mirrors multimodal.png_decode: the Spark side PNG-encodes a
+        # constant-gray image per doc_id and REALLY decodes it; the
+        # oracle predicts the decoded pixel buffer analytically
+        # (repeat(chr(v), w*h); v in 1..127 keeps UTF-8 md5 == byte md5)
+        "png_decode": (
+            "SELECT doc_id,"
+            " CAST(16 + doc_id % 48 AS INT) AS width,"
+            " CAST(8 + doc_id % 24 AS INT) AS height,"
+            " md5(repeat(chr(CAST(1 + doc_id % 127 AS INT)),"
+            " CAST((16 + doc_id % 48) * (8 + doc_id % 24) AS INT)))"
+            " AS pixel_md5,"
+            " CAST((16 + doc_id % 48) * (8 + doc_id % 24) AS BIGINT)"
+            " AS n_pixels"
+            " FROM documents"
         ),
         # mirrors multimodal.frame_sample: frame i = md5 of the i-th
         # stride slice of the payload bytes (ASCII text -> substring)

@@ -90,10 +90,8 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     def bench_extract():
-        out = run_extraction(
-            spark, transcripts, n_buckets=64, salt=16,
-            shuffle_partitions=max(8, CPUS),
-        )
+        # default mode: UDF on scan partitions, single window exchange
+        out = run_extraction(spark, transcripts, n_buckets=64)
         out.write.format("noop").mode("overwrite").save()
 
     def q(fn):

@@ -57,8 +57,9 @@ n = t.count()
 run_extraction(spark, t.limit(512), n_buckets=4, salt=2).write.format(
     "noop").mode("overwrite").save()
 t0 = time.perf_counter()
-run_extraction(spark, t, n_buckets=64, salt=16,
-               shuffle_partitions=4 * cores).write.format(
+# default mode: UDF on scan partitions, single (window) exchange —
+# the window width follows spark.sql.shuffle.partitions = 4*cores
+run_extraction(spark, t, n_buckets=64).write.format(
     "noop").mode("overwrite").save()
 best = time.perf_counter() - t0
 print(json.dumps({{"cores": cores, "turns": n, "sec": round(best, 2),

@@ -403,8 +403,18 @@ def minhash_connected_components(
 GRAM_LEN = 64  # duplicate-passage gram width (chars)
 GRAM_STRIDE = 16  # stride between gram starts
 
+# Gram hash function. md5 is the verified baseline: DuckDB computes the
+# identical digest, so the oracle checks hash VALUES, not just counts.
+# At 100 TB swap to 'xxhash64' — an 8-byte bigint per gram instead of a
+# 32-char hex string quarters the shuffle payload (measured delta in
+# BENCH/BASELINE.md); semantics are identical because the hash is only
+# an equality key.
+GRAM_HASH_FN = "md5"
 
-def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def duplicate_passages(
+    spark: SparkSession, sf_dir: str, hash_fn: str = GRAM_HASH_FN
+) -> DataFrame:
     """Cross-document duplicated-passage detection — the removal target
     of exact-substring corpus dedup (Lee et al.'s "Deduplicating
     Training Data Makes Language Models Better" family, re-expressed
@@ -425,7 +435,7 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"transform(sequence(0, greatest(cast(floor((length(text) -"
                 f" {GRAM_LEN}) / {GRAM_STRIDE}) as int), 0)), i -> struct("
-                f"i * {GRAM_STRIDE} as off, md5(substring(text,"
+                f"i * {GRAM_STRIDE} as off, {hash_fn}(substring(text,"
                 f" i * {GRAM_STRIDE} + 1, {GRAM_LEN})) as h))"
             )
         ).alias("g"),

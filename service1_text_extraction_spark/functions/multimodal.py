@@ -2,12 +2,15 @@
 
 Image/audio/video payloads are carried as ``binary`` columns with a
 metadata struct; decode / feature-extract run as Arrow-batched
-``mapInPandas`` so each executor processes whole record batches. The
-decode step itself is STUBBED (no image/audio libs in this container):
-``decode_features`` tries to import PIL and otherwise computes a
-deterministic fake feature vector from the bytes, so the Spark-side
+``mapInPandas`` so each executor processes whole record batches.
+
+PNG payloads decode for REAL (pure-Python codec, :mod:`..kernels.png`:
+signature/IHDR/IDAT + row defilter) — width/height/features come from
+actual pixels. Every other format is STUBBED (no image/audio libs in
+this container): a deterministic fake computes pseudo-dimensions from
+the digest and features from byte-histogram moments, so the Spark-side
 plumbing — schema, batch shape, partitioning — is real and tested
-while the codec is swappable.
+while those codecs stay swappable.
 """
 
 from __future__ import annotations
@@ -28,6 +31,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from ..kernels import png
 
 N_FEATURES = 16
 
@@ -54,37 +59,54 @@ def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _histogram_features(arr: np.ndarray) -> list[float]:
+    if arr.size == 0:
+        return [0.0] * N_FEATURES
+    hist, _ = np.histogram(arr, bins=N_FEATURES, range=(0, 256))
+    return (hist / arr.size).astype(np.float32).tolist()
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """Deterministic stand-in for an image decoder: pseudo dimensions
     from the digest, features from byte histogram moments."""
     digest = hashlib.md5(payload).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    if arr.size == 0:
-        feats = [0.0] * N_FEATURES
-    else:
-        hist, _ = np.histogram(arr, bins=N_FEATURES, range=(0, 256))
-        feats = (hist / arr.size).astype(np.float32).tolist()
-    return width, height, feats
+    return width, height, _histogram_features(
+        np.frombuffer(payload, dtype=np.uint8)
+    )
+
+
+def _decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real PNG decode when the payload is one; deterministic fake
+    otherwise (including malformed/unsupported PNGs)."""
+    if png.is_png(payload):
+        try:
+            w, h, pixels = png.decode_png(payload)
+            return w, h, _histogram_features(
+                np.frombuffer(pixels, dtype=np.uint8)
+            )
+        except png.PngError:
+            pass
+    return _fake_decode(payload)
 
 
 def decode_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Input requires columns (doc_id long, payload binary). Real decode
-    would use PIL/libvips here; absent those libs, the deterministic
-    fake keeps schema/batching real (clearly marked stub).
+    Input requires columns (doc_id long, payload binary). PNG payloads
+    decode through the real pure-Python codec (dimensions + pixel
+    histogram); other formats take the deterministic fake, which keeps
+    schema/batching real while those codecs stay stubs.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                # the deterministic fake codec is used unconditionally
-                # until a real decoder is wired in (a merely-importable
-                # imaging lib must not change behavior or crash batches)
-                w, h, feats = _fake_decode(data)
+                # PNG decodes for real; anything else takes the
+                # declared deterministic fake
+                w, h, feats = _decode(data)
                 rows.append(
                     (
                         int(doc_id),
@@ -181,3 +203,50 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return frame_sample(docs)
+
+
+PNG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_md5", StringType()),
+        StructField("n_pixels", LongType()),
+    ]
+)
+
+
+def png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof the PNG codec is real: per doc_id,
+    synthesize a constant-gray PNG (width/height/value derived from
+    doc_id), run it through encode -> REAL decode, and emit decoded
+    geometry + the md5 of the decoded pixel bytes. The oracle predicts
+    every column analytically (the constant image's pixel buffer is
+    ``repeat(chr(v), w*h)``), so a hash match certifies the decoder
+    recovered the actual pixels — not metadata arithmetic. Gray values
+    stay in 1..127 so DuckDB's UTF-8 md5(string) equals the byte md5."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, v = 16 + d % 48, 8 + d % 24, 1 + d % 127
+                payload = png.encode_png(w, h, bytes([v]) * (w * h))
+                dw, dh, pixels = png.decode_png(payload)
+                rows.append(
+                    (
+                        d,
+                        dw,
+                        dh,
+                        hashlib.md5(pixels).hexdigest(),
+                        len(pixels),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "pixel_md5", "n_pixels"],
+            )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(run, PNG_SCHEMA)

@@ -91,13 +91,19 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint: the minimum md5 over all
-    char 8-grams (winnowing-style min-sampling, window = whole doc)."""
+def doc_fingerprint(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
+) -> DataFrame:
+    """Rolling-hash document fingerprint: the minimum hash over all
+    char 8-grams (winnowing-style min-sampling, window = whole doc).
+    md5 is the verified default (DuckDB computes identical digests, so
+    the oracle checks values); at 100 TB pass ``hash_fn='xxhash64'``
+    for an 8-byte bigint fingerprint (bench delta in
+    BENCH/BASELINE.md)."""
     df = _docs(spark, sf_dir)
     grams = F.expr(
         "transform(sequence(1, greatest(length(text)-7, 1)), "
-        "i -> md5(substring(text, i, 8)))"
+        f"i -> {hash_fn}(substring(text, i, 8)))"
     )
     return df.select(
         "doc_id", F.array_min(grams).alias("fingerprint")

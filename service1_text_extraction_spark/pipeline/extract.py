@@ -5,9 +5,9 @@ Restates the reference's whole background pipeline
 fan-out -> per-page extract -> quality gate -> sink + status writeback)
 as one declarative DataFrame program:
 
-    read -> pending filter -> salted repartition -> extract_turn
-    pandas UDF (Arrow batches) -> window over (conv_id, turn_idx) for
-    stable ordering + doc-level char offsets -> outputs
+    read -> pending filter -> extract_turn pandas UDF (Arrow batches,
+    on scan partitions) -> window over (conv_id, turn_idx) for stable
+    ordering + doc-level char offsets -> outputs
 
 Scale design (for a 1000-executor cluster at 10^12 turns, tested on
 local[N]):
@@ -16,11 +16,15 @@ local[N]):
   (``xxhash64`` — NOT Spark task ids), which are simultaneously the
   resume-marker granularity and the output partitioning, so resume is
   identical across cluster sizes.
-- Skew: one 10^6-turn conversation must not pin a single task, so the
-  pre-UDF repartition key is ``(bucket_id, pmod(turn_idx, salt))`` —
-  a long conversation spreads over ``salt`` shuffle keys. Turn order
-  is restored afterwards by the window, so salting cannot change the
-  output (asserted by tests at different partition counts).
+- Skew: the UDF is a pure per-row map, so it runs directly on scan
+  partitions (byte-sized splits spread one 10^6-turn conversation's
+  payloads over many tasks automatically); the plan's only exchange is
+  the ordering window, which moves the far smaller extracted output.
+  For pathological layouts (non-splittable sources that co-locate a
+  giant conversation) an opt-in pre-UDF repartition on
+  ``(bucket_id, pmod(turn_idx, salt))`` spreads it over ``salt``
+  shuffle keys. Turn order is restored by the window, so neither mode
+  changes the output (asserted by tests at different partition counts).
 - The UDF is a scalar Arrow-batched pandas UDF returning a struct —
   one Python invocation per ~10k-row batch, no per-row Python at the
   Spark level (per-payload parsing inside the batch is the kernel).
@@ -133,6 +137,7 @@ def run_extraction(
     n_buckets: int = DEFAULT_N_BUCKETS,
     salt: int = DEFAULT_SALT,
     shuffle_partitions: int | None = None,
+    pre_shuffle: bool = False,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted.
 
@@ -143,19 +148,35 @@ def run_extraction(
     offset of this turn's text inside the plain in-order concatenation
     of the conversation's turn texts — NOT inside assemble_documents'
     page-marker format, whose markers shift every offset).
+
+    ``pre_shuffle`` (opt-in) repartitions the raw payloads by
+    ``(bucket_id, turn_idx % salt)`` *before* the UDF. The default
+    skips it: the UDF is a pure per-row map, so scan splits (sized by
+    ``spark.sql.files.maxPartitionBytes``, AQE-coalesced) already
+    spread payload bytes evenly across tasks regardless of conv_id
+    layout — per-conversation skew only matters at the window
+    exchange, which shuffles the much smaller *extracted* output. The
+    default plan therefore has exactly ONE exchange (the window); the
+    salted path remains for pathological input layouts (e.g. a
+    non-splittable source where one input partition holds one giant
+    conversation). Output is identical either way (asserted by
+    tests/test_pipeline.py::test_salting_does_not_change_output).
     """
     df = with_bucket(
         transcripts.select("conv_id", "turn_idx", "role", "tool", "text", "ts"),
         n_buckets,
     )
 
-    # Skew-aware spread: a huge conversation lands on `salt` distinct
-    # shuffle keys instead of one. Order is restored by the window below.
-    salt_key = F.pmod(F.col("turn_idx").cast("long"), F.lit(salt))
-    if shuffle_partitions:
-        df = df.repartition(shuffle_partitions, F.col("bucket_id"), salt_key)
-    else:
-        df = df.repartition(F.col("bucket_id"), salt_key)
+    if pre_shuffle:
+        # Skew-aware spread: a huge conversation lands on `salt` distinct
+        # shuffle keys instead of one. Order is restored by the window.
+        salt_key = F.pmod(F.col("turn_idx").cast("long"), F.lit(salt))
+        if shuffle_partitions:
+            df = df.repartition(
+                shuffle_partitions, F.col("bucket_id"), salt_key
+            )
+        else:
+            df = df.repartition(F.col("bucket_id"), salt_key)
 
     extracted = df.withColumn("ex", extract_turn_udf(F.col("text"))).select(
         "conv_id",

@@ -42,3 +42,60 @@ def test_frozen_golden_equality(spark):
     ).limit(3).collect()
     assert not rows, rows
     assert out.count() == gdf.count() == 479
+
+
+def _no_mismatch(spark, fresh, frozen, keys):
+    j = fresh.join(frozen, on=keys, how="full_outer")
+    conds = None
+    for c in fresh.columns:
+        if c in keys:
+            continue
+        bad = ~F.col(c).eqNullSafe(F.col(f"g_{c}"))
+        conds = bad if conds is None else (conds | bad)
+    rows = j.where(conds).limit(3).collect()
+    assert not rows, rows
+
+
+def test_frozen_assembled_docs(spark):
+    """Full-output hash gate for the S6/S7 doc sink (no DuckDB oracle
+    exists for the kernels): every document's assembled text md5, plus
+    its metric rollup, must equal the committed golden."""
+    import __spark_entry__ as entrymod
+
+    fresh = entrymod._q_assemble_docs(spark, "/root/testdata/sf0.001").select(
+        "conv_id",
+        F.md5("doc_text").alias("doc_md5"),
+        F.length("doc_text").alias("doc_len"),
+        "n_turns",
+        "failed_turns",
+        "chars_out",
+        "bytes_in",
+    )
+    frozen = spark.read.parquet(f"{DATA}/golden_assembled.parquet")
+    frozen = frozen.select(
+        "conv_id", *[F.col(c).alias(f"g_{c}") for c in frozen.columns
+                     if c != "conv_id"]
+    )
+    _no_mismatch(spark, fresh, frozen, ["conv_id"])
+    assert fresh.count() == 500
+
+
+def test_frozen_layout_text(spark):
+    """Full-output hash gate for the S8 layout sink: per-PDF-turn
+    layout_text md5 against the committed golden."""
+    import __spark_entry__ as entrymod
+
+    fresh = entrymod._q_layout_text(spark, "/root/testdata/sf0.001").select(
+        "conv_id",
+        "turn_idx",
+        F.md5("layout_text").alias("layout_md5"),
+        "layout_chars",
+    )
+    frozen = spark.read.parquet(f"{DATA}/golden_layout.parquet")
+    frozen = frozen.select(
+        "conv_id", "turn_idx",
+        *[F.col(c).alias(f"g_{c}") for c in frozen.columns
+          if c not in ("conv_id", "turn_idx")],
+    )
+    _no_mismatch(spark, fresh, frozen, ["conv_id", "turn_idx"])
+    assert fresh.count() == 307

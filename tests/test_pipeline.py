@@ -47,10 +47,21 @@ def test_per_turn_golden_equality(spark, data):
 
 
 def test_salting_does_not_change_output(spark, data):
+    """Neither the pre-shuffle opt-in nor its salt/partition-count
+    parameters may change the result (order is restored by the
+    window): no-pre-shuffle == salt 1/2 parts == salt 13/17 parts."""
     tdf, _, _, _ = data
-    a = run_extraction(spark, tdf, n_buckets=16, salt=1, shuffle_partitions=2)
-    b = run_extraction(spark, tdf, n_buckets=16, salt=13, shuffle_partitions=17)
+    a = run_extraction(
+        spark, tdf, n_buckets=16, salt=1, shuffle_partitions=2,
+        pre_shuffle=True,
+    )
+    b = run_extraction(
+        spark, tdf, n_buckets=16, salt=13, shuffle_partitions=17,
+        pre_shuffle=True,
+    )
+    c = run_extraction(spark, tdf, n_buckets=16)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    assert a.exceptAll(c).isEmpty() and c.exceptAll(a).isEmpty()
 
 
 def test_turn_ordering_and_offsets(spark, data):

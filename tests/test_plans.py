@@ -56,11 +56,28 @@ def test_extraction_plan_shape(spark):
     plan = _plan(run_extraction(spark, tdf, n_buckets=8, salt=4))
     assert "ArrowEvalPython" in plan  # vectorized UDF, not BatchEvalPython
     assert "BatchEvalPython" not in plan
-    # exactly two exchanges: salt spread + ordering window
+    # exactly ONE exchange: the ordering window. The UDF is a pure
+    # per-row map and runs on scan partitions — shuffling raw payload
+    # bytes before it was r2's top non-kernel cost.
     n_exchanges = len(re.findall(r"Arguments: hashpartitioning", plan))
-    assert n_exchanges == 2, plan
+    assert n_exchanges == 1, plan
     # the window sorts within partitions only (no global sort)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_extraction_plan_shape_pre_shuffle_opt_in(spark):
+    """The salted pre-UDF spread stays available for pathological
+    input layouts: opting in adds exactly the one salt exchange."""
+    rows = [("c", 1, "u", "<p>x</p>", None, None)]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    plan = _plan(
+        run_extraction(spark, tdf, n_buckets=8, salt=4, pre_shuffle=True)
+    )
+    n_exchanges = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_exchanges == 2, plan
 
 
 def test_aggregates_partial_combine(spark, sf_dir):

@@ -1,0 +1,134 @@
+"""PNG codec: real decode of dimensions + pixels, honest fallback."""
+
+import struct
+import zlib
+
+import pytest
+
+from service1_text_extraction_spark.functions.multimodal import _decode
+from service1_text_extraction_spark.kernels import png
+
+
+def test_gray_roundtrip_gradient():
+    w, h = 37, 11
+    pixels = bytes((r * 31 + c * 7) % 256 for r in range(h) for c in range(w))
+    data = png.encode_png(w, h, pixels)
+    dw, dh, out = png.decode_png(data)
+    assert (dw, dh) == (w, h)
+    assert out == pixels
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _forward_filter(rows: list[bytes], tags: list[int], bpp: int) -> bytes:
+    """Apply PNG scanline filters forward (the encoder side of the
+    defilter under test)."""
+    raw = bytearray()
+    prev = bytes(len(rows[0]))
+    for row, tag in zip(rows, tags):
+        raw.append(tag)
+        for i, b in enumerate(row):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if tag == 0:
+                raw.append(b)
+            elif tag == 1:
+                raw.append((b - left) & 0xFF)
+            elif tag == 2:
+                raw.append((b - up) & 0xFF)
+            elif tag == 3:
+                raw.append((b - (left + up) // 2) & 0xFF)
+            elif tag == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left if pa <= pb and pa <= pc else up if pb <= pc else ul
+                )
+                raw.append((b - pred) & 0xFF)
+        prev = row
+    return bytes(raw)
+
+
+def test_rgb_all_filter_types():
+    w, h = 5, 5  # one row per filter type
+    rows = [
+        bytes(((r * 17 + c * 3) % 256) for c in range(w * 3))
+        for r in range(h)
+    ]
+    raw = _forward_filter(rows, [0, 1, 2, 3, 4], bpp=3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # color type 2 RGB
+    data = (
+        png.SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    dw, dh, out = png.decode_png(data)
+    assert (dw, dh) == (w, h)
+    assert out == b"".join(rows)
+
+
+def test_idat_may_span_chunks():
+    w, h = 8, 8
+    pixels = bytes(range(64))
+    data = png.encode_png(w, h, pixels)
+    # split the single IDAT into two chunks
+    sig_ihdr = data[: 8 + 12 + 13]
+    (idat_len,) = struct.unpack(">I", data[8 + 25 : 8 + 29])
+    idat_body = data[8 + 25 + 8 : 8 + 25 + 8 + idat_len]
+    mid = len(idat_body) // 2
+    rebuilt = (
+        sig_ihdr
+        + _chunk(b"IDAT", idat_body[:mid])
+        + _chunk(b"IDAT", idat_body[mid:])
+        + _chunk(b"IEND", b"")
+    )
+    assert png.decode_png(rebuilt)[2] == pixels
+
+
+@pytest.mark.parametrize(
+    "mutate,msg",
+    [
+        (lambda d: b"JUNK" + d[4:], "signature"),
+        (lambda d: d[:33], "truncated|missing|no IDAT"),
+    ],
+)
+def test_malformed_raises(mutate, msg):
+    data = png.encode_png(4, 4, bytes(16))
+    with pytest.raises(png.PngError, match=msg):
+        png.decode_png(mutate(data))
+
+
+def test_interlaced_and_deep_rejected():
+    for depth, interlace in ((16, 0), (8, 1)):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 0, 0, 0, interlace)
+        data = (
+            png.SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(5 * 4)))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(png.PngError):
+            png.decode_png(data)
+
+
+def test_decode_dispatch_real_vs_fake():
+    real = png.encode_png(20, 10, bytes([7] * 200))
+    w, h, feats = _decode(real)
+    assert (w, h) == (20, 10)
+    # constant-7 image: all histogram mass in bin 0 (7 // 16)
+    assert feats[0] == 1.0 and sum(feats) == pytest.approx(1.0)
+    # non-PNG bytes take the deterministic fake (digest dims)
+    fw, fh, _ = _decode(b"not an image at all")
+    assert 64 <= fw < 256 and 64 <= fh < 256
+    # malformed PNG (good signature, garbage body) falls back, no raise
+    bw, bh, _ = _decode(png.SIGNATURE + b"garbage")
+    assert 64 <= bw < 256 and 64 <= bh < 256
