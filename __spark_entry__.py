@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_counts": textstats.chunk_counts,
         "train_test_split": textstats.train_test_split,
         "tfidf_top_terms": textstats.tfidf_top_terms,
+        # --- round-3 additions ------------------------------------
+        "decontaminate": dedup.decontaminate,
+        "pack_sequences": textstats.pack_sequences,
         # --- tail (positions 51+): multi-round-green TPC-H-style
         #     queries the driver already hash-verified in r1 AND r2;
         #     the 50-query cap skips these, the local parity suite
@@ -734,6 +737,33 @@ def oracle_sql() -> dict[str, str]:
             " FROM scored)"
             " SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf"
             " FROM ranked WHERE rank <= 3"
+        ),
+        # mirrors dedup.decontaminate: benchmark = doc_id < 20 of the
+        # same table; token 8-grams, per-doc distinct (concat_ws skips
+        # out-of-range NULL elements in both engines)
+        "decontaminate": (
+            f"WITH {_TOKS_CTE},"
+            " g AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1],"
+            " t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]) AS g"
+            " FROM (SELECT doc_id, t, unnest(generate_series(1,"
+            " greatest(len(t)-7, 1))) AS i FROM toks))"
+            " SELECT c.doc_id, count(*)::BIGINT AS n_hits"
+            " FROM (SELECT doc_id, g FROM g WHERE doc_id >= 20) c"
+            " JOIN (SELECT DISTINCT g FROM g WHERE doc_id < 20) b"
+            " USING (g) GROUP BY c.doc_id"
+        ),
+        # mirrors textstats.pack_sequences: shard-local running token
+        # sums; pack = floor(start_offset / budget)
+        "pack_sequences": (
+            f"WITH {_TOKS_CTE}"
+            " SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,"
+            " CAST(len(t) AS BIGINT) AS n_tok,"
+            " CAST(sum(len(t)) OVER w AS BIGINT) AS cum_tokens,"
+            " CAST(floor((sum(len(t)) OVER w - len(t)) / 2048.0)"
+            " AS BIGINT) AS pack_id"
+            " FROM toks"
+            " WINDOW w AS (PARTITION BY doc_id % 16 ORDER BY doc_id"
+            " ROWS UNBOUNDED PRECEDING)"
         ),
         # hash bucket = int(md5[:4], 16) % 100, hex parsed via strpos
         "train_test_split": (

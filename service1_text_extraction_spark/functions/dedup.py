@@ -453,3 +453,49 @@ def duplicate_passages(
             F.col("n_docs").cast("long").alias("n_docs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (test-set n-gram overlap)
+# --------------------------------------------------------------------------
+
+BENCH_DOC_MAX = 20  # stand-in benchmark set: doc_id < 20
+DECON_GRAM = 8  # token n-gram width (13 is the GPT-3 norm; 8 fits test SFs)
+
+_GRAMS8_OF_T = (
+    "array_distinct(transform(sequence(1, greatest(size(t)-7, 1)), "
+    "i -> concat_ws(' ', try_element_at(t, i), try_element_at(t, i+1), "
+    "try_element_at(t, i+2), try_element_at(t, i+3), try_element_at(t, i+4), "
+    "try_element_at(t, i+5), try_element_at(t, i+6), try_element_at(t, i+7))))"
+)
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the standard pretraining hygiene op
+    (GPT-3 App. C / C4 / Dolma style): flag corpus documents that share
+    any token 8-gram with a held-out benchmark set, so they can be
+    dropped before training. The benchmark stand-in is doc_id <
+    BENCH_DOC_MAX of the same table; in production it is the eval
+    suites.
+
+    Scale shape: benchmark gram sets are tiny (benchmarks are MBs even
+    when the corpus is 100 TB) -> distinct grams BROADCAST to a hash
+    join against the corpus gram stream: one explode + per-doc count,
+    the text itself never shuffles. The token array is materialized
+    before the gram transform (the lambda-inlining trap,
+    tests/test_plans.py)."""
+    grams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_TOKENS).alias("t"))
+        .select("doc_id", F.explode(F.expr(_GRAMS8_OF_T)).alias("g"))
+    )
+    bench = (
+        grams.where(F.col("doc_id") < BENCH_DOC_MAX).select("g").distinct()
+    )
+    corpus = grams.where(F.col("doc_id") >= BENCH_DOC_MAX)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))  # grams are per-doc distinct
+        .select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+    )

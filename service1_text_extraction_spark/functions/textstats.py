@@ -231,3 +231,46 @@ def tfidf_top_terms(
         .select("doc_id", F.col("rank").cast("int").alias("rank"),
                 "tok", "tfidf")
     )
+
+
+PACK_BUDGET = 2048  # tokens per training pack
+N_PACK_SHARDS = 16  # independent packing streams
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET
+) -> DataFrame:
+    """Sequence packing for pretraining batches: assign documents to
+    fixed token-budget packs (the op that turns a shuffled corpus into
+    dense training sequences). Greedy by running token total in
+    deterministic doc_id order; a document's pack is
+    ``floor(start_offset / budget)`` of its shard's running sum.
+
+    Scale shape: a single global running sum would be one partition —
+    instead documents shard by ``doc_id % N_PACK_SHARDS`` and each
+    shard packs independently (the window partitions by shard, so the
+    sort is shard-local and parallel; at 100 TB the shard count scales
+    with the cluster). Deterministic across engines and cluster sizes:
+    only doc_id arithmetic and token counts feed the assignment."""
+    from pyspark.sql import Window
+
+    n = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).cast("int").alias("shard"),
+        F.expr(f"size({_TOKENS})").cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tok").over(w)
+    return n.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        cum.cast("long").alias("cum_tokens"),
+        F.floor((cum - F.col("n_tok")) / F.lit(budget))
+        .cast("long")
+        .alias("pack_id"),
+    )

@@ -169,3 +169,23 @@ def test_filter_pushdown_quality_gate(spark, sf_dir):
     assert m and set(m.group(1).split(",")) <= {
         "doc_id:bigint", "text:string"
     }, plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set is tiny (eval suites are MBs at any
+    corpus scale) — it must broadcast; a shuffle join here would move
+    the full corpus gram stream twice."""
+    plan = _plan(dedup.decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    """Sequence packing must never serialize into one global running
+    sum: the window partitions by shard (parallel), so no
+    SinglePartition exchange may appear."""
+    from service1_text_extraction_spark.functions import textstats
+
+    plan = _plan(textstats.pack_sequences(spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan
