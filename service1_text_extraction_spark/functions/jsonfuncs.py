@@ -32,19 +32,27 @@ _RESULT_SCHEMA = StructType(
 )
 
 
+def _coerce_k(k) -> int | None:
+    """Recovered JSON may carry a non-integral "k" (string, dict,
+    float-string, Infinity/NaN, or an int past int64) — a bad value
+    must yield NULL, never crash the Arrow batch (OverflowError covers
+    float('inf'); the range check covers Arrow LongType limits)."""
+    try:
+        v = int(k) if isinstance(k, (int, float, str)) else None
+        if v is not None and not (-(2**63) <= v < 2**63):
+            return None
+        return v
+    except (ValueError, TypeError, OverflowError):
+        return None
+
+
 @F.pandas_udf(_RESULT_SCHEMA)
 def _recover_k(texts: pd.Series) -> pd.DataFrame:
     rows = []
     for t in texts:
         obj, strategy = parse_ai_response(t)
         k = obj.get("k") if isinstance(obj, dict) else None
-        # recovered JSON may carry a non-integral "k" (string, dict,
-        # float-string) — a bad row must yield NULL, not crash the batch
-        try:
-            k_val = int(k) if isinstance(k, (int, float, str)) else None
-        except (ValueError, TypeError):
-            k_val = None
-        rows.append((k_val, strategy, int(obj is not None)))
+        rows.append((_coerce_k(k), strategy, int(obj is not None)))
     return pd.DataFrame(rows, columns=["k_value", "strategy", "ok"])
 
 

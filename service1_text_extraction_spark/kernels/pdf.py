@@ -473,6 +473,10 @@ class PdfDocument:
                     obj, _ = _parse_value(data, first + offset)
                     self.objects[objnum] = obj
                     self._obj_pos[objnum] = container_pos
+                    # ObjStm-embedded objects are always stream-less:
+                    # drop any superseded top-level stream bytes, same
+                    # as the plain-dict-replaces-stream case in the scan
+                    self.streams.pop(objnum, None)
             except (PdfError, IndexError, ValueError, zlib.error):
                 continue
 

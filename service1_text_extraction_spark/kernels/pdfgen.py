@@ -267,14 +267,6 @@ def build_pdf_objstm(page_streams: list[bytes]) -> bytes:
             )
         )
 
-    body = bytearray()
-    header = bytearray()
-    for objnum, objbytes in embedded:
-        header += f"{objnum} {len(body)} ".encode()
-        body += objbytes + b"\n"
-    payload = bytes(header) + bytes(body)
-    compressed = zlib.compress(payload)
-
     buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     for i, stream in enumerate(page_streams):
         buf += (
@@ -282,10 +274,10 @@ def build_pdf_objstm(page_streams: list[bytes]) -> bytes:
             f"<< /Length {len(stream)} >>\nstream\n"
         ).encode() + stream + b"\nendstream\nendobj\n"
     buf += (
-        f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(embedded)} "
-        f"/First {len(header)} /Length {len(compressed)} "
-        f"/Filter /FlateDecode >>\nstream\n"
-    ).encode() + compressed + b"\nendstream\nendobj\n"
+        f"{objstm_num} 0 obj\n".encode()
+        + objstm_obj(embedded)
+        + b"\nendobj\n"
+    )
     buf += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
     return bytes(buf)
 
@@ -524,7 +516,9 @@ def append_incremental_update(data: bytes, updates: dict[int, bytes]) -> bytes:
     prev_pos = int(prevs[-1]) if prevs else 0
     sizes = _re.findall(rb"/Size\s+(\d+)", data)
     size = max(
-        [int(s) for s in sizes] + [max(updates) + 1] if updates else [1]
+        [int(s) for s in sizes]
+        + ([max(updates) + 1] if updates else [])
+        + [1]
     )
 
     buf = bytearray(data)

@@ -76,13 +76,21 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         raise PngError(f"color type {color_type} unsupported")
     if not idat:
         raise PngError("no IDAT data")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise PngError(f"IDAT inflate failed: {e}") from e
     channels = _CHANNELS[color_type]
     row_len = width * channels  # bit depth 8
-    if len(raw) < (row_len + 1) * height:
+    expected = (row_len + 1) * height
+    if expected > 256 * 1024 * 1024:
+        raise PngError("image geometry exceeds the 256 MiB decode cap")
+    # inflate with a hard cap: a deflate bomb must not be able to
+    # allocate more than the geometry implies (+1 byte to detect junk)
+    try:
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise PngError(f"IDAT inflate failed: {e}") from e
+    if len(raw) > expected:
+        raise PngError("IDAT inflates past the declared geometry")
+    if len(raw) < expected:
         raise PngError("IDAT shorter than geometry")
     try:
         # predictor >= 10 = "PNG filters, tag byte per row" — exactly

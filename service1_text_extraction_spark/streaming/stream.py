@@ -62,8 +62,15 @@ def stream_extract(
     )
 
     def process(batch_df, batch_id: int) -> None:
+        # pre_shuffle stays ON in the stream: a micro-batch is a
+        # handful of files (maxFilesPerTrigger=16), so scan splits are
+        # few and one giant conversation CAN pin a task — exactly the
+        # pathological layout the salted spread exists for. (The batch
+        # job defaults to no pre-shuffle because a full corpus scan
+        # has plentiful byte-splits.)
         out = run_extraction(
-            batch_df.sparkSession, batch_df, n_buckets=n_buckets, salt=salt
+            batch_df.sparkSession, batch_df, n_buckets=n_buckets, salt=salt,
+            pre_shuffle=True,
         )
         # turn_seq / doc_char_offset are per-conversation *global*
         # ordering columns; a file stream may split one conversation

@@ -94,3 +94,20 @@ def test_pretty_printed_multiline_repair():
     assert safe_json_loads(dirty) == {"a": "line1\nline2", "b": "x"}
     dirty2 = '{\n "a": "v",\n "b": "w"\n,}'
     assert safe_json_loads(dirty2) == {"a": "v", "b": "w"}
+
+
+def test_coerce_k_never_crashes_the_batch():
+    """Arrow-batch safety: every weird recovered 'k' maps to None (or a
+    truncated int), never an exception (review r3: Infinity raised
+    OverflowError; ints past int64 crashed Arrow serialization)."""
+    from service1_text_extraction_spark.functions.jsonfuncs import _coerce_k
+
+    assert _coerce_k(3) == 3
+    assert _coerce_k(3.9) == 3
+    assert _coerce_k("41") == 41
+    assert _coerce_k(True) == 1  # bool is an int subtype
+    for bad in (
+        float("inf"), float("-inf"), float("nan"), "3.5x", "", None,
+        {"nested": 1}, [1], 2**63, -(2**63) - 1, 10**25, "9" * 30,
+    ):
+        assert _coerce_k(bad) is None, bad

@@ -101,3 +101,40 @@ def test_update_replacing_stream_with_plain_dict_drops_stale_bytes():
         },
     )
     assert pdf.extract_pdf(updated).pages[0].text == _UPD
+
+
+def test_objstm_revision_drops_stale_stream_bytes():
+    """When an appended ObjStm redefines a top-level STREAM object as a
+    plain dict, the superseded stream bytes must not survive (review
+    r3: stream_data(5) kept returning the old content)."""
+    base = _base()
+    page_dict = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 8 0 R >>"
+    )
+    updated = pdfgen.append_incremental_update(
+        base,
+        {
+            8: pdfgen.stream_obj(
+                pdfgen.simple_page([(72, 700, [_UPD])])
+            ),
+            # the ObjStm supersedes BOTH the page dict and the old
+            # content stream object (now a plain placeholder dict)
+            9: pdfgen.objstm_obj(
+                [(4, page_dict), (5, b"<< /Obsolete true >>")]
+            ),
+        },
+    )
+    doc = pdf.PdfDocument(updated)
+    assert 5 not in doc.streams
+    assert pdf.extract_pdf(updated).pages[0].text == _UPD
+
+
+def test_empty_update_preserves_trailer_size():
+    base = _base()
+    out = pdfgen.append_incremental_update(base, {})
+    import re
+
+    sizes = [int(m) for m in re.findall(rb"/Size\s+(\d+)", out)]
+    assert sizes[-1] == max(sizes), sizes
+    assert pdf.extract_pdf(out).pages[0].text == _ORIG

@@ -132,3 +132,31 @@ def test_decode_dispatch_real_vs_fake():
     # malformed PNG (good signature, garbage body) falls back, no raise
     bw, bh, _ = _decode(png.SIGNATURE + b"garbage")
     assert 64 <= bw < 256 and 64 <= bh < 256
+
+
+def test_deflate_bomb_rejected_without_inflating():
+    """A tiny payload whose IDAT inflates to far more than the declared
+    geometry must fail fast, not allocate the expansion (review r3)."""
+    bomb = zlib.compress(bytes(64 * 1024 * 1024), 9)  # 64 MiB of zeros
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # claims 4x4
+    data = (
+        png.SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    assert len(data) < 128 * 1024
+    with pytest.raises(png.PngError, match="inflates past"):
+        png.decode_png(data)
+
+
+def test_absurd_geometry_rejected():
+    ihdr = struct.pack(">IIBBBBB", 2**20, 2**20, 8, 6, 0, 0, 0)
+    data = (
+        png.SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"x"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(png.PngError, match="decode cap"):
+        png.decode_png(data)
