@@ -39,10 +39,14 @@ whose standard security handler authenticates with the *empty user
 password* (the common "owner-locked" case) are decrypted transparently
 (RC4-40/128 and AES-128, see :mod:`.pdfcrypt`); anything needing a
 real password surfaces the reference's ``password_required`` failure
-(``core_pdf_processor.py:167-181``). Cross-reference tables/streams
-are never consulted — the object scan is the source of truth, which
-also makes truncated or incrementally-updated files best-effort
-parseable.
+(``core_pdf_processor.py:167-181``). Object resolution: the
+cross-reference chain (classic tables AND xref streams, following
+/Prev and hybrid /XRefStm) is consulted first and is authoritative
+when it parses — it decides free-list, spurious-duplicate, and
+in-ObjStm cases; beneath it, a full byte scan with later-revision-wins
+keeps truncated or xref-broken files best-effort parseable (the
+failure mode PyMuPDF's repair path covers in the reference,
+core_pdf_processor.py:273-354).
 """
 
 from __future__ import annotations
@@ -237,6 +241,33 @@ def _parse_literal_string(data: bytes, pos: int):
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _read_obj_body(data: bytes, pos: int) -> tuple[object, bytes | None]:
+    """Parse one object body at ``pos`` (just past ``N G obj``);
+    returns (value, raw_stream_bytes_or_None)."""
+    val, pos = _parse_value(data, pos)
+    pos = _skip_ws(data, pos)
+    raw = None
+    if isinstance(val, dict) and data.startswith(b"stream", pos):
+        pos += len(b"stream")
+        if data.startswith(b"\r\n", pos):
+            pos += 2
+        elif data.startswith(b"\n", pos) or data.startswith(b"\r", pos):
+            pos += 1
+        length = val.get("/Length")
+        if isinstance(length, int):
+            raw = data[pos : pos + length]
+        else:  # ref or missing: locate endstream; strip at most
+            # ONE EOL before it — rstrip would eat real binary
+            # bytes that happen to end in 0x0A/0x0D
+            end = data.find(b"endstream", pos)
+            raw = data[pos:end]
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith((b"\n", b"\r")):
+                raw = raw[:-1]
+    return val, raw
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+(\d+)\s+R")
 
 
@@ -252,10 +283,12 @@ class PdfDocument:
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}
         self._obj_pos: dict[int, int] = {}  # byte offset of winning rev
+        self._xref_in_objstm: dict[int, int] = {}  # objnum -> objstm num
         self._file_key: bytes | None = None
         self._aes = False
         self._encrypt_num: int | None = None
         self._scan_objects()
+        self._apply_xref()
         self._setup_encryption()
         self._expand_object_streams()
 
@@ -406,37 +439,197 @@ class PdfDocument:
         for m in _OBJ_RE.finditer(data):
             num = int(m.group(1))
             try:
-                val, pos = _parse_value(data, m.end())
+                val, raw = _read_obj_body(data, m.end())
             except (PdfError, IndexError, ValueError):
                 continue
-            pos = _skip_ws(data, pos)
-            has_stream = False
-            if isinstance(val, dict) and data.startswith(b"stream", pos):
-                has_stream = True
-                pos += len(b"stream")
-                if data.startswith(b"\r\n", pos):
-                    pos += 2
-                elif data.startswith(b"\n", pos) or data.startswith(b"\r", pos):
-                    pos += 1
-                length = val.get("/Length")
-                if isinstance(length, int):
-                    raw = data[pos : pos + length]
-                else:  # ref or missing: locate endstream; strip at most
-                    # ONE EOL before it — rstrip would eat real binary
-                    # bytes that happen to end in 0x0A/0x0D
-                    end = data.find(b"endstream", pos)
-                    raw = data[pos:end]
-                    if raw.endswith(b"\r\n"):
-                        raw = raw[:-2]
-                    elif raw.endswith((b"\n", b"\r")):
-                        raw = raw[:-1]
+            if raw is not None:
                 self.streams[num] = raw
-            elif num in self.streams and not has_stream:
+            elif num in self.streams:
                 # a later revision replaced a stream object with a
                 # plain one: drop the superseded bytes
                 del self.streams[num]
             self.objects[num] = val
             self._obj_pos[num] = m.start()
+
+    # -- cross-reference chain (PDF 32000-1 §7.5.4 tables / §7.5.8
+    # streams). The chain, when it parses, is authoritative: it
+    # decides free-list reuse and hybrid-reference cases the byte
+    # scan's later-occurrence heuristic cannot. Every step is
+    # best-effort — any failure leaves the scan's result standing, so
+    # truncated/corrupt files degrade exactly as before.
+
+    _XREF_ENTRY_RE = re.compile(rb"\s*(\d{10})\s+(\d{5})\s+([nf])")
+    _XREF_SUB_RE = re.compile(rb"(\d+)\s+(\d+)[^\S\n]*\r?\n")
+
+    def _apply_xref(self) -> None:
+        data = self.data
+        last = None
+        for last in re.finditer(rb"startxref\s+(\d+)", data):
+            pass
+        if last is None:
+            return
+        # num -> ("o", offset) | ("s", objstm_num, idx) | ("f",)
+        # newest revision first: first entry seen for a num wins
+        entries: dict[int, tuple] = {}
+        pos = int(last.group(1))
+        seen: set[int] = set()
+        for _ in range(64):  # /Prev chain bound (loop guard)
+            if pos in seen or not 0 <= pos < len(data):
+                break
+            seen.add(pos)
+            try:
+                p = _skip_ws(data, pos)
+                if data.startswith(b"xref", p):
+                    nxt = self._parse_xref_table(p + 4, entries)
+                else:
+                    nxt = self._parse_xref_stream(p, entries)
+            except (PdfError, IndexError, ValueError, zlib.error,
+                    pdffilters.FilterError):
+                break
+            if not isinstance(nxt, int):
+                break
+            pos = nxt
+        self._apply_xref_entries(entries)
+
+    def _parse_xref_table(self, p: int, entries: dict) -> int | None:
+        """Classic table: subsections of ``start count`` + 20-byte
+        rows, then the trailer dict. Returns /Prev or None."""
+        data = self.data
+        local: dict[int, tuple] = {}
+        while True:
+            p = _skip_ws(data, p)
+            m = self._XREF_SUB_RE.match(data, p)
+            if m is None:
+                break
+            start, count = int(m.group(1)), int(m.group(2))
+            p = m.end()
+            for i in range(count):
+                e = self._XREF_ENTRY_RE.match(data, p)
+                if e is None:
+                    raise PdfError("malformed xref entry")
+                p = e.end()
+                num = start + i
+                if num in local:
+                    continue
+                local[num] = (
+                    ("f",) if e.group(3) == b"f" else ("o", int(e.group(1)))
+                )
+        p = _skip_ws(data, p)
+        if not data.startswith(b"trailer", p):
+            raise PdfError("xref table without trailer")
+        trailer, _ = _parse_value(data, p + len(b"trailer"))
+        if not isinstance(trailer, dict):
+            raise PdfError("malformed trailer")
+        # hybrid-reference file: the /XRefStm lists the objects the
+        # table marks free (they live in object streams) — its entries
+        # must land BEFORE this table's, or the 'f' rows would delete
+        # real objects
+        xstm = trailer.get("/XRefStm")
+        if isinstance(xstm, int) and 0 <= xstm < len(self.data):
+            try:
+                self._parse_xref_stream(_skip_ws(data, xstm), entries)
+            except (PdfError, IndexError, ValueError, zlib.error,
+                    pdffilters.FilterError):
+                pass
+        for num, ent in local.items():
+            entries.setdefault(num, ent)
+        prev = trailer.get("/Prev")
+        return prev if isinstance(prev, int) else None
+
+    def _parse_xref_stream(self, p: int, entries: dict) -> int | None:
+        """Xref *stream*: /W-packed binary rows (type 0=free,
+        1=offset, 2=in-objstm). Returns /Prev or None."""
+        data = self.data
+        m = _OBJ_RE.match(data, p)
+        if m is None:
+            raise PdfError("no xref stream at startxref offset")
+        val, raw = _read_obj_body(data, m.end())
+        if (
+            not isinstance(val, dict)
+            or val.get("/Type") != "/XRef"
+            or raw is None
+        ):
+            raise PdfError("not an xref stream")
+        length = self.resolve(val.get("/Length"))
+        if isinstance(length, int) and length <= len(raw):
+            raw = raw[:length]
+        filt = self.resolve(val.get("/Filter"))
+        filters = filt if isinstance(filt, list) else [filt] if filt else []
+        parms = self.resolve(val.get("/DecodeParms")) or self.resolve(
+            val.get("/DP")
+        )
+        decoded = self._run_filters(
+            raw, filters, parms if isinstance(parms, list) else [parms]
+        )
+        w = self.resolve(val.get("/W"))
+        size = self.resolve(val.get("/Size"))
+        if (
+            not isinstance(w, list)
+            or len(w) != 3
+            or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+            or not isinstance(size, int)
+        ):
+            raise PdfError("malformed /W or /Size")
+        index = self.resolve(val.get("/Index")) or [0, size]
+        if not (
+            isinstance(index, list)
+            and len(index) % 2 == 0
+            and all(isinstance(x, int) for x in index)
+        ):
+            raise PdfError("malformed /Index")
+        a, b, c = w
+        row = a + b + c
+        pos = 0
+        for j in range(0, len(index), 2):
+            start, count = index[j], index[j + 1]
+            for i in range(count):
+                if pos + row > len(decoded):
+                    raise PdfError("xref stream shorter than /Index")
+                f1 = (
+                    int.from_bytes(decoded[pos : pos + a], "big") if a else 1
+                )
+                f2 = int.from_bytes(decoded[pos + a : pos + a + b], "big")
+                f3 = int.from_bytes(decoded[pos + a + b : pos + row], "big")
+                pos += row
+                num = start + i
+                if num in entries:
+                    continue
+                if f1 == 1:
+                    entries[num] = ("o", f2)
+                elif f1 == 2:
+                    entries[num] = ("s", f2, f3)
+                else:
+                    entries[num] = ("f",)
+        prev = val.get("/Prev")
+        return prev if isinstance(prev, int) else None
+
+    def _apply_xref_entries(self, entries: dict) -> None:
+        data = self.data
+        for num, ent in entries.items():
+            if num == 0:  # free-list head
+                continue
+            try:
+                if ent[0] == "f":
+                    # the newest revision freed this object
+                    self.objects.pop(num, None)
+                    self.streams.pop(num, None)
+                    self._obj_pos.pop(num, None)
+                elif ent[0] == "o":
+                    off = _skip_ws(data, ent[1])
+                    m = _OBJ_RE.match(data, off)
+                    if m is None or int(m.group(1)) != num:
+                        continue  # stale/corrupt offset: scan stands
+                    val, raw = _read_obj_body(data, m.end())
+                    self.objects[num] = val
+                    self._obj_pos[num] = off
+                    if raw is not None:
+                        self.streams[num] = raw
+                    else:
+                        self.streams.pop(num, None)
+                else:  # ("s", objstm_num, idx): expansion honors it
+                    self._xref_in_objstm[num] = ent[1]
+            except (PdfError, IndexError, ValueError):
+                continue
 
     def _expand_object_streams(self) -> None:
         """PDF 1.5+ object streams: modern writers keep most dict
@@ -465,7 +658,11 @@ class PdfDocument:
                     offset, pos = _parse_value(data, pos)
                     pairs.append((int(objnum), int(offset)))
                 for objnum, offset in pairs:
-                    if (
+                    # the xref chain may name THIS ObjStm as the
+                    # object's authoritative home (type-2 entry) —
+                    # that beats any positional heuristic
+                    authoritative = self._xref_in_objstm.get(objnum) == num
+                    if not authoritative and (
                         objnum in self.objects
                         and self._obj_pos.get(objnum, -1) >= container_pos
                     ):

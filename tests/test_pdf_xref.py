@@ -1,0 +1,151 @@
+"""Cross-reference chain consultation (PDF 32000-1 §7.5.4/§7.5.8).
+
+The chain, when it parses, is authoritative over the byte scan's
+later-occurrence heuristic: it decides spurious-duplicate, free-list,
+and in-ObjStm (type-2) cases. When the chain is broken the parser
+must degrade to exactly the old scan behavior."""
+
+import struct
+import zlib
+
+from service1_text_extraction_spark.kernels import pdf, pdfgen
+
+_ORIG = "Original xref-governed body text."
+_FAKE = "Spurious duplicate body the xref never references."
+
+
+def _base() -> bytes:
+    return pdfgen.build_pdf([pdfgen.simple_page([(72, 700, [_ORIG])])])
+
+
+def _startxref_of(data: bytes) -> int:
+    import re
+
+    return int(re.findall(rb"startxref\s+(\d+)", data)[-1])
+
+
+def test_xref_beats_later_spurious_duplicate():
+    """A duplicate body appended WITHOUT an xref update (e.g. junk
+    from concatenated files) must not shadow the referenced object —
+    the case the pure later-occurrence heuristic gets wrong."""
+    base = _base()
+    fake_stream = pdfgen.simple_page([(72, 700, [_FAKE])])
+    data = base + (
+        b"5 0 obj\n" + pdfgen.stream_obj(fake_stream) + b"\nendobj\n"
+    )
+    assert pdf.extract_pdf(data).pages[0].text == _ORIG
+
+
+def test_broken_xref_falls_back_to_scan():
+    """Same layout but the startxref offset is garbage: the chain is
+    unusable, so the scan's last-occurrence heuristic stands (the
+    appended copy wins — best-effort for damaged files)."""
+    base = _base().replace(b"startxref\n", b"startxref\n9")  # corrupt offset
+    fake_stream = pdfgen.simple_page([(72, 700, [_FAKE])])
+    data = base + (
+        b"5 0 obj\n" + pdfgen.stream_obj(fake_stream) + b"\nendobj\n"
+    )
+    assert pdf.extract_pdf(data).pages[0].text == _FAKE
+
+
+def test_incremental_update_still_wins_through_xref():
+    """append_incremental_update writes a proper chain (/Prev to the
+    base); the updated object must win via the chain too."""
+    upd = pdfgen.simple_page([(72, 700, ["Updated through the chain."])])
+    data = pdfgen.append_incremental_update(
+        _base(), {5: pdfgen.stream_obj(upd)}
+    )
+    assert pdf.extract_pdf(data).pages[0].text == "Updated through the chain."
+
+
+def test_free_entry_deletes_object():
+    """An appended revision that FREES the content stream removes it:
+    the page loses its content instead of resurrecting stale bytes."""
+    base = _base()
+    prev = _startxref_of(base)
+    buf = bytearray(base)
+    xref_pos = len(buf)
+    buf += (
+        b"xref\n0 1\n0000000000 65535 f \n"
+        b"5 1\n0000000000 00001 f \n"
+        + f"trailer\n<< /Size 6 /Root 1 0 R /Prev {prev} >>\n"
+          f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    doc = pdf.PdfDocument(bytes(buf))
+    assert 5 not in doc.objects and 5 not in doc.streams
+    assert pdf.extract_pdf(bytes(buf)).pages[0].text == ""
+
+
+def _xref_stream_obj(
+    num: int, size: int, entries: dict[int, tuple], prev: int | None
+) -> bytes:
+    """Build an xref-stream object body: /W [1 4 2], /Index per entry."""
+    index = []
+    rows = b""
+    for n in sorted(entries):
+        t, f2, f3 = entries[n]
+        index += [n, 1]
+        rows += struct.pack(">BIH", t, f2, f3)
+    comp = zlib.compress(rows)
+    idx = " ".join(str(i) for i in index)
+    head = (
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Index [{idx}] "
+        f"/Filter /FlateDecode /Length {len(comp)} /Root 1 0 R"
+        + (f" /Prev {prev}" if prev is not None else "")
+        + " >>\n"
+    ).encode()
+    return head + b"stream\n" + comp + b"\nendstream"
+
+
+def test_xref_stream_chain_resolves_updates():
+    """An appended revision indexed by an xref STREAM (the modern
+    form): its type-1 entry must route object 5 to the new body."""
+    base = _base()
+    prev = _startxref_of(base)
+    upd = pdfgen.simple_page([(72, 700, ["Stream-xref updated text."])])
+    buf = bytearray(base)
+    off5 = len(buf)
+    buf += b"5 0 obj\n" + pdfgen.stream_obj(upd) + b"\nendobj\n"
+    xpos = len(buf)
+    buf += b"9 0 obj\n" + _xref_stream_obj(
+        9, 10, {5: (1, off5, 0), 9: (1, xpos, 0)}, prev
+    ) + b"\nendobj\n"
+    buf += f"startxref\n{xpos}\n%%EOF\n".encode()
+    assert (
+        pdf.extract_pdf(bytes(buf)).pages[0].text
+        == "Stream-xref updated text."
+    )
+
+
+def test_type2_entry_makes_objstm_authoritative():
+    """The chain says object 4 lives in an ObjStm (type-2 entry); a
+    LATER spurious top-level copy of object 4 must not shadow it —
+    positional heuristics yield to the chain."""
+    base = _base()
+    prev = _startxref_of(base)
+    page_dict = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 8 0 R >>"
+    )
+    new_stream = pdfgen.simple_page([(72, 700, ["ObjStm-routed page."])])
+    buf = bytearray(base)
+    off8 = len(buf)
+    buf += b"8 0 obj\n" + pdfgen.stream_obj(new_stream) + b"\nendobj\n"
+    off9 = len(buf)
+    buf += b"9 0 obj\n" + pdfgen.objstm_obj([(4, page_dict)]) + b"\nendobj\n"
+    # the spurious later top-level object 4 (never referenced by xref)
+    buf += b"4 0 obj\n<< /Type /Page /Contents 5 0 R >>\nendobj\n"
+    xpos = len(buf)
+    buf += b"10 0 obj\n" + _xref_stream_obj(
+        10,
+        11,
+        {
+            4: (2, 9, 0),  # type-2: object 4 lives in ObjStm 9
+            8: (1, off8, 0),
+            9: (1, off9, 0),
+            10: (1, xpos, 0),
+        },
+        prev,
+    ) + b"\nendobj\n"
+    buf += f"startxref\n{xpos}\n%%EOF\n".encode()
+    assert pdf.extract_pdf(bytes(buf)).pages[0].text == "ObjStm-routed page."
