@@ -135,3 +135,74 @@ def test_extract_turn_password_required_failure_row():
     )
     r = extract_turn(base64.b64encode(data).decode("ascii"))
     assert r.method == "failed" and "password_required" in (r.error or "")
+
+
+def test_encrypted_objstm_document_decrypts():
+    """A modern encrypted PDF keeps catalog/page dicts inside an
+    encrypted /ObjStm (only the container stream is encrypted; its
+    embedded objects inherit the decrypted bytes). The parser must
+    decrypt the container before expansion."""
+    import zlib
+
+    from service1_text_extraction_spark.kernels.pdfcrypt import (
+        compute_encryption_key,
+        compute_o,
+        compute_u,
+        encrypt_data,
+    )
+
+    # file key (AES-128 / V4 R4), empty user password
+    p = -44
+    id0 = b"\x11" * 16
+    o = compute_o(b"owner-secret", b"", 3, 16)
+    key = compute_encryption_key(b"", o, p, id0, 4, 16)
+    u = compute_u(key, id0, 4)
+
+    content = pdfgen.simple_page([(72, 700, [_EXPECT.split("\n")[0],
+                                              "Line two."])])
+    # embedded dicts: 1 catalog, 2 pages, 3 font, 4 page
+    page_dict = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"
+    )
+    embedded = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (4, page_dict),
+    ]
+    header = bytearray()
+    body = bytearray()
+    for objnum, objbytes in embedded:
+        header += f"{objnum} {len(body)} ".encode()
+        body += objbytes + b"\n"
+    objstm_plain = zlib.compress(bytes(header) + bytes(body))
+
+    buf = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    # 5: encrypted content stream
+    enc_content = encrypt_data(key, 5, 0, content, True)
+    buf += (
+        f"5 0 obj\n<< /Length {len(enc_content)} >>\nstream\n".encode()
+        + enc_content + b"\nendstream\nendobj\n"
+    )
+    # 6: encrypted ObjStm container
+    enc_objstm = encrypt_data(key, 6, 0, objstm_plain, True)
+    buf += (
+        f"6 0 obj\n<< /Type /ObjStm /N {len(embedded)} "
+        f"/First {len(header)} /Length {len(enc_objstm)} "
+        f"/Filter /FlateDecode >>\nstream\n".encode()
+        + enc_objstm + b"\nendstream\nendobj\n"
+    )
+    # 7: the Encrypt dict (never encrypted)
+    buf += (
+        b"7 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        + f"/P {p} /O <{o.hex()}> /U <{u.hex()}> ".encode()
+        + b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+        b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF >>\nendobj\n"
+    )
+    buf += (
+        b"trailer\n<< /Size 8 /Root 1 0 R /Encrypt 7 0 R "
+        + f"/ID [<{id0.hex()}> <{id0.hex()}>] >>\n".encode()
+        + b"%%EOF\n"
+    )
+    assert pdf.extract_pdf(bytes(buf)).pages[0].text == _EXPECT
