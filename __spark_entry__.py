@@ -111,7 +111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_dates_count": relational.extract_dates_count,
         "header_footer_line_filter": relational.header_footer_line_filter,
         "page_marker_format": relational.page_marker_format,
-        "sessionize": relational.sessionize,
         # --- training-data pipeline operators --------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -136,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_frames": multimodal.multimodal_frames,
         "png_decode": multimodal.png_decode,
+        "multimodal_resize": multimodal.multimodal_resize,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
         "json_sanitize": jsonfuncs.json_sanitize,
@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     queries the driver already hash-verified in r1 AND r2;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
+        "sessionize": relational.sessionize,
         "broadcast_dim_rollup": relational.broadcast_dim_rollup,
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -651,6 +652,17 @@ def oracle_sql() -> dict[str, str]:
             " AS pixel_md5,"
             " CAST((16 + doc_id % 48) * (8 + doc_id % 24) AS BIGINT)"
             " AS n_pixels"
+            " FROM documents"
+        ),
+        # mirrors multimodal.multimodal_resize: a constant image
+        # nearest-neighbor-resamples to a constant 8x8 buffer
+        "multimodal_resize": (
+            "SELECT doc_id,"
+            " CAST(16 + doc_id % 48 AS INT) AS src_w,"
+            " CAST(8 + doc_id % 24 AS INT) AS src_h,"
+            " CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,"
+            " md5(repeat(chr(CAST(1 + doc_id % 127 AS INT)), 64))"
+            " AS resized_md5"
             " FROM documents"
         ),
         # mirrors multimodal.frame_sample: frame i = md5 of the i-th

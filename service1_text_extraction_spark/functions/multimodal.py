@@ -250,3 +250,68 @@ def png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(run, PNG_SCHEMA)
+
+
+def resize_nearest(
+    pixels: bytes, w: int, h: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of an 8-bit single-channel pixel
+    buffer (numpy fancy-index; no per-pixel Python)."""
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[rows][:, cols].tobytes()
+
+
+RESIZE_W = RESIZE_H = 8
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize as a pipeline op: synthesize a constant-gray PNG
+    per doc_id, REALLY decode it, nearest-neighbor-resample the pixels
+    to 8x8, and emit the resized buffer's md5. The oracle predicts the
+    result analytically (a constant image resamples to a constant:
+    ``repeat(chr(v), 64)``), so a hash match certifies decode + resize
+    ran over real pixels. The gradient-correctness of the resampler is
+    pinned by the pytest golden (tests/test_png.py)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_b in batches:
+            rows = []
+            for doc_id in pdf_b["doc_id"]:
+                d = int(doc_id)
+                w, h, v = 16 + d % 48, 8 + d % 24, 1 + d % 127
+                payload = png.encode_png(w, h, bytes([v]) * (w * h))
+                dw, dh, pixels = png.decode_png(payload)
+                small = resize_nearest(pixels, dw, dh, RESIZE_W, RESIZE_H)
+                rows.append(
+                    (
+                        d,
+                        dw,
+                        dh,
+                        RESIZE_W,
+                        RESIZE_H,
+                        hashlib.md5(small).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_w", "src_h", "out_w", "out_h",
+                    "resized_md5",
+                ],
+            )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(run, RESIZE_SCHEMA)

@@ -160,3 +160,22 @@ def test_absurd_geometry_rejected():
     )
     with pytest.raises(png.PngError, match="decode cap"):
         png.decode_png(data)
+
+
+def test_resize_nearest_matches_reference():
+    """Nearest-neighbor resample vs an independent per-pixel loop."""
+    from service1_text_extraction_spark.functions.multimodal import (
+        resize_nearest,
+    )
+
+    w, h, ow, oh = 13, 7, 5, 4
+    pixels = bytes((r * 31 + c * 7) % 256 for r in range(h) for c in range(w))
+    out = resize_nearest(pixels, w, h, ow, oh)
+    ref = bytes(
+        pixels[((r * h) // oh) * w + ((c * w) // ow)]
+        for r in range(oh)
+        for c in range(ow)
+    )
+    assert out == ref and len(out) == ow * oh
+    # identity resize is a no-op
+    assert resize_nearest(pixels, w, h, w, h) == pixels
