@@ -205,6 +205,16 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(docs)
 
 
+def _synth_png(d: int) -> tuple[int, int, int, bytes]:
+    """Deterministic per-doc constant-gray PNG: (w, h, v, payload).
+    The SAME derivation backs png_decode and multimodal_resize AND
+    their DuckDB oracles (__spark_entry__) — change all four together.
+    v stays in 1..127 so DuckDB's UTF-8 md5(string) equals the byte
+    md5 of the pixel buffer."""
+    w, h, v = 16 + d % 48, 8 + d % 24, 1 + d % 127
+    return w, h, v, png.encode_png(w, h, bytes([v]) * (w * h))
+
+
 PNG_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -231,8 +241,7 @@ def png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                w, h, v = 16 + d % 48, 8 + d % 24, 1 + d % 127
-                payload = png.encode_png(w, h, bytes([v]) * (w * h))
+                _, _, _, payload = _synth_png(d)
                 dw, dh, pixels = png.decode_png(payload)
                 rows.append(
                     (
@@ -291,8 +300,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf_b["doc_id"]:
                 d = int(doc_id)
-                w, h, v = 16 + d % 48, 8 + d % 24, 1 + d % 127
-                payload = png.encode_png(w, h, bytes([v]) * (w * h))
+                _, _, _, payload = _synth_png(d)
                 dw, dh, pixels = png.decode_png(payload)
                 small = resize_nearest(pixels, dw, dh, RESIZE_W, RESIZE_H)
                 rows.append(

@@ -284,6 +284,7 @@ class PdfDocument:
         self.streams: dict[int, bytes] = {}
         self._obj_pos: dict[int, int] = {}  # byte offset of winning rev
         self._xref_in_objstm: dict[int, int] = {}  # objnum -> objstm num
+        self._xref_resolved: set[int] = set()  # nums the chain decided
         self._file_key: bytes | None = None
         self._aes = False
         self._encrypt_num: int | None = None
@@ -459,7 +460,8 @@ class PdfDocument:
     # truncated/corrupt files degrade exactly as before.
 
     _XREF_ENTRY_RE = re.compile(rb"\s*(\d{10})\s+(\d{5})\s+([nf])")
-    _XREF_SUB_RE = re.compile(rb"(\d+)\s+(\d+)[^\S\n]*\r?\n")
+    # EOL may be \r\n, \n, or bare \r (spec-legal, old Mac writers)
+    _XREF_SUB_RE = re.compile(rb"(\d+)[^\S\r\n]+(\d+)[^\S\r\n]*(\r\n|\r|\n)")
 
     def _apply_xref(self) -> None:
         data = self.data
@@ -567,6 +569,7 @@ class PdfDocument:
             not isinstance(w, list)
             or len(w) != 3
             or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+            or sum(w) == 0  # all-zero /W would loop /Size times on air
             or not isinstance(size, int)
         ):
             raise PdfError("malformed /W or /Size")
@@ -580,6 +583,10 @@ class PdfDocument:
         a, b, c = w
         row = a + b + c
         pos = 0
+        # buffer locally and merge only after the whole stream parses —
+        # a truncated stream must not apply a partial revision (its
+        # garbled rows could free objects the scan correctly found)
+        local: dict[int, tuple] = {}
         for j in range(0, len(index), 2):
             start, count = index[j], index[j + 1]
             for i in range(count):
@@ -592,14 +599,16 @@ class PdfDocument:
                 f3 = int.from_bytes(decoded[pos + a + b : pos + row], "big")
                 pos += row
                 num = start + i
-                if num in entries:
+                if num in local:
                     continue
                 if f1 == 1:
-                    entries[num] = ("o", f2)
+                    local[num] = ("o", f2)
                 elif f1 == 2:
-                    entries[num] = ("s", f2, f3)
+                    local[num] = ("s", f2, f3)
                 else:
-                    entries[num] = ("f",)
+                    local[num] = ("f",)
+        for num, ent in local.items():
+            entries.setdefault(num, ent)
         prev = val.get("/Prev")
         return prev if isinstance(prev, int) else None
 
@@ -610,12 +619,20 @@ class PdfDocument:
                 continue
             try:
                 if ent[0] == "f":
-                    # the newest revision freed this object
+                    # the newest revision freed this object; remember
+                    # the verdict so ObjStm expansion cannot resurrect
+                    # an old embedded copy
                     self.objects.pop(num, None)
                     self.streams.pop(num, None)
                     self._obj_pos.pop(num, None)
+                    self._xref_resolved.add(num)
                 elif ent[0] == "o":
                     off = _skip_ws(data, ent[1])
+                    if off == self._obj_pos.get(num):
+                        # chain agrees with the scan winner: the body
+                        # is already parsed — don't parse it twice
+                        self._xref_resolved.add(num)
+                        continue
                     m = _OBJ_RE.match(data, off)
                     if m is None or int(m.group(1)) != num:
                         continue  # stale/corrupt offset: scan stands
@@ -626,8 +643,10 @@ class PdfDocument:
                         self.streams[num] = raw
                     else:
                         self.streams.pop(num, None)
+                    self._xref_resolved.add(num)
                 else:  # ("s", objstm_num, idx): expansion honors it
                     self._xref_in_objstm[num] = ent[1]
+                    self._xref_resolved.add(num)
             except (PdfError, IndexError, ValueError):
                 continue
 
@@ -662,11 +681,19 @@ class PdfDocument:
                     # object's authoritative home (type-2 entry) —
                     # that beats any positional heuristic
                     authoritative = self._xref_in_objstm.get(objnum) == num
-                    if not authoritative and (
-                        objnum in self.objects
-                        and self._obj_pos.get(objnum, -1) >= container_pos
-                    ):
-                        continue
+                    if not authoritative:
+                        if objnum in self._xref_resolved:
+                            # the chain already decided this object
+                            # (offset entry, free, or another ObjStm):
+                            # a never-referenced embedded copy must not
+                            # shadow or resurrect it
+                            continue
+                        if (
+                            objnum in self.objects
+                            and self._obj_pos.get(objnum, -1)
+                            >= container_pos
+                        ):
+                            continue
                     obj, _ = _parse_value(data, first + offset)
                     self.objects[objnum] = obj
                     self._obj_pos[objnum] = container_pos

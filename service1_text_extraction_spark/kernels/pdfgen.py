@@ -537,3 +537,65 @@ def append_incremental_update(data: bytes, updates: dict[int, bytes]) -> bytes:
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     return bytes(buf)
+
+
+def xref_stream_obj(
+    entries: dict[int, tuple[int, int, int]],
+    size: int,
+    prev: int | None = None,
+) -> bytes:
+    """Object body for an xref STREAM (/W [1 4 2]): ``entries`` maps
+    objnum -> (type, field2, field3) with type 0=free, 1=offset,
+    2=(objstm_num, idx). The spec-correct way an incremental update
+    references objects it moved into an /ObjStm."""
+    import struct
+
+    index = []
+    rows = b""
+    for n in sorted(entries):
+        t, f2, f3 = entries[n]
+        index += [n, 1]
+        rows += struct.pack(">BIH", t, f2, f3)
+    comp = zlib.compress(rows)
+    idx = " ".join(str(i) for i in index)
+    head = (
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Index [{idx}] "
+        f"/Filter /FlateDecode /Length {len(comp)} /Root 1 0 R"
+        + (f" /Prev {prev}" if prev is not None else "")
+        + " >>\n"
+    ).encode()
+    return head + b"stream\n" + comp + b"\nendstream"
+
+
+def append_xref_stream_update(
+    data: bytes,
+    updates: dict[int, bytes],
+    type2: dict[int, int] | None = None,
+) -> bytes:
+    """Append an incremental revision indexed by an xref STREAM (the
+    modern form): new top-level bodies from ``updates`` get type-1
+    entries; ``type2`` maps objnum -> objstm_objnum for objects whose
+    new revision lives inside one of the appended ObjStms."""
+    import re as _re
+
+    prevs = _re.findall(rb"startxref\s+(\d+)", data)
+    prev_pos = int(prevs[-1]) if prevs else None
+    buf = bytearray(data)
+    if not buf.endswith(b"\n"):
+        buf += b"\n"
+    entries: dict[int, tuple[int, int, int]] = {}
+    for num in sorted(updates):
+        entries[num] = (1, len(buf), 0)
+        buf += f"{num} 0 obj\n".encode() + updates[num] + b"\nendobj\n"
+    for objnum, container in (type2 or {}).items():
+        entries[objnum] = (2, container, 0)
+    xref_num = max(list(updates) + list(type2 or {})) + 1
+    xpos = len(buf)
+    entries[xref_num] = (1, xpos, 0)
+    buf += (
+        f"{xref_num} 0 obj\n".encode()
+        + xref_stream_obj(entries, size=xref_num + 1, prev=prev_pos)
+        + b"\nendobj\n"
+    )
+    buf += f"startxref\n{xpos}\n%%EOF\n".encode()
+    return bytes(buf)

@@ -38,14 +38,15 @@ def test_second_update_wins_over_first():
 
 def test_objstm_revision_overrides_earlier_toplevel():
     """Modern writers put the updated *dict* objects of an incremental
-    save inside a new /ObjStm: here the appended ObjStm redefines page
-    dict 4 to point at a new content stream 8. The embedded copy must
-    win because its container sits later in the file."""
+    save inside a new /ObjStm and index the revision with an xref
+    STREAM whose type-2 entries route the moved objects: here the
+    update redefines page dict 4 (now inside ObjStm 9) to point at a
+    new content stream 8."""
     page_dict = (
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Resources << /Font << /F1 3 0 R >> >> /Contents 8 0 R >>"
     )
-    updated = pdfgen.append_incremental_update(
+    updated = pdfgen.append_xref_stream_update(
         _base(),
         {
             8: pdfgen.stream_obj(
@@ -53,6 +54,7 @@ def test_objstm_revision_overrides_earlier_toplevel():
             ),
             9: pdfgen.objstm_obj([(4, page_dict)]),
         },
+        type2={4: 9},
     )
     assert pdf.extract_pdf(updated).pages[0].text == _UPD
 
@@ -104,15 +106,16 @@ def test_update_replacing_stream_with_plain_dict_drops_stale_bytes():
 
 
 def test_objstm_revision_drops_stale_stream_bytes():
-    """When an appended ObjStm redefines a top-level STREAM object as a
-    plain dict, the superseded stream bytes must not survive (review
-    r3: stream_data(5) kept returning the old content)."""
+    """When an ObjStm revision (routed by its xref stream's type-2
+    entries) redefines a top-level STREAM object as a plain dict, the
+    superseded stream bytes must not survive (review r3:
+    stream_data(5) kept returning the old content)."""
     base = _base()
     page_dict = (
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Resources << /Font << /F1 3 0 R >> >> /Contents 8 0 R >>"
     )
-    updated = pdfgen.append_incremental_update(
+    updated = pdfgen.append_xref_stream_update(
         base,
         {
             8: pdfgen.stream_obj(
@@ -124,6 +127,7 @@ def test_objstm_revision_drops_stale_stream_bytes():
                 [(4, page_dict), (5, b"<< /Obsolete true >>")]
             ),
         },
+        type2={4: 9, 5: 9},
     )
     doc = pdf.PdfDocument(updated)
     assert 5 not in doc.streams

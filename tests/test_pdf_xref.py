@@ -79,22 +79,7 @@ def test_free_entry_deletes_object():
 def _xref_stream_obj(
     num: int, size: int, entries: dict[int, tuple], prev: int | None
 ) -> bytes:
-    """Build an xref-stream object body: /W [1 4 2], /Index per entry."""
-    index = []
-    rows = b""
-    for n in sorted(entries):
-        t, f2, f3 = entries[n]
-        index += [n, 1]
-        rows += struct.pack(">BIH", t, f2, f3)
-    comp = zlib.compress(rows)
-    idx = " ".join(str(i) for i in index)
-    head = (
-        f"<< /Type /XRef /Size {size} /W [1 4 2] /Index [{idx}] "
-        f"/Filter /FlateDecode /Length {len(comp)} /Root 1 0 R"
-        + (f" /Prev {prev}" if prev is not None else "")
-        + " >>\n"
-    ).encode()
-    return head + b"stream\n" + comp + b"\nendstream"
+    return pdfgen.xref_stream_obj(entries, size=size, prev=prev)
 
 
 def test_xref_stream_chain_resolves_updates():
@@ -149,3 +134,88 @@ def test_type2_entry_makes_objstm_authoritative():
     ) + b"\nendobj\n"
     buf += f"startxref\n{xpos}\n%%EOF\n".encode()
     assert pdf.extract_pdf(bytes(buf)).pages[0].text == "ObjStm-routed page."
+
+
+def test_all_zero_w_rejected_fast():
+    """/W [0 0 0] with a huge /Size must be rejected, not spin
+    /Size iterations over zero-width rows (review r3b)."""
+    base = _base()
+    prev = _startxref_of(base)
+    buf = bytearray(base)
+    xpos = len(buf)
+    comp = zlib.compress(b"")
+    buf += (
+        f"9 0 obj\n<< /Type /XRef /Size 2147483647 /W [0 0 0] "
+        f"/Filter /FlateDecode /Length {len(comp)} /Root 1 0 R "
+        f"/Prev {prev} >>\nstream\n".encode()
+        + comp + b"\nendstream\nendobj\n"
+    )
+    buf += f"startxref\n{xpos}\n%%EOF\n".encode()
+    import time
+
+    t0 = time.time()
+    assert pdf.extract_pdf(bytes(buf)).pages[0].text == _ORIG
+    assert time.time() - t0 < 5.0
+
+
+def test_freed_object_not_resurrected_from_objstm():
+    """Free-entry verdicts survive ObjStm expansion: an old embedded
+    copy must not re-create an object the chain freed (review r3b)."""
+    base = pdfgen.build_pdf_objstm([pdfgen.simple_page([(72, 700, [_ORIG])])])
+    # build_pdf_objstm: page dict 4 embedded in objstm 6, content = 5,
+    # no startxref — append an xref STREAM freeing object 4
+    buf = bytearray(base)
+    xpos = len(buf)
+    buf += b"9 0 obj\n" + _xref_stream_obj(
+        9, 10, {4: (0, 0, 0), 9: (1, xpos, 0)}, None
+    ) + b"\nendobj\n"
+    buf += f"startxref\n{xpos}\n%%EOF\n".encode()
+    doc = pdf.PdfDocument(bytes(buf))
+    assert 4 not in doc.objects  # freed, not resurrected by objstm 6
+    import pytest
+
+    with pytest.raises(pdf.PdfError, match="no pages"):
+        pdf.extract_pdf(bytes(buf))
+
+
+def test_chain_offset_entry_beats_spurious_objstm_copy():
+    """An object the chain routes via a type-1 offset must not be
+    shadowed by a later never-referenced ObjStm copy (review r3b)."""
+    base = _base()
+    prev = _startxref_of(base)
+    junk_page = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 8 0 R >>"
+    )
+    buf = bytearray(base)
+    # junk ObjStm (appended, never referenced by any xref) embedding a
+    # bogus object 4 that redirects contents to a bogus stream 8
+    buf += b"8 0 obj\n" + pdfgen.stream_obj(
+        pdfgen.simple_page([(72, 700, [_FAKE])])
+    ) + b"\nendobj\n"
+    buf += b"9 0 obj\n" + pdfgen.objstm_obj([(4, junk_page)]) + b"\nendobj\n"
+    # proper incremental update of the CONTENT (object 5) with a valid
+    # chain — object 4's newest verdict remains the base table's
+    # type-1 entry
+    data = pdfgen.append_incremental_update(
+        bytes(buf),
+        {5: pdfgen.stream_obj(pdfgen.simple_page([(72, 700, [_ORIG])]))},
+    )
+    assert pdf.extract_pdf(data).pages[0].text == _ORIG
+
+
+def test_cr_only_xref_table_parses():
+    """Classic tables with bare-CR line endings are spec-legal (old
+    Mac writers) and must still drive the chain (review r3b)."""
+    base = _base()
+    # rewrite the xref section's newlines as CRs (entries are fixed
+    # 20-byte rows ending ' \n' -> ' \r')
+    i = base.rindex(b"xref\n")
+    j = base.rindex(b"startxref")
+    patched = base[:i] + base[i:j].replace(b"\n", b"\r") + base[j:]
+    fake_stream = pdfgen.simple_page([(72, 700, [_FAKE])])
+    data = patched + (
+        b"5 0 obj\n" + pdfgen.stream_obj(fake_stream) + b"\nendobj\n"
+    )
+    # chain parsed -> original wins over the spurious append
+    assert pdf.extract_pdf(data).pages[0].text == _ORIG
