@@ -107,7 +107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_char_offsets": relational.doc_char_offsets,
         "resume_antijoin": relational.resume_antijoin,
         "quality_gate_length": relational.quality_gate_length,
-        "extract_numbers_count": relational.extract_numbers_count,
         "extract_dates_count": relational.extract_dates_count,
         "header_footer_line_filter": relational.header_footer_line_filter,
         "page_marker_format": relational.page_marker_format,
@@ -136,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": multimodal.multimodal_frames,
         "png_decode": multimodal.png_decode,
         "multimodal_resize": multimodal.multimodal_resize,
+        "wav_decode": multimodal.wav_decode,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
         "json_sanitize": jsonfuncs.json_sanitize,
@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     queries the driver already hash-verified in r1 AND r2;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
+        "extract_numbers_count": relational.extract_numbers_count,
         "sessionize": relational.sessionize,
         "broadcast_dim_rollup": relational.broadcast_dim_rollup,
         "pricing_summary": relational.pricing_summary,
@@ -664,6 +665,19 @@ def oracle_sql() -> dict[str, str]:
             " md5(repeat(chr(CAST(1 + doc_id % 127 AS INT)), 64))"
             " AS resized_md5"
             " FROM documents"
+        ),
+        # mirrors multimodal.wav_decode/_synth_wav: ramp PCM
+        # pcm[i] = 1 + (doc_id + i) % 127 rebuilt sample by sample
+        "wav_decode": (
+            "WITH s AS (SELECT doc_id, unnest(generate_series(0,"
+            " CAST(63 + doc_id % 192 AS INT))) AS i FROM documents)"
+            " SELECT doc_id,"
+            " CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,"
+            " CAST(1 AS INT) AS n_channels,"
+            " CAST(64 + doc_id % 192 AS BIGINT) AS n_samples,"
+            " md5(string_agg(chr(CAST(1 + (doc_id + i) % 127 AS INT)),"
+            " '' ORDER BY i)) AS pcm_md5"
+            " FROM s GROUP BY doc_id"
         ),
         # mirrors multimodal.frame_sample: frame i = md5 of the i-th
         # stride slice of the payload bytes (ASCII text -> substring)

@@ -179,3 +179,51 @@ def test_resize_nearest_matches_reference():
     assert out == ref and len(out) == ow * oh
     # identity resize is a no-op
     assert resize_nearest(pixels, w, h, w, h) == pixels
+
+
+# ---- WAV codec (same honest-fallback contract as PNG) ----
+
+
+def test_wav_roundtrip():
+    from service1_text_extraction_spark.kernels import wav
+
+    pcm = bytes((i * 13) % 256 for i in range(777))
+    data = wav.encode_wav(22050, 1, 8, pcm)
+    rate, ch, bits, out = wav.decode_wav(data)
+    assert (rate, ch, bits) == (22050, 1, 8)
+    assert out == pcm
+    # 16-bit stereo
+    pcm2 = bytes(range(256)) * 4
+    data2 = wav.encode_wav(44100, 2, 16, pcm2)
+    assert wav.decode_wav(data2) == (44100, 2, 16, pcm2)
+
+
+def test_wav_odd_data_chunk_word_aligned():
+    from service1_text_extraction_spark.kernels import wav
+
+    data = wav.encode_wav(8000, 1, 8, b"\x01\x02\x03")  # odd length -> pad
+    assert len(data) % 2 == 0
+    assert wav.decode_wav(data)[3] == b"\x01\x02\x03"
+
+
+def test_wav_malformed_rejected():
+    import pytest as _pytest
+
+    from service1_text_extraction_spark.kernels import wav
+
+    good = wav.encode_wav(8000, 1, 8, bytes(16))
+    for mutate, msg in [
+        (lambda d: b"JUNK" + d[4:], "signature"),
+        (lambda d: d[:20], "truncated|missing"),
+        (lambda d: d.replace(b"data", b"datx"), "missing data"),
+    ]:
+        with _pytest.raises(wav.WavError, match=msg):
+            wav.decode_wav(mutate(good))
+    # non-PCM (format 3 = IEEE float) refused
+    import struct as _struct
+
+    fmt3 = good.replace(
+        _struct.pack("<HH", 1, 1), _struct.pack("<HH", 3, 1), 1
+    )
+    with _pytest.raises(wav.WavError, match="non-PCM"):
+        wav.decode_wav(fmt3)
