@@ -122,6 +122,8 @@ def main() -> None:
         "token_counts": q(textstats.token_counts),
         "doc_fingerprint": q(textstats.doc_fingerprint),
         "tfidf_top_terms": q(textstats.tfidf_top_terms),
+        "decontaminate": q(dedup.decontaminate),
+        "pack_sequences": q(textstats.pack_sequences),
     }
 
     # two runs per query, min wins: measures steady-state plan execution
