@@ -219,3 +219,60 @@ def test_cr_only_xref_table_parses():
     )
     # chain parsed -> original wins over the spurious append
     assert pdf.extract_pdf(data).pages[0].text == _ORIG
+
+
+def test_hybrid_xrefstm_entries_beat_table_free_rows():
+    """Hybrid-reference file (PDF 1.5 compat form): the classic table
+    marks ObjStm-resident objects FREE and the trailer's /XRefStm
+    names their real type-2 homes. The stream's entries must be
+    processed first or the 'f' rows would delete live objects."""
+    base = _base()
+    prev = _startxref_of(base)
+    page_dict = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 8 0 R >>"
+    )
+    buf = bytearray(base)
+    off8 = len(buf)
+    buf += b"8 0 obj\n" + pdfgen.stream_obj(
+        pdfgen.simple_page([(72, 700, ["Hybrid-routed page."])])
+    ) + b"\nendobj\n"
+    off9 = len(buf)
+    buf += b"9 0 obj\n" + pdfgen.objstm_obj([(4, page_dict)]) + b"\nendobj\n"
+    xstm_pos = len(buf)
+    buf += b"10 0 obj\n" + pdfgen.xref_stream_obj(
+        {4: (2, 9, 0), 8: (1, off8, 0), 9: (1, off9, 0),
+         10: (1, xstm_pos, 0)},
+        size=11,
+    ) + b"\nendobj\n"
+    xref_pos = len(buf)
+    buf += (
+        b"xref\n0 1\n0000000000 65535 f \n"
+        b"4 1\n0000000000 65535 f \n"
+        + (
+            f"trailer\n<< /Size 11 /Root 1 0 R /Prev {prev}"
+            f" /XRefStm {xstm_pos} >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n"
+        ).encode()
+    )
+    assert pdf.extract_pdf(bytes(buf)).pages[0].text == "Hybrid-routed page."
+
+
+def test_prev_self_loop_terminates():
+    """A /Prev that points back at the same xref section must not loop
+    forever — the seen-set guard stops the chain."""
+    base = _base()
+    upd = pdfgen.simple_page([(72, 700, ["Loop-guarded update."])])
+    buf = bytearray(base)
+    off5 = len(buf)
+    buf += b"5 0 obj\n" + pdfgen.stream_obj(upd) + b"\nendobj\n"
+    xref_pos = len(buf)
+    buf += (
+        b"xref\n0 1\n0000000000 65535 f \n"
+        + f"5 1\n{off5:010d} 00000 n \n".encode()
+        + (
+            f"trailer\n<< /Size 6 /Root 1 0 R /Prev {xref_pos} >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n"
+        ).encode()
+    )
+    assert pdf.extract_pdf(bytes(buf)).pages[0].text == "Loop-guarded update."
