@@ -107,7 +107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_char_offsets": relational.doc_char_offsets,
         "resume_antijoin": relational.resume_antijoin,
         "quality_gate_length": relational.quality_gate_length,
-        "extract_dates_count": relational.extract_dates_count,
         "header_footer_line_filter": relational.header_footer_line_filter,
         "page_marker_format": relational.page_marker_format,
         # --- training-data pipeline operators --------------------------
@@ -136,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": multimodal.png_decode,
         "multimodal_resize": multimodal.multimodal_resize,
         "wav_decode": multimodal.wav_decode,
+        "s3_uri_split": relational.s3_uri_split,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
         "json_sanitize": jsonfuncs.json_sanitize,
@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     queries the driver already hash-verified in r1 AND r2;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
+        "extract_dates_count": relational.extract_dates_count,
         "extract_numbers_count": relational.extract_numbers_count,
         "sessionize": relational.sessionize,
         "broadcast_dim_rollup": relational.broadcast_dim_rollup,
@@ -665,6 +666,23 @@ def oracle_sql() -> dict[str, str]:
             " md5(repeat(chr(CAST(1 + doc_id % 127 AS INT)), 64))"
             " AS resized_md5"
             " FROM documents"
+        ),
+        # mirrors relational.s3_uri_split / reference _parse_s3_uri
+        # (strip scheme, split on FIRST '/', strip '/' off the prefix)
+        "s3_uri_split": (
+            "WITH u AS (SELECT doc_id, CASE doc_id % 4"
+            " WHEN 0 THEN printf('s3://bucket-%d/pre/%d/extracted_text/"
+            "page_%04d.md', doc_id % 5, doc_id, doc_id % 7)"
+            " WHEN 1 THEN printf('s3://bucket-%d/pre/%d/',"
+            " doc_id % 5, doc_id)"
+            " WHEN 2 THEN printf('s3://bucket-%d', doc_id % 5)"
+            " ELSE printf('s3://bucket-%d//double//slash//%d',"
+            " doc_id % 5, doc_id) END AS uri FROM documents)"
+            " SELECT doc_id, uri,"
+            " regexp_extract(uri, '^s3://([^/]*)', 1) AS bucket,"
+            " regexp_replace(regexp_extract(uri,"
+            " '^s3://[^/]*/?(.*)$', 1), '^/+|/+$', '', 'g')"
+            " AS s3_prefix FROM u"
         ),
         # mirrors multimodal.wav_decode/_synth_wav: ramp PCM
         # pcm[i] = 1 + (doc_id + i) % 127 rebuilt sample by sample

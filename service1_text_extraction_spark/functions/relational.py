@@ -391,3 +391,32 @@ def rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+def s3_uri_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11 full form: split ``s3://bucket/prefix`` URIs into bucket +
+    prefix exactly as the reference's ``_parse_s3_uri``
+    (document_text_extraction_service.py:1069-1075: strip the scheme,
+    split on the FIRST slash, strip '/' from both ends of the prefix).
+    URIs are synthesized deterministically per doc_id with edge
+    variants (trailing slash, bucket-only, deep path) so the strip and
+    first-slash rules are all exercised."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    v = F.col("doc_id") % 4
+    uri = (
+        F.when(v == 0, F.format_string(
+            "s3://bucket-%d/pre/%d/extracted_text/page_%04d.md",
+            F.col("doc_id") % 5, F.col("doc_id"), F.col("doc_id") % 7))
+        .when(v == 1, F.format_string(
+            "s3://bucket-%d/pre/%d/", F.col("doc_id") % 5, F.col("doc_id")))
+        .when(v == 2, F.format_string("s3://bucket-%d", F.col("doc_id") % 5))
+        .otherwise(F.format_string(
+            "s3://bucket-%d//double//slash//%d",
+            F.col("doc_id") % 5, F.col("doc_id")))
+    )
+    d = docs.select("doc_id", uri.alias("uri"))
+    bucket = F.regexp_extract("uri", r"^s3://([^/]*)", 1)
+    rest = F.regexp_extract("uri", r"^s3://[^/]*/?(.*)$", 1)
+    prefix = F.regexp_replace(rest, r"^/+|/+$", "")
+    return d.select("doc_id", "uri", bucket.alias("bucket"),
+                    prefix.alias("s3_prefix"))
