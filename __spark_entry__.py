@@ -108,7 +108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_antijoin": relational.resume_antijoin,
         "quality_gate_length": relational.quality_gate_length,
         "header_footer_line_filter": relational.header_footer_line_filter,
-        "page_marker_format": relational.page_marker_format,
         # --- training-data pipeline operators --------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -136,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": multimodal.multimodal_resize,
         "wav_decode": multimodal.wav_decode,
         "s3_uri_split": relational.s3_uri_split,
+        "y4m_frames": multimodal.y4m_frames,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
         "json_sanitize": jsonfuncs.json_sanitize,
@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     queries the driver already hash-verified in r1 AND r2;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
+        "page_marker_format": relational.page_marker_format,
         "extract_dates_count": relational.extract_dates_count,
         "extract_numbers_count": relational.extract_numbers_count,
         "sessionize": relational.sessionize,
@@ -666,6 +667,19 @@ def oracle_sql() -> dict[str, str]:
             " md5(repeat(chr(CAST(1 + doc_id % 127 AS INT)), 64))"
             " AS resized_md5"
             " FROM documents"
+        ),
+        # mirrors multimodal.y4m_frames/_synth_y4m: constant C420
+        # frames, frame i filled with 1 + (doc_id + i) % 127
+        "y4m_frames": (
+            "WITH f AS (SELECT doc_id,"
+            " CAST(8 + 2 * (doc_id % 4) AS INT) AS w,"
+            " CAST(6 + 2 * (doc_id % 3) AS INT) AS h,"
+            " unnest(generate_series(0, CAST(2 + doc_id % 5 AS INT)))"
+            " AS i FROM documents)"
+            " SELECT doc_id, CAST(i AS INT) AS frame_idx,"
+            " md5(repeat(chr(CAST(1 + (doc_id + i) % 127 AS INT)),"
+            " CAST((w * h * 3) // 2 AS INT))) AS frame_md5,"
+            " CAST((w * h * 3) // 2 AS BIGINT) AS n_bytes FROM f"
         ),
         # mirrors relational.s3_uri_split / reference _parse_s3_uri
         # (strip scheme, split on FIRST '/', strip '/' off the prefix)

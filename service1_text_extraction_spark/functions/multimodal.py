@@ -4,13 +4,16 @@ Image/audio/video payloads are carried as ``binary`` columns with a
 metadata struct; decode / feature-extract run as Arrow-batched
 ``mapInPandas`` so each executor processes whole record batches.
 
-PNG payloads decode for REAL (pure-Python codec, :mod:`..kernels.png`:
-signature/IHDR/IDAT + row defilter) — width/height/features come from
-actual pixels. Every other format is STUBBED (no image/audio libs in
-this container): a deterministic fake computes pseudo-dimensions from
-the digest and features from byte-histogram moments, so the Spark-side
-plumbing — schema, batch shape, partitioning — is real and tested
-while those codecs stay swappable.
+One format per modality decodes for REAL with no media library:
+PNG images (:mod:`..kernels.png`: IHDR/IDAT + row defilter), WAV/PCM
+audio (:mod:`..kernels.wav`: RIFF fmt/data chunks), and Y4M video
+(:mod:`..kernels.y4m`: YUV4MPEG2 frame stream) — dimensions, samples,
+and frames come from actual payload contents. Every other format is
+STUBBED (no codec libs in this container): a deterministic fake
+computes pseudo-dimensions from the digest and features from
+byte-histogram moments, so the Spark-side plumbing — schema, batch
+shape, partitioning — is real and tested while those codecs stay
+swappable.
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernels import png
+from ..kernels import png, y4m
 
 N_FEATURES = 16
 
@@ -171,15 +174,34 @@ FRAME_SCHEMA = StructType(
 
 
 def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """1->N frame sampling over opaque video-like payloads via
-    mapInPandas (UDTF-style expansion). The decode is the deterministic
-    stub: frame i is the md5 of the i-th stride slice of the bytes."""
+    """1->N frame sampling over video-like payloads via mapInPandas
+    (UDTF-style expansion). Y4M (YUV4MPEG2) payloads sample REAL
+    frames — evenly spaced source indices over the actual frame list;
+    other formats take the deterministic stub (frame i = md5 of the
+    i-th stride slice of the bytes)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
+                if y4m.is_y4m(data):
+                    try:
+                        _, _, _, frames = y4m.decode_y4m(data)
+                        for i in range(n_frames):
+                            idx = (i * len(frames)) // n_frames
+                            fr = frames[idx]
+                            rows.append(
+                                (
+                                    int(doc_id),
+                                    idx,
+                                    hashlib.md5(fr).hexdigest(),
+                                    len(fr),
+                                )
+                            )
+                        continue
+                    except y4m.Y4mError:
+                        pass  # malformed video: stub path below
                 stride = max(1, len(data) // n_frames)
                 for i in range(n_frames):
                     chunk = data[i * stride : (i + 1) * stride]
@@ -386,3 +408,41 @@ def wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(run, WAV_SCHEMA)
+
+
+def _synth_y4m(d: int) -> tuple[int, int, int, bytes]:
+    """Deterministic per-doc C420 Y4M clip: (w, h, n_frames, payload)
+    with frame i filled with the constant 1 + (d + i) % 127. The SAME
+    derivation backs y4m_frames' DuckDB oracle (__spark_entry__) —
+    change both together."""
+    w, h = 8 + 2 * (d % 4), 6 + 2 * (d % 3)
+    n = 3 + d % 5
+    fsize = w * h * 3 // 2
+    frames = [bytes([1 + (d + i) % 127]) * fsize for i in range(n)]
+    return w, h, n, y4m.encode_y4m(w, h, frames)
+
+
+def y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof frame extraction is real: per doc_id,
+    synthesize a constant-frame Y4M clip, run it through encode ->
+    REAL decode, and emit every frame's md5 — the oracle predicts each
+    frame buffer analytically (repeat(chr(v_i), w*h*3/2))."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_b in batches:
+            rows = []
+            for doc_id in pdf_b["doc_id"]:
+                d = int(doc_id)
+                _, _, _, payload = _synth_y4m(d)
+                _, _, _, frames = y4m.decode_y4m(payload)
+                for i, fr in enumerate(frames):
+                    rows.append(
+                        (d, i, hashlib.md5(fr).hexdigest(), len(fr))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_md5", "n_bytes"],
+            )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(run, FRAME_SCHEMA)

@@ -227,3 +227,59 @@ def test_wav_malformed_rejected():
     )
     with _pytest.raises(wav.WavError, match="non-PCM"):
         wav.decode_wav(fmt3)
+
+
+# ---- Y4M codec (video frames; same honest-fallback contract) ----
+
+
+def test_y4m_roundtrip_and_sampling():
+    from service1_text_extraction_spark.kernels import y4m
+
+    w, h = 8, 6
+    fsize = w * h * 3 // 2
+    frames = [bytes([10 + i]) * fsize for i in range(7)]
+    data = y4m.encode_y4m(w, h, frames, fps=(25, 1))
+    dw, dh, fps, out = y4m.decode_y4m(data)
+    assert (dw, dh, fps) == (w, h, (25, 1))
+    assert out == frames
+
+
+def test_y4m_frame_sample_dispatch():
+    """frame_sample must emit evenly-spaced REAL source frames for
+    Y4M payloads (and keep the stride stub for other bytes)."""
+    import hashlib
+
+    from service1_text_extraction_spark.functions import multimodal
+    from service1_text_extraction_spark.kernels import y4m
+
+    w, h = 8, 6
+    fsize = w * h * 3 // 2
+    frames = [bytes([i + 1]) * fsize for i in range(8)]
+    data = y4m.encode_y4m(w, h, frames)
+    # replicate the in-UDF dispatch directly (no Spark session needed)
+    _, _, _, decoded = y4m.decode_y4m(data)
+    picked = [(i * len(decoded)) // 4 for i in range(4)]
+    assert picked == [0, 2, 4, 6]
+    assert all(
+        hashlib.md5(decoded[p]).hexdigest()
+        == hashlib.md5(frames[p]).hexdigest()
+        for p in picked
+    )
+
+
+def test_y4m_malformed_rejected():
+    import pytest as _pytest
+
+    from service1_text_extraction_spark.kernels import y4m
+
+    w, h = 8, 6
+    fsize = w * h * 3 // 2
+    good = y4m.encode_y4m(w, h, [bytes(fsize)])
+    for mutate, msg in [
+        (lambda d: b"JUNK" + d[4:], "signature"),
+        (lambda d: d[: len(d) - 5], "truncated"),
+        (lambda d: d.replace(b"FRAME", b"FRUME"), "expected FRAME"),
+        (lambda d: d.replace(b"C420", b"C422"), "unsupported"),
+    ]:
+        with _pytest.raises(y4m.Y4mError, match=msg):
+            y4m.decode_y4m(mutate(good))
