@@ -239,3 +239,36 @@ def test_ocr_hook_contract():
         assert r4.method == "pdf"
     finally:
         payload.set_ocr_hook(None)
+
+
+def test_multimodal_binary_dispatch_through_arrow(spark):
+    """Mixed binary payloads through the real mapInPandas path: PNG
+    rows decode real dimensions, Y4M rows sample real frames, junk
+    takes the deterministic stubs — all in one Arrow batch."""
+    from service1_text_extraction_spark.functions import multimodal
+    from service1_text_extraction_spark.kernels import png, y4m
+
+    fsize = 8 * 6 * 3 // 2
+    rows = [
+        (1, bytearray(png.encode_png(20, 10, bytes([7] * 200)))),
+        (2, bytearray(b"opaque junk payload")),
+        (3, None),
+        (4, bytearray(y4m.encode_y4m(8, 6, [bytes([i]) * fsize
+                                            for i in range(8)]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    feats = {r.doc_id: r for r in multimodal.decode_features(df).collect()}
+    assert (feats[1].width, feats[1].height) == (20, 10)  # real PNG
+    assert feats[2].width >= 64  # digest-based fake
+    assert feats[3].n_bytes == 0  # null payload -> empty
+
+    frames = multimodal.frame_sample(df).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # Y4M doc: 4 evenly spaced REAL source frames 0,2,4,6
+    assert sorted(r.frame_idx for r in by_doc[4]) == [0, 2, 4, 6]
+    assert all(r.n_bytes == fsize for r in by_doc[4])
+    # junk doc: stub stride slices indexed 0..3
+    assert sorted(r.frame_idx for r in by_doc[2]) == [0, 1, 2, 3]
