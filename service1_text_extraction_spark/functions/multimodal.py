@@ -35,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernels import png, y4m
+from ..kernels import png, wav, y4m
 
 N_FEATURES = 16
 
@@ -188,8 +188,14 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
                 if y4m.is_y4m(data):
                     try:
                         _, _, _, frames = y4m.decode_y4m(data)
-                        for i in range(n_frames):
-                            idx = (i * len(frames)) // n_frames
+                        # short clips emit each frame once; longer
+                        # clips sample evenly spaced DISTINCT source
+                        # indices ((i*total)//k is strictly increasing
+                        # when total >= k) — (doc_id, frame_idx) stays
+                        # unique either way
+                        k = min(n_frames, len(frames))
+                        for i in range(k):
+                            idx = (i * len(frames)) // k
                             fr = frames[idx]
                             rows.append(
                                 (
@@ -346,8 +352,6 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(run, RESIZE_SCHEMA)
 
-
-from ..kernels import wav  # noqa: E402
 
 
 WAV_SCHEMA = StructType(

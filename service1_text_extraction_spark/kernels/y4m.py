@@ -43,17 +43,22 @@ def decode_y4m(
     width = height = None
     fps = (30, 1)
     chroma = "420"
-    for tok in data[len(MAGIC) : nl].split():
-        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
-        if tag == "W":
-            width = int(val)
-        elif tag == "H":
-            height = int(val)
-        elif tag == "F":
-            num, _, den = val.partition(":")
-            fps = (int(num), int(den or 1))
-        elif tag == "C":
-            chroma = val
+    try:
+        for tok in data[len(MAGIC) : nl].split():
+            tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+            if tag == "W":
+                width = int(val)
+            elif tag == "H":
+                height = int(val)
+            elif tag == "F":
+                num, _, den = val.partition(":")
+                fps = (int(num), int(den or 1))
+            elif tag == "C":
+                chroma = val
+    except ValueError as e:
+        # non-numeric header token: must surface as Y4mError so the
+        # honest-fallback contract holds (callers catch Y4mError only)
+        raise Y4mError(f"malformed stream-header token: {e}") from e
     if not width or not height or width < 0 or height < 0:
         raise Y4mError("missing or invalid W/H in stream header")
     size_of = _FRAME_SIZE.get(chroma)

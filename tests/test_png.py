@@ -283,3 +283,34 @@ def test_y4m_malformed_rejected():
     ]:
         with _pytest.raises(y4m.Y4mError, match=msg):
             y4m.decode_y4m(mutate(good))
+
+
+def test_y4m_bad_header_token_is_y4merror():
+    """A payload with the Y4M magic but a non-numeric W must raise
+    Y4mError (not bare ValueError) so the stub fallback engages
+    (review r3c — reproduced as an executor-killer)."""
+    import pytest as _pytest
+
+    from service1_text_extraction_spark.kernels import y4m
+
+    for bad in (
+        b"YUV4MPEG2 Wabc H6 C420\nFRAME\n" + bytes(72),
+        b"YUV4MPEG2 W\xff H6 C420\nFRAME\n" + bytes(72),
+        b"YUV4MPEG2 W8 H6 Fx:y C420\nFRAME\n" + bytes(72),
+    ):
+        with _pytest.raises(y4m.Y4mError):
+            y4m.decode_y4m(bad)
+
+
+def test_y4m_short_clip_sampling_unique_indices():
+    """Clips shorter than n_frames emit each frame once — never
+    duplicate (doc_id, frame_idx) rows (review r3c)."""
+    from service1_text_extraction_spark.kernels import y4m
+
+    fsize = 8 * 6 * 3 // 2
+    frames = [bytes([5])] * 0 or [bytes([5]) * fsize]
+    data = y4m.encode_y4m(8, 6, frames)
+    _, _, _, decoded = y4m.decode_y4m(data)
+    k = min(4, len(decoded))
+    picked = [(i * len(decoded)) // k for i in range(k)]
+    assert picked == [0]
