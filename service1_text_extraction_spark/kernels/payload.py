@@ -134,7 +134,7 @@ def _extract_turn_inner(payload: str | None) -> TurnResult:
         stripped = text.strip()
         # reference gate core_pdf_processor.py:378-380: length on the
         # stripped text, garbage heuristics on the raw extraction
-        if len(stripped) >= MIN_PDF_TEXT_LENGTH and not textnorm.is_garbage_text_np(
+        if len(stripped) >= MIN_PDF_TEXT_LENGTH and not textnorm.is_garbage(
             text
         ):
             shift = len(text) - len(text.lstrip())
@@ -155,7 +155,7 @@ def _extract_turn_inner(payload: str | None) -> TurnResult:
                 ocr_text = ""
             if (
                 len(ocr_text) >= MIN_PDF_TEXT_LENGTH
-                and not textnorm.is_garbage_text_np(ocr_text)
+                and not textnorm.is_garbage(ocr_text)
             ):
                 return TurnResult(
                     ocr_text,
@@ -174,7 +174,7 @@ def _extract_turn_inner(payload: str | None) -> TurnResult:
 
     if kind == "html":
         r = extract_html(payload)
-        if r.text and textnorm.is_garbage_text_np(r.text):
+        if r.text and textnorm.is_garbage(r.text):
             return _failed("extracted text failed garbage gate", bytes_in)
         return TurnResult(
             r.text, "html", None, r.spans, bytes_in, len(r.text),
@@ -182,7 +182,7 @@ def _extract_turn_inner(payload: str | None) -> TurnResult:
         )
 
     cleaned = textnorm.clean_unicode(payload).strip()
-    if not cleaned or textnorm.is_garbage_text_np(cleaned):
+    if not cleaned or textnorm.is_garbage(cleaned):
         return _failed("plain text failed garbage gate", bytes_in)
     return TurnResult(
         cleaned, "text", None, [(0, len(cleaned), "text")], bytes_in,
