@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from service1_text_extraction_spark.functions import (
+    curate,
     dedup,
     jsonfuncs,
     multimodal,
@@ -115,7 +116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": dedup.minhash_clusters,
         "dedup_minhash_cc": dedup.minhash_connected_components,
         "duplicate_passages": dedup.duplicate_passages,
-        "value_quantiles": relational.value_quantiles,
         "rollup_lang_source": relational.rollup_lang_source,
         "kmeans_assign": similarity.kmeans_assign,
         "dedup_simhash": dedup.simhash_fingerprints,
@@ -148,10 +148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3 additions ------------------------------------
         "decontaminate": dedup.decontaminate,
         "pack_sequences": textstats.pack_sequences,
+        "curate_corpus": curate.curate_corpus,
         # --- tail (positions 51+): multi-round-green TPC-H-style
         #     queries the driver already hash-verified in r1 AND r2;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
+        "value_quantiles": relational.value_quantiles,
         "page_marker_format": relational.page_marker_format,
         "extract_dates_count": relational.extract_dates_count,
         "extract_numbers_count": relational.extract_numbers_count,
@@ -288,7 +290,7 @@ _SIMHASH_HAMMING_INT = " + ".join(
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "pending_filter": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE value IS NULL OR value < 100"
@@ -852,6 +854,20 @@ def oracle_sql() -> dict[str, str]:
         # gate is the golden-fixture pytest suite) and source_files
         # (input_file_name() metadata is invisible to the DuckDB views).
     }
+    # curate_corpus = the JOIN of four already-verified oracles, so the
+    # composed pipeline is hash-checked end to end (mirrors
+    # functions/curate.py: quality gate x lang filter x dedup keepers
+    # x deterministic split)
+    sql["curate_corpus"] = (
+        f"SELECT q.doc_id, l.lang_pred, q.quality, s.split"
+        f" FROM ({sql['quality_score']}) q"
+        f" JOIN ({sql['lang_id']}) l USING (doc_id)"
+        f" JOIN (SELECT DISTINCT keeper_id AS doc_id FROM"
+        f" ({sql['dedup_exact']}) dd) k USING (doc_id)"
+        f" JOIN ({sql['train_test_split']}) s USING (doc_id)"
+        " WHERE q.quality >= 0.5 AND l.lang_pred <> 'und'"
+    )
+    return sql
 
 
 def _kmeans_parts(k: int = similarity.K_LISTS,

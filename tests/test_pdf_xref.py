@@ -276,3 +276,38 @@ def test_prev_self_loop_terminates():
         ).encode()
     )
     assert pdf.extract_pdf(bytes(buf)).pages[0].text == "Loop-guarded update."
+
+
+def test_modern_layout_xref_stream_only():
+    """The dominant wild layout since ~2010: dict objects live in an
+    /ObjStm, the ONLY cross-reference is an xref stream whose type-2
+    entries route the embedded objects, classic `xref` keyword absent.
+    """
+    content = pdfgen.simple_page([(72, 700, ["Modern-layout body."])])
+    page_dict = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"
+    )
+    embedded = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (4, page_dict),
+    ]
+    buf = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    off5 = len(buf)
+    buf += b"5 0 obj\n" + pdfgen.stream_obj(content) + b"\nendobj\n"
+    off6 = len(buf)
+    buf += b"6 0 obj\n" + pdfgen.objstm_obj(embedded) + b"\nendobj\n"
+    xpos = len(buf)
+    buf += b"7 0 obj\n" + pdfgen.xref_stream_obj(
+        {
+            1: (2, 6, 0), 2: (2, 6, 1), 3: (2, 6, 2), 4: (2, 6, 3),
+            5: (1, off5, 0), 6: (1, off6, 0), 7: (1, xpos, 0),
+        },
+        size=8,
+    ) + b"\nendobj\n"
+    buf += f"startxref\n{xpos}\n%%EOF\n".encode()
+    data = bytes(buf)
+    assert b"\nxref\n" not in data  # genuinely xref-stream-only
+    assert pdf.extract_pdf(data).pages[0].text == "Modern-layout body."

@@ -189,3 +189,14 @@ def test_pack_sequences_window_is_sharded(spark, sf_dir):
     plan = _plan(textstats.pack_sequences(spark, sf_dir))
     assert "Window" in plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_curate_corpus_no_cartesian(spark, sf_dir):
+    """The curation composition joins four derivations of the same
+    table strictly on doc_id — no cartesian product, partial
+    aggregation below the joins."""
+    from service1_text_extraction_spark.functions import curate
+
+    plan = _plan(curate.curate_corpus(spark, sf_dir))
+    assert "Cartesian" not in plan, plan
+    assert "HashAggregate" in plan
