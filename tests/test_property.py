@@ -219,3 +219,66 @@ def test_pdf_parser_fails_clean_on_random_bytes(data):
         pdf.extract_pdf(b"%PDF-" + data)
     except pdf.PdfError:
         pass
+
+
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    data=st.binary(min_size=0, max_size=1600),
+)
+@settings(max_examples=150, deadline=None)
+def test_png_roundtrip_property(w, h, data):
+    from service1_text_extraction_spark.kernels import png
+
+    pixels = (data * ((w * h) // max(len(data), 1) + 1))[: w * h]
+    if len(pixels) < w * h:
+        pixels = pixels + bytes(w * h - len(pixels))
+    out = png.decode_png(png.encode_png(w, h, pixels))
+    assert out == (w, h, pixels)
+
+
+@given(
+    rate=st.integers(1, 192000),
+    pcm=st.binary(min_size=0, max_size=2000),
+)
+@settings(max_examples=150, deadline=None)
+def test_wav_roundtrip_property(rate, pcm):
+    from service1_text_extraction_spark.kernels import wav
+
+    assert wav.decode_wav(wav.encode_wav(rate, 1, 8, pcm)) == (
+        rate, 1, 8, pcm,
+    )
+
+
+@given(
+    w=st.sampled_from([2, 4, 8, 16]),
+    h=st.sampled_from([2, 4, 8, 16]),
+    n=st.integers(1, 6),
+    seed=st.integers(0, 255),
+)
+@settings(max_examples=100, deadline=None)
+def test_y4m_roundtrip_property(w, h, n, seed):
+    from service1_text_extraction_spark.kernels import y4m
+
+    fsize = w * h * 3 // 2
+    frames = [bytes([(seed + i) % 256]) * fsize for i in range(n)]
+    dw, dh, fps, out = y4m.decode_y4m(y4m.encode_y4m(w, h, frames))
+    assert (dw, dh, out) == (w, h, frames)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_media_decoders_fail_clean_on_random_bytes(data):
+    """Random bytes (even magic-prefixed) must raise the module error
+    or decode — never leak a foreign exception past the fallback."""
+    from service1_text_extraction_spark.kernels import png, wav, y4m
+
+    for magic, decode, err in (
+        (png.SIGNATURE, png.decode_png, png.PngError),
+        (b"RIFF\x10\x00\x00\x00WAVE", wav.decode_wav, wav.WavError),
+        (b"YUV4MPEG2 ", y4m.decode_y4m, y4m.Y4mError),
+    ):
+        try:
+            decode(magic + data)
+        except err:
+            pass  # the contract: module error only
