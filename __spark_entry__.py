@@ -865,7 +865,7 @@ def oracle_sql() -> dict[str, str]:
         f" JOIN (SELECT DISTINCT keeper_id AS doc_id FROM"
         f" ({sql['dedup_exact']}) dd) k USING (doc_id)"
         f" JOIN ({sql['train_test_split']}) s USING (doc_id)"
-        " WHERE q.quality >= 0.5 AND l.lang_pred <> 'und'"
+        f" WHERE q.quality >= {curate.MIN_QUALITY} AND l.lang_pred <> 'und'"
     )
     return sql
 

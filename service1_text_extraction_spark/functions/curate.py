@@ -1,10 +1,14 @@
 """End-to-end corpus curation: the composition every pretraining
 pipeline runs as its final assembly — quality gate x language filter x
-exact-dedup keeper selection x deterministic train/test split — joined
-into ONE declarative plan so Catalyst fuses the stages (all four
-inputs scan the same table; the joins are doc_id-partitioned
-hash joins with partial aggregation below them, no operator
-materializes an intermediate corpus).
+exact-dedup keeper selection x deterministic train/test split.
+
+Plan shape (the 100 TB question): quality, lang_pred, and split are
+all per-row functions of one documents row, so they compute in ONE
+projection over ONE scan (the reusable column forms in
+:mod:`.textstats`); the only other input is the exact-dedup keeper
+set, one hash-aggregate over a second scan, joined back on doc_id —
+two scans, one shuffle join, no intermediate corpus materialized
+(plan-tested in tests/test_plans.py).
 
 Each ingredient is the already-driver-verified operator; the composed
 oracle (``__spark_entry__``) is the identical join over the
@@ -19,26 +23,35 @@ from pyspark.sql import functions as F
 from . import dedup, textstats
 
 MIN_QUALITY = 0.5
+TEST_PCT = 10
 
 
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> curated (doc_id, lang_pred, quality, split):
     keep exact-dedup keepers whose quality clears MIN_QUALITY and
     whose language is identified."""
-    q = textstats.quality_score(spark, sf_dir).select("doc_id", "quality")
-    lang = textstats.lang_id(spark, sf_dir)
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id", "text", F.expr(textstats._TOKENS).alias("t")
+        )
+    )
+    bucket = textstats.split_bucket_expr()
+    enriched = textstats.with_lang_pred(base).select(
+        "doc_id",
+        "lang_pred",
+        textstats.quality_expr().alias("quality"),
+        F.when(bucket < TEST_PCT, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
     keepers = (
         dedup.exact_dedup(spark, sf_dir)
         .select(F.col("keeper_id").alias("doc_id"))
         .distinct()
     )
-    split = textstats.train_test_split(spark, sf_dir).select(
-        "doc_id", "split"
-    )
     return (
-        q.join(lang, "doc_id")
-        .join(keepers, "doc_id")
-        .join(split, "doc_id")
+        enriched.join(keepers, "doc_id")
         .where(
             (F.col("quality") >= MIN_QUALITY)
             & (F.col("lang_pred") != "und")

@@ -38,19 +38,48 @@ def _stop_count(lang: str) -> F.Column:
     return F.expr(f"size(filter(t, x -> x in ({words})))")
 
 
+def with_lang_pred(df: DataFrame) -> DataFrame:
+    """Adds ``lang_pred`` to a frame that carries a materialized token
+    column ``t`` (single-scan reusable form — curation composes this
+    with the other per-row signals over ONE projection)."""
+    score_cols = []
+    for lang in STOPWORDS:
+        df = df.withColumn(f"sc_{lang}", _stop_count(lang))
+        score_cols.append(f"sc_{lang}")
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in STOPWORDS:  # dict order = deterministic tie-break
+        pred = pred.when(F.col(f"sc_{lang}") == best, F.lit(lang))
+    return df.withColumn("lang_pred", pred).drop(*score_cols)
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID (n-gram-heuristic family). Ties and
     zero-evidence rows resolve to 'und' / first-wins deterministically."""
     df = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_TOKENS).alias("t")
     )
-    for lang in STOPWORDS:
-        df = df.withColumn(f"sc_{lang}", _stop_count(lang))
-    best = F.greatest(*[F.col(f"sc_{lang}") for lang in STOPWORDS])
-    pred = F.when(best <= 0, F.lit("und"))
-    for lang in STOPWORDS:  # dict order = deterministic tie-break
-        pred = pred.when(F.col(f"sc_{lang}") == best, F.lit(lang))
-    return df.select("doc_id", pred.alias("lang_pred"))
+    return with_lang_pred(df).select("doc_id", "lang_pred")
+
+
+def _punct_ratio_expr() -> F.Column:
+    punct = F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0)))
+    return punct / F.nullif(F.length("text"), F.lit(0))
+
+
+def quality_expr() -> F.Column:
+    """Per-row quality score in [0, 1], rounded 4dp — over columns
+    ``text`` + materialized tokens ``t`` (single-scan reusable form)."""
+    n = F.length("text")
+    stop_ratio = _stop_count("en") / F.nullif(F.size("t"), F.lit(0))
+    score = (
+        0.4 * F.least(n / F.lit(500.0), F.lit(1.0))
+        + 0.3 * (1.0 - F.coalesce(_punct_ratio_expr(), F.lit(0.0)))
+        + 0.3 * F.least(
+            F.coalesce(stop_ratio, F.lit(0.0)) * 4.0, F.lit(1.0)
+        )
+    )
+    return F.round(score, 4)
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,25 +87,13 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir).select(
         "doc_id", "text", F.expr(_TOKENS).alias("t")
     )
-    n = F.length("text")
-    n_tokens = F.size("t")
-    punct = F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0)))
-    stop_en = _stop_count("en")
-    punct_ratio = punct / F.nullif(n, F.lit(0))
-    stop_ratio = stop_en / F.nullif(n_tokens, F.lit(0))
-    score = (
-        0.4 * F.least(n / F.lit(500.0), F.lit(1.0))
-        + 0.3 * (1.0 - F.coalesce(punct_ratio, F.lit(0.0)))
-        + 0.3 * F.least(
-            F.coalesce(stop_ratio, F.lit(0.0)) * 4.0, F.lit(1.0)
-        )
-    )
     return df.select(
         "doc_id",
-        n.cast("long").alias("n_chars_obs"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(F.coalesce(punct_ratio, F.lit(0.0)), 4).alias("punct_ratio"),
-        F.round(score, 4).alias("quality"),
+        F.length("text").cast("long").alias("n_chars_obs"),
+        F.size("t").cast("long").alias("n_tokens"),
+        F.round(F.coalesce(_punct_ratio_expr(), F.lit(0.0)), 4)
+        .alias("punct_ratio"),
+        quality_expr().alias("quality"),
     )
 
 
@@ -181,8 +198,7 @@ def train_test_split(
     have (re-running the job can never migrate a document across the
     split). The %100 of a 16-bit value carries a ~0.05% bucket-size
     bias, irrelevant for splitting."""
-    h = F.md5(F.col("doc_id").cast("string"))
-    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 100)
+    bucket = split_bucket_expr()
     return _docs(spark, sf_dir).select(
         "doc_id",
         bucket.alias("bucket"),
@@ -190,6 +206,13 @@ def train_test_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def split_bucket_expr() -> F.Column:
+    """Deterministic 0..99 split bucket over ``doc_id`` (single-scan
+    reusable form of train_test_split's hash)."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 100
 
 
 def tfidf_top_terms(

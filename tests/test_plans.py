@@ -191,12 +191,22 @@ def test_pack_sequences_window_is_sharded(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
 
 
-def test_curate_corpus_no_cartesian(spark, sf_dir):
-    """The curation composition joins four derivations of the same
-    table strictly on doc_id — no cartesian product, partial
-    aggregation below the joins."""
+def test_curate_corpus_two_scans_one_join(spark, sf_dir):
+    """The curation composition computes quality/lang/split in ONE
+    projection over ONE scan and joins only the dedup keepers: exactly
+    two parquet scans, one join, no cartesian product."""
     from service1_text_extraction_spark.functions import curate
+
+    import re as _re
 
     plan = _plan(curate.curate_corpus(spark, sf_dir))
     assert "Cartesian" not in plan, plan
     assert "HashAggregate" in plan
+    # operator ids "(N) Scan parquet" appear once per operator in the
+    # formatted detail section
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    joins = _re.findall(
+        r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+        plan,
+    )
+    assert len(joins) == 1, plan

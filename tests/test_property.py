@@ -262,8 +262,10 @@ def test_y4m_roundtrip_property(w, h, n, seed):
 
     fsize = w * h * 3 // 2
     frames = [bytes([(seed + i) % 256]) * fsize for i in range(n)]
-    dw, dh, fps, out = y4m.decode_y4m(y4m.encode_y4m(w, h, frames))
-    assert (dw, dh, out) == (w, h, frames)
+    dw, dh, fps, out = y4m.decode_y4m(
+        y4m.encode_y4m(w, h, frames, fps=(n, seed + 1))
+    )
+    assert (dw, dh, fps, out) == (w, h, (n, seed + 1), frames)
 
 
 @given(st.binary(min_size=0, max_size=400))
