@@ -206,3 +206,89 @@ def test_encrypted_objstm_document_decrypts():
         + b"%%EOF\n"
     )
     assert pdf.extract_pdf(bytes(buf)).pages[0].text == _EXPECT
+
+
+def test_pdf20_layout_aes256_xrefstream_objstm():
+    """The full PDF 2.0 wild layout in one file: AES-256 (V5/R6)
+    encryption, dict objects inside an ENCRYPTED /ObjStm, and an xref
+    STREAM as the only cross-reference (no classic trailer — /Encrypt
+    and /ID live in the xref-stream dict)."""
+    import zlib
+
+    from service1_text_extraction_spark.kernels import pdfgen
+    from service1_text_extraction_spark.kernels.pdfcrypt import (
+        compute_v5_entries,
+        encrypt_data,
+        hash_2b,
+    )
+
+    key = hash_2b(b"pdf20-fixture-key", b"", b"", 6)
+    ent = compute_v5_entries(b"", b"owner-secret", key, 6)
+
+    content = pdfgen.simple_page([(72, 700, ["PDF 2.0 modern body.",
+                                              "Line two."])])
+    page_dict = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"
+    )
+    embedded = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (4, page_dict),
+    ]
+    header = bytearray()
+    body = bytearray()
+    for objnum, objbytes in embedded:
+        header += f"{objnum} {len(body)} ".encode()
+        body += objbytes + b"\n"
+    objstm_plain = zlib.compress(bytes(header) + bytes(body))
+
+    buf = bytearray(b"%PDF-2.0\n%\xe2\xe3\xcf\xd3\n")
+    off5 = len(buf)
+    enc_content = encrypt_data(key, 5, 0, content, True)
+    buf += (
+        f"5 0 obj\n<< /Length {len(enc_content)} >>\nstream\n".encode()
+        + enc_content + b"\nendstream\nendobj\n"
+    )
+    off6 = len(buf)
+    enc_objstm = encrypt_data(key, 6, 0, objstm_plain, True)
+    buf += (
+        f"6 0 obj\n<< /Type /ObjStm /N {len(embedded)} "
+        f"/First {len(header)} /Length {len(enc_objstm)} "
+        f"/Filter /FlateDecode >>\nstream\n".encode()
+        + enc_objstm + b"\nendstream\nendobj\n"
+    )
+    off7 = len(buf)
+    buf += (
+        b"7 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44 "
+        + f"/O <{ent['O'].hex()}> /U <{ent['U'].hex()}> "
+          f"/OE <{ent['OE'].hex()}> /UE <{ent['UE'].hex()}> "
+          f"/Perms <{ent['Perms'].hex()}> ".encode()
+        + b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+        b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF >>\nendobj\n"
+    )
+    xpos = len(buf)
+    # xref STREAM carries /Encrypt + /ID (no classic trailer at all);
+    # xref streams themselves are never encrypted
+    xref_body = pdfgen.xref_stream_obj(
+        {
+            1: (2, 6, 0), 2: (2, 6, 1), 3: (2, 6, 2), 4: (2, 6, 3),
+            5: (1, off5, 0), 6: (1, off6, 0), 7: (1, off7, 0),
+            8: (1, xpos, 0),
+        },
+        size=9,
+    )
+    id_hex = "11" * 16
+    xref_body = xref_body.replace(
+        b" /Root 1 0 R",
+        f" /Root 1 0 R /Encrypt 7 0 R /ID [<{id_hex}> <{id_hex}>]".encode(),
+    )
+    buf += b"8 0 obj\n" + xref_body + b"\nendobj\n"
+    buf += f"startxref\n{xpos}\n%%EOF\n".encode()
+    data = bytes(buf)
+    assert b"trailer" not in data
+    assert (
+        pdf.extract_pdf(data).pages[0].text
+        == "PDF 2.0 modern body.\nLine two."
+    )
