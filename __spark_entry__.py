@@ -116,7 +116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": dedup.minhash_clusters,
         "dedup_minhash_cc": dedup.minhash_connected_components,
         "duplicate_passages": dedup.duplicate_passages,
-        "rollup_lang_source": relational.rollup_lang_source,
         "kmeans_assign": similarity.kmeans_assign,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
@@ -149,10 +148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": dedup.decontaminate,
         "pack_sequences": textstats.pack_sequences,
         "curate_corpus": curate.curate_corpus,
+        "semantic_dedup": similarity.semantic_dedup,
         # --- tail (positions 51+): multi-round-green TPC-H-style
         #     queries the driver already hash-verified in r1 AND r2;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
+        "rollup_lang_source": relational.rollup_lang_source,
         "value_quantiles": relational.value_quantiles,
         "page_marker_format": relational.page_marker_format,
         "extract_dates_count": relational.extract_dates_count,
@@ -556,6 +557,23 @@ def oracle_sql() -> dict[str, str]:
             " JOIN embeddings eb ON eb.vec_id = b_id"
             " WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],"
             " eb.embedding::DOUBLE[]), 4) >= 0.30"
+        ),
+        # SemDeDup: same k-means CTEs; pairs only within a cluster
+        "semantic_dedup": (
+            f"WITH {_KM_CTES}, asg AS ({_KM_ASSIGN}),"
+            " capped AS (SELECT list_id FROM asg GROUP BY list_id"
+            f" HAVING count(*) BETWEEN 2 AND {similarity.SEM_MAX_CLUSTER}),"
+            " cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id"
+            " FROM asg a JOIN asg b ON a.list_id = b.list_id AND"
+            " a.vec_id < b.vec_id"
+            " JOIN capped c ON c.list_id = a.list_id)"
+            " SELECT a_id, b_id,"
+            " round(list_cosine_similarity(ea.embedding::DOUBLE[],"
+            " eb.embedding::DOUBLE[]), 4) AS cos"
+            " FROM cand JOIN embeddings ea ON ea.vec_id = a_id"
+            " JOIN embeddings eb ON eb.vec_id = b_id"
+            " WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],"
+            f" eb.embedding::DOUBLE[]), 4) >= {similarity.SEM_THRESHOLD}"
         ),
         "ann_lsh_topk": (
             f"WITH b AS (SELECT vec_id, embedding, {_LSH_BUCKET} AS bucket"

@@ -77,15 +77,18 @@ _PAIRS_EXPR = (
 MAX_BUCKET_DF = 100
 
 
-def _bucket_pairs(grouped: DataFrame) -> DataFrame:
+def _bucket_pairs(grouped: DataFrame, cap: int = MAX_BUCKET_DF) -> DataFrame:
     """(bucket_key -> sorted ids[]) -> exploded (a_id < b_id) pairs.
 
     Pair generation stays bucket-local (no self-join, no recompute of
     the upstream pipeline on both join sides) — the shape that survives
     at 10^12 rows, where pairs may only ever form inside small buckets.
+    ``cap`` bounds any one bucket's quadratic expansion; callers whose
+    buckets are clusters (semantic dedup) pass a larger cap than the
+    near-dup band default.
     """
     return (
-        grouped.where(F.size("ids").between(2, MAX_BUCKET_DF))
+        grouped.where(F.size("ids").between(2, cap))
         .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
         .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
     )

@@ -378,3 +378,55 @@ def ivf_ann_topk(
         )
     )
     return cands.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
+
+
+SEM_MAX_CLUSTER = 1000  # within-cluster pair cap for semantic dedup
+SEM_THRESHOLD = 0.30
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = SEM_THRESHOLD
+) -> DataFrame:
+    """SemDeDup-family semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then
+    compute exact cosine ONLY within each cluster — pairs at or above
+    ``threshold`` are semantic duplicates (keep the lower vec_id).
+
+    Scale shape: the cluster id is the blocking key, so no global
+    pairwise join ever forms; within-cluster pairs expand
+    bucket-locally (capped at SEM_MAX_CLUSTER — at 100 TB, k grows
+    with the corpus so clusters stay bounded, exactly the SemDeDup
+    recipe). The quantizer is the same engine-deterministic k-means
+    the IVF index uses, so the oracle replays it exactly."""
+    from .dedup import _bucket_pairs
+
+    assign = kmeans_assign(spark, sf_dir)  # (vec_id, list_id)
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", _norm("embedding").alias("nrm")
+    )
+    buckets = assign.groupBy("list_id").agg(
+        F.array_sort(F.collect_list("vec_id")).alias("ids")
+    )
+    pairs = _bucket_pairs(buckets, cap=SEM_MAX_CLUSTER)
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                _dot("ea", "eb") / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
