@@ -75,6 +75,7 @@ def main() -> None:
     n_turns = transcripts.count()  # warms the JVM + page cache
 
     from service1_text_extraction_spark.functions import (
+        curate,
         dedup,
         jsonfuncs,
         relational,
@@ -124,6 +125,8 @@ def main() -> None:
         "tfidf_top_terms": q(textstats.tfidf_top_terms),
         "decontaminate": q(dedup.decontaminate),
         "pack_sequences": q(textstats.pack_sequences),
+        "curate_corpus": q(curate.curate_corpus),
+        "semantic_dedup": q(similarity.semantic_dedup),
     }
 
     # two runs per query, min wins: measures steady-state plan execution
