@@ -854,7 +854,8 @@ def oracle_sql() -> dict[str, str]:
             " + strpos('0123456789abcdef', substring(m, 4, 1)) - 1) % 100"
             " AS bucket FROM hx)"
             " SELECT doc_id, CAST(bucket AS INT) AS bucket,"
-            " CASE WHEN bucket < 10 THEN 'test' ELSE 'train' END AS split"
+            f" CASE WHEN bucket < {textstats.TEST_PCT} THEN 'test'"
+            " ELSE 'train' END AS split"
             " FROM b"
         ),
         "clean_unicode_sql": _clean_unicode_oracle_sql(),

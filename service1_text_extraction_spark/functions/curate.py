@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 from . import dedup, textstats
 
 MIN_QUALITY = 0.5
-TEST_PCT = 10
 
 
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,14 +35,13 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "text", F.expr(textstats._TOKENS).alias("t")
         )
     )
-    bucket = textstats.split_bucket_expr()
-    enriched = textstats.with_lang_pred(base).select(
+    enriched = textstats.with_lang_pred(base, keep_scores=True).select(
         "doc_id",
         "lang_pred",
-        textstats.quality_expr().alias("quality"),
-        F.when(bucket < TEST_PCT, F.lit("test"))
-        .otherwise(F.lit("train"))
-        .alias("split"),
+        # reuse the English stop-count the language vote just computed
+        # instead of re-filtering the token array
+        textstats.quality_expr(stop_en=F.col("sc_en")).alias("quality"),
+        textstats.split_label_expr().alias("split"),
     )
     keepers = (
         dedup.exact_dedup(spark, sf_dir)

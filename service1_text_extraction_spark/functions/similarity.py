@@ -389,8 +389,11 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup-family semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then
-    compute exact cosine ONLY within each cluster — pairs at or above
-    ``threshold`` are semantic duplicates (keep the lower vec_id).
+    compute exact cosine ONLY within each cluster. Returned pairs
+    (a_id < b_id by construction) are the semantic-duplicate edges: a
+    removal policy drops each pair's b_id (or feeds the edges to the
+    same label-propagation used by dedup_minhash_cc for transitive
+    clusters).
 
     Scale shape: the cluster id is the blocking key, so no global
     pairwise join ever forms; within-cluster pairs expand

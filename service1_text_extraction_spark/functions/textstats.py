@@ -38,10 +38,13 @@ def _stop_count(lang: str) -> F.Column:
     return F.expr(f"size(filter(t, x -> x in ({words})))")
 
 
-def with_lang_pred(df: DataFrame) -> DataFrame:
+def with_lang_pred(df: DataFrame, keep_scores: bool = False) -> DataFrame:
     """Adds ``lang_pred`` to a frame that carries a materialized token
     column ``t`` (single-scan reusable form — curation composes this
-    with the other per-row signals over ONE projection)."""
+    with the other per-row signals over ONE projection).
+    ``keep_scores`` retains the per-language ``sc_*`` stop-counts so a
+    downstream expression (e.g. the quality score's English
+    stop-ratio) can reuse them instead of re-filtering the tokens."""
     score_cols = []
     for lang in STOPWORDS:
         df = df.withColumn(f"sc_{lang}", _stop_count(lang))
@@ -50,7 +53,8 @@ def with_lang_pred(df: DataFrame) -> DataFrame:
     pred = F.when(best <= 0, F.lit("und"))
     for lang in STOPWORDS:  # dict order = deterministic tie-break
         pred = pred.when(F.col(f"sc_{lang}") == best, F.lit(lang))
-    return df.withColumn("lang_pred", pred).drop(*score_cols)
+    df = df.withColumn("lang_pred", pred)
+    return df if keep_scores else df.drop(*score_cols)
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,11 +71,15 @@ def _punct_ratio_expr() -> F.Column:
     return punct / F.nullif(F.length("text"), F.lit(0))
 
 
-def quality_expr() -> F.Column:
+def quality_expr(stop_en: F.Column | None = None) -> F.Column:
     """Per-row quality score in [0, 1], rounded 4dp — over columns
-    ``text`` + materialized tokens ``t`` (single-scan reusable form)."""
+    ``text`` + materialized tokens ``t`` (single-scan reusable form).
+    Pass ``stop_en`` to reuse an already-computed English stop-count
+    (with_lang_pred's ``sc_en``) instead of re-filtering the tokens."""
     n = F.length("text")
-    stop_ratio = _stop_count("en") / F.nullif(F.size("t"), F.lit(0))
+    if stop_en is None:
+        stop_en = _stop_count("en")
+    stop_ratio = stop_en / F.nullif(F.size("t"), F.lit(0))
     score = (
         0.4 * F.least(n / F.lit(500.0), F.lit(1.0))
         + 0.3 * (1.0 - F.coalesce(_punct_ratio_expr(), F.lit(0.0)))
@@ -188,8 +196,11 @@ def chunk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEST_PCT = 10  # default held-out percentage (mirrored by the oracles)
+
+
 def train_test_split(
-    spark: SparkSession, sf_dir: str, test_pct: int = 10
+    spark: SparkSession, sf_dir: str, test_pct: int = TEST_PCT
 ) -> DataFrame:
     """Deterministic hash split for corpus curation: bucket =
     int(md5(doc_id)[:4], 16) % 100, 'test' below ``test_pct``. Unlike
@@ -198,13 +209,10 @@ def train_test_split(
     have (re-running the job can never migrate a document across the
     split). The %100 of a 16-bit value carries a ~0.05% bucket-size
     bias, irrelevant for splitting."""
-    bucket = split_bucket_expr()
     return _docs(spark, sf_dir).select(
         "doc_id",
-        bucket.alias("bucket"),
-        F.when(bucket < test_pct, F.lit("test"))
-        .otherwise(F.lit("train"))
-        .alias("split"),
+        split_bucket_expr().alias("bucket"),
+        split_label_expr(test_pct).alias("split"),
     )
 
 
@@ -213,6 +221,16 @@ def split_bucket_expr() -> F.Column:
     reusable form of train_test_split's hash)."""
     h = F.md5(F.col("doc_id").cast("string"))
     return F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 100
+
+
+def split_label_expr(test_pct: int = TEST_PCT) -> F.Column:
+    """'test'/'train' label over split_bucket_expr — the ONE place the
+    labeling rule lives (train_test_split and curate both use it; the
+    oracles interpolate TEST_PCT)."""
+    return (
+        F.when(split_bucket_expr() < test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
 
 
 def tfidf_top_terms(
