@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
     extraction pipeline, return per-turn results (driver collects)."""
     sf_dir = "/root/testdata/sf0.001"
     transcripts = transcripts_from_documents(spark, sf_dir)
-    out = run_extraction(spark, transcripts, n_buckets=16, salt=4)
+    out = run_extraction(spark, transcripts, n_buckets=16)
     return out.select(
         "conv_id",
         "turn_idx",
@@ -59,7 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = transcripts_from_documents(spark, sf_dir)
-    return run_extraction(spark, transcripts, n_buckets=16, salt=4)
+    return run_extraction(spark, transcripts, n_buckets=16)
 
 
 def _q_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:

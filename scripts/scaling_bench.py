@@ -54,7 +54,7 @@ spark.sparkContext.setLogLevel("ERROR")
 from service1_text_extraction_spark.pipeline import run_extraction
 t = spark.read.parquet({cache!r})
 n = t.count()
-run_extraction(spark, t.limit(512), n_buckets=4, salt=2).write.format(
+run_extraction(spark, t.limit(512), n_buckets=4).write.format(
     "noop").mode("overwrite").save()
 t0 = time.perf_counter()
 # default mode: UDF on scan partitions, single (window) exchange —

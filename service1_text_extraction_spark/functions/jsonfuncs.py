@@ -34,10 +34,17 @@ _RESULT_SCHEMA = StructType(
 
 def _coerce_k(k) -> int | None:
     """Recovered JSON may carry a non-integral "k" (string, dict,
-    float-string, Infinity/NaN, or an int past int64) — a bad value
-    must yield NULL, never crash the Arrow batch (OverflowError covers
-    float('inf'); the range check covers Arrow LongType limits)."""
+    float-string, Infinity/NaN, bool, or an int past int64) — a bad
+    value must yield NULL, never crash the Arrow batch (OverflowError
+    covers float('inf'); the range check covers Arrow LongType limits).
+    Only genuinely integral values pass: bools are NULL (JSON true is
+    not a count), and floats with a fractional part are NULL rather
+    than silently floor-truncated (3.9 must not report as 3)."""
+    if isinstance(k, bool):
+        return None
     try:
+        if isinstance(k, float) and k != int(k):
+            return None
         v = int(k) if isinstance(k, (int, float, str)) else None
         if v is not None and not (-(2**63) <= v < 2**63):
             return None

@@ -173,19 +173,29 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
+def frame_sample(
+    df: DataFrame, n_frames: int = 4, sniff_real: bool = True
+) -> DataFrame:
     """1->N frame sampling over video-like payloads via mapInPandas
     (UDTF-style expansion). Y4M (YUV4MPEG2) payloads sample REAL
     frames — evenly spaced source indices over the actual frame list;
     other formats take the deterministic stub (frame i = md5 of the
-    i-th stride slice of the bytes)."""
+    i-th stride slice of the bytes).
+
+    ``sniff_real=False`` disables the Y4M content sniff and forces the
+    stub for every row: the Y4M magic is plain ASCII ("YUV4MPEG2"), so
+    a *text* corpus document that happens to contain a well-formed Y4M
+    stream (e.g. format documentation) would otherwise silently switch
+    paths. Callers feeding text-derived payloads with a stub-shaped
+    oracle (multimodal_frames) must pass False; callers feeding actual
+    video bytes keep the default."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                if y4m.is_y4m(data):
+                if sniff_real and y4m.is_y4m(data):
                     try:
                         _, _, _, frames = y4m.decode_y4m(data)
                         # short clips emit each frame once; longer
@@ -227,10 +237,13 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # payloads here are cast *text* — the stub-shaped DuckDB oracle is
+    # the contract, so the ASCII Y4M sniff must never fire (sniff_real
+    # stays on only for true-video callers like y4m_frames' input).
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return frame_sample(docs)
+    return frame_sample(docs, sniff_real=False)
 
 
 def _synth_png(d: int) -> tuple[int, int, int, bytes]:

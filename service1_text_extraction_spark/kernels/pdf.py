@@ -353,25 +353,35 @@ class PdfDocument:
         r = _int_of(self.resolve(enc.get("/R")), 2)
         length_bits = _int_of(self.resolve(enc.get("/Length")), 40)
         aes = False
+        # /StmF /Identity (spec-legal V4/V5 config): streams are NOT
+        # encrypted, only strings (which we never extract) — but the
+        # document is still *password-protected*: authentication must
+        # run (and may surface password_required, mirroring fitz
+        # needs_pass, core_pdf_processor.py:167) before stream
+        # decryption is skipped.
+        identity_streams = False
         if v in (1, 2):
             pass
         elif v == 4:
             stmf = enc.get("/StmF", "/Identity")
             if stmf == "/Identity":
-                # spec-legal V4 config: streams are NOT encrypted
-                # (only strings, which we never extract) — skip the
-                # file key entirely so streams pass through verbatim.
-                return
+                identity_streams = True
             cf = self.resolve(enc.get("/CF"))
             cfm = None
-            if isinstance(cf, dict) and isinstance(stmf, str):
+            if (
+                not identity_streams
+                and isinstance(cf, dict)
+                and isinstance(stmf, str)
+            ):
                 cfd = self.resolve(cf.get(stmf))
                 if isinstance(cfd, dict):
                     cfm = cfd.get("/CFM")
                     cflen = self.resolve(cfd.get("/Length"))
                     if isinstance(cflen, int):
                         length_bits = cflen * 8 if cflen <= 32 else cflen
-            if cfm == "/AESV2":
+            if identity_streams:
+                pass  # no stream crypt filter to resolve; auth below
+            elif cfm == "/AESV2":
                 aes = True
                 length_bits = 128
             elif cfm != "/V2":
@@ -384,7 +394,7 @@ class PdfDocument:
                     f"password_required: unsupported revision R={r}"
                 )
             if enc.get("/StmF", "/Identity") == "/Identity":
-                return  # streams not encrypted
+                identity_streams = True  # auth still required below
             u5 = enc.get("/U")
             ue = enc.get("/UE")
             o5 = enc.get("/O")
@@ -401,6 +411,8 @@ class PdfDocument:
                 key = pdfcrypt.check_owner_password_v5(b"", o5, oe, u5, r)
             if key is None:
                 raise PdfError("password_required: document is encrypted")
+            if identity_streams:
+                return  # authenticated; streams pass through verbatim
             self._file_key = key  # 32 bytes: used directly per object
             self._aes = True
             if isinstance(enc_ref, Ref):
@@ -423,6 +435,8 @@ class PdfDocument:
         )
         if key is None:
             raise PdfError("password_required: document is encrypted")
+        if identity_streams:
+            return  # authenticated; streams pass through verbatim
         self._file_key = key
         self._aes = aes
         if isinstance(enc_ref, Ref):

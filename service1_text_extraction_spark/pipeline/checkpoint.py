@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from .extract import DEFAULT_N_BUCKETS, DEFAULT_SALT, run_extraction, with_bucket
+from .extract import DEFAULT_N_BUCKETS, run_extraction, with_bucket
 
 MARKER_SCHEMA = StructType(
     [
@@ -97,7 +97,8 @@ def run_with_resume(
     *,
     lineage_id: str | None = None,
     n_buckets: int = DEFAULT_N_BUCKETS,
-    salt: int = DEFAULT_SALT,
+    salt: int | None = None,
+    pre_shuffle: bool = False,
     fail_after_buckets: int | None = None,
 ) -> dict:
     """Run the job, skipping buckets already marked done.
@@ -127,7 +128,11 @@ def run_with_resume(
     ]
     if pending_buckets:
         extracted = run_extraction(
-            spark, pending.drop("bucket_id"), n_buckets=n_buckets, salt=salt
+            spark,
+            pending.drop("bucket_id"),
+            n_buckets=n_buckets,
+            salt=salt,
+            pre_shuffle=pre_shuffle,
         )
         # dynamic partition overwrite: a crash between the data write and
         # the marker write leaves the bucket unmarked; the rerun then

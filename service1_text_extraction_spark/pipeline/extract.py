@@ -34,6 +34,8 @@ local[N]):
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -135,7 +137,7 @@ def run_extraction(
     transcripts: DataFrame,
     *,
     n_buckets: int = DEFAULT_N_BUCKETS,
-    salt: int = DEFAULT_SALT,
+    salt: int | None = None,
     shuffle_partitions: int | None = None,
     pre_shuffle: bool = False,
 ) -> DataFrame:
@@ -162,6 +164,18 @@ def run_extraction(
     conversation). Output is identical either way (asserted by
     tests/test_pipeline.py::test_salting_does_not_change_output).
     """
+    if not pre_shuffle and (
+        salt is not None or shuffle_partitions is not None
+    ):
+        # salt/shuffle_partitions only shape the opt-in pre-UDF
+        # shuffle; silently dropping them would hide a caller's skew
+        # intent (they are harmless to the *result*, hence warn).
+        warnings.warn(
+            "run_extraction: salt/shuffle_partitions are ignored unless "
+            "pre_shuffle=True (the default plan has no pre-UDF shuffle); "
+            "pass pre_shuffle=True to apply them",
+            stacklevel=2,
+        )
     df = with_bucket(
         transcripts.select("conv_id", "turn_idx", "role", "tool", "text", "ts"),
         n_buckets,
@@ -170,7 +184,10 @@ def run_extraction(
     if pre_shuffle:
         # Skew-aware spread: a huge conversation lands on `salt` distinct
         # shuffle keys instead of one. Order is restored by the window.
-        salt_key = F.pmod(F.col("turn_idx").cast("long"), F.lit(salt))
+        salt_key = F.pmod(
+            F.col("turn_idx").cast("long"),
+            F.lit(salt if salt is not None else DEFAULT_SALT),
+        )
         if shuffle_partitions:
             df = df.repartition(
                 shuffle_partitions, F.col("bucket_id"), salt_key

@@ -18,7 +18,7 @@ DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 def test_frozen_golden_equality(spark):
     tdf = spark.read.parquet(f"{DATA}/golden_transcripts.parquet")
     gdf = spark.read.parquet(f"{DATA}/golden_turns.parquet")
-    out = run_extraction(spark, tdf, n_buckets=16, salt=4)
+    out = run_extraction(spark, tdf, n_buckets=16)
     joined = out.join(gdf, on=["conv_id", "turn_idx"], how="full_outer")
     bad = joined.where(
         ~F.col("text").eqNullSafe(F.col("expected_text"))

@@ -97,16 +97,18 @@ def test_pretty_printed_multiline_repair():
 
 
 def test_coerce_k_never_crashes_the_batch():
-    """Arrow-batch safety: every weird recovered 'k' maps to None (or a
-    truncated int), never an exception (review r3: Infinity raised
-    OverflowError; ints past int64 crashed Arrow serialization)."""
+    """Arrow-batch safety: every weird recovered 'k' maps to None or a
+    genuinely-integral int, never an exception (review r3: Infinity
+    raised OverflowError; ints past int64 crashed Arrow serialization;
+    ADVICE r3: 3.9 must NOT floor-truncate to 3 and bools must not
+    report as 0/1 counts)."""
     from service1_text_extraction_spark.functions.jsonfuncs import _coerce_k
 
     assert _coerce_k(3) == 3
-    assert _coerce_k(3.9) == 3
+    assert _coerce_k(3.0) == 3  # integral float passes
     assert _coerce_k("41") == 41
-    assert _coerce_k(True) == 1  # bool is an int subtype
     for bad in (
+        3.9, -0.5, True, False,  # non-integral / bool -> NULL
         float("inf"), float("-inf"), float("nan"), "3.5x", "", None,
         {"nested": 1}, [1], 2**63, -(2**63) - 1, 10**25, "9" * 30,
     ):

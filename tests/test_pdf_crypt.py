@@ -85,6 +85,22 @@ def test_stmf_identity_streams_are_plaintext(mode):
     assert pdf.extract_pdf(data).pages[0].text == _EXPECT
 
 
+@pytest.mark.parametrize("mode", ["aes-128", "aes-256"])
+def test_stmf_identity_still_requires_password(mode):
+    """/StmF /Identity skips stream DEcryption, not AUTHentication: a
+    user-password-protected strings-only-encrypted document must still
+    surface password_required (reference gates on needs_pass,
+    core_pdf_processor.py:167 — ADVICE r3)."""
+    data = pdfgen.build_pdf_encrypted(
+        [pdfgen.simple_page(_BLOCKS)],
+        mode=mode,
+        stmf_identity=True,
+        user_pwd=b"secret",
+    )
+    with pytest.raises(pdf.PdfError, match="password_required"):
+        pdf.extract_pdf(data)
+
+
 def test_v5_entry_roundtrip_and_perms():
     key = bytes(range(32))
     for r in (5, 6):

@@ -23,7 +23,7 @@ def data(spark):
 
 def test_per_turn_golden_equality(spark, data):
     tdf, gdf, _, golden = data
-    out = run_extraction(spark, tdf, n_buckets=16, salt=4)
+    out = run_extraction(spark, tdf, n_buckets=16)
     joined = out.join(gdf, on=["conv_id", "turn_idx"], how="full_outer")
     mismatches = joined.where(
         ~F.col("text").eqNullSafe(F.col("expected_text"))
@@ -66,7 +66,7 @@ def test_salting_does_not_change_output(spark, data):
 
 def test_turn_ordering_and_offsets(spark, data):
     tdf, _, _, _ = data
-    out = run_extraction(spark, tdf, n_buckets=8, salt=4)
+    out = run_extraction(spark, tdf, n_buckets=8)
     one = (
         out.where(F.col("conv_id") == "conv_00000000")
         .orderBy("turn_idx")
@@ -83,7 +83,7 @@ def test_turn_ordering_and_offsets(spark, data):
 
 def test_assemble_documents_reference_format(spark, data):
     tdf, _, _, golden = data
-    out = run_extraction(spark, tdf, n_buckets=8, salt=4)
+    out = run_extraction(spark, tdf, n_buckets=8)
     docs = {r.conv_id: r for r in assemble_documents(out).collect()}
 
     # pure-Python oracle of core_pdf_processor.py:809-812
@@ -104,7 +104,7 @@ def test_assemble_documents_reference_format(spark, data):
 
 def test_metrics_rollup(spark, data):
     tdf, _, _, golden = data
-    out = run_extraction(spark, tdf, n_buckets=8, salt=4)
+    out = run_extraction(spark, tdf, n_buckets=8)
     m = {r.method: r for r in extraction_metrics(out).collect()}
     counts = golden.expected_method.value_counts().to_dict()
     assert {k: v.n_turns for k, v in m.items()} == counts
@@ -157,14 +157,14 @@ def test_null_and_empty_payloads(spark):
         rows, "conv_id string, turn_idx int, role string, text string, "
         "tool string, ts timestamp"
     )
-    out = run_extraction(spark, tdf, n_buckets=4, salt=2).collect()
+    out = run_extraction(spark, tdf, n_buckets=4).collect()
     assert len(out) == 3  # rows must fail, not silently disappear
     assert all(r.method == "failed" and r.text == "" for r in out)
 
 
 def test_segmented_assembly_splices_to_full(spark, data):
     tdf, _, _, _ = data
-    out = run_extraction(spark, tdf, n_buckets=8, salt=4)
+    out = run_extraction(spark, tdf, n_buckets=8)
     full = {r.conv_id: r.doc_text for r in assemble_documents(out).collect()}
     segs = assemble_documents(out, segment_turns=10).collect()
     by_conv = {}

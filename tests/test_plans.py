@@ -53,7 +53,7 @@ def test_extraction_plan_shape(spark):
         rows, "conv_id string, turn_idx int, role string, text string,"
         " tool string, ts timestamp"
     )
-    plan = _plan(run_extraction(spark, tdf, n_buckets=8, salt=4))
+    plan = _plan(run_extraction(spark, tdf, n_buckets=8))
     assert "ArrowEvalPython" in plan  # vectorized UDF, not BatchEvalPython
     assert "BatchEvalPython" not in plan
     # exactly ONE exchange: the ordering window. The UDF is a pure

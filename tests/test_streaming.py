@@ -35,7 +35,7 @@ def test_stream_matches_batch_and_is_incremental(spark, tmp_path):
 
     # parity with the batch pipeline on the union
     both = spark.createDataFrame(t1).unionByName(spark.createDataFrame(t2))
-    batch_out = run_extraction(spark, both, n_buckets=8, salt=4)
+    batch_out = run_extraction(spark, both, n_buckets=8)
     cols = ["conv_id", "turn_idx", "text", "method", "chars_out"]
     assert (
         stream_out.select(cols).exceptAll(batch_out.select(cols)).isEmpty()
