@@ -69,38 +69,84 @@ def _q_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Commit-time-frozen goldens (scripts/freeze_goldens.py). The golden-
+# gated queries below run the LIVE kernels over the freeze-time input
+# and their DuckDB oracles read the frozen parquet verbatim — one
+# changed byte in any extracted/assembled output hash-fails the driver
+# row. sf_dir is intentionally unused (the freeze pins one scale);
+# sf_dir-scale kernel execution stays covered by extract_turns.
+_GOLDEN_DIR = "/root/repo/tests/data"
+_GOLDEN_SF_DIR = "/root/testdata/sf0.001"
+
+
 def _q_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return assemble_documents(_extract(spark, sf_dir))
+    """S6/S7 doc sink (core_pdf_processor.py:809-821), hash-gated:
+    per-document full-text md5 + metric rollup vs the frozen golden."""
+    ex = _extract(spark, _GOLDEN_SF_DIR)
+    return assemble_documents(ex).select(
+        "conv_id",
+        F.md5("doc_text").alias("doc_md5"),
+        F.length("doc_text").alias("doc_len"),
+        "n_turns",
+        "failed_turns",
+        "chars_out",
+        "bytes_in",
+    )
 
 
 def _q_layout_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8 layout sink (core_pdf_processor.py:650-781): the indented
-    layout-text artifact for PDF turns (rows-only; golden-tested in
-    tests/test_pdf_layout_text.py)."""
-    ex = _extract(spark, sf_dir)
+    """S8 layout sink (core_pdf_processor.py:650-781), hash-gated:
+    per-PDF-turn layout-text md5 vs the frozen golden."""
+    ex = _extract(spark, _GOLDEN_SF_DIR)
     return ex.where(F.col("method") == "pdf").select(
-        "conv_id", "turn_idx", "layout_text",
+        "conv_id",
+        "turn_idx",
+        F.md5("layout_text").alias("layout_md5"),
         F.length("layout_text").alias("layout_chars"),
     )
 
 
 def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extraction_metrics(_extract(spark, sf_dir)).select(
+    """A1-A5 rollup, hash-gated: live extraction over the frozen
+    transcripts, rolled up per method; the oracle computes the same
+    rollup from golden_turns' expected_* columns."""
+    tdf = spark.read.parquet(f"{_GOLDEN_DIR}/golden_transcripts.parquet")
+    ex = run_extraction(spark, tdf, n_buckets=16)
+    return extraction_metrics(ex).select(
         "method", "n_turns", "bytes_in", "chars_out",
         F.round("avg_boilerplate_ratio", 4).alias("avg_boilerplate_ratio"),
     )
 
 
+def _q_extract_turns_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strongest driver gate on the extraction kernels: every one
+    of the 479 frozen turns' full output (text md5, method, chars,
+    bytes, 4dp ratio) from a LIVE run over the frozen transcripts,
+    hash-compared to the commit-time golden."""
+    tdf = spark.read.parquet(f"{_GOLDEN_DIR}/golden_transcripts.parquet")
+    ex = run_extraction(spark, tdf, n_buckets=16)
+    return ex.select(
+        "conv_id",
+        "turn_idx",
+        F.md5("text").alias("text_md5"),
+        "method",
+        "chars_out",
+        "bytes_in",
+        F.round("boilerplate_ratio", 4).alias("boilerplate_ratio"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- extraction pipeline (kernels; rows-only checks) ----------
+        # --- extraction pipeline (kernels) ----------------------------
+        # extract_turns = rows-only sf_dir-scale soak; the other four
+        # are hash-gated against the commit-time frozen goldens
         "extract_turns": _q_extract_turns,
+        "extract_turns_golden": _q_extract_turns_golden,
         "assemble_docs": _q_assemble_docs,
         "extract_metrics": _q_extract_metrics,
         "layout_text": _q_layout_text,
         # --- SURVEY §2 relational operators ---------------------------
-        "pending_filter": relational.pending_filter,
-        "success_counts": relational.success_counts,
         "chars_rollup": relational.chars_rollup,
         "method_counts": relational.method_counts,
         "batch_summary": relational.batch_summary,
@@ -153,6 +199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     queries the driver already hash-verified in r1 AND r2;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
+        "pending_filter": relational.pending_filter,
+        "success_counts": relational.success_counts,
         "rollup_lang_source": relational.rollup_lang_source,
         "value_quantiles": relational.value_quantiles,
         "page_marker_format": relational.page_marker_format,
@@ -292,6 +340,37 @@ _SIMHASH_HAMMING_INT = " + ".join(
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        # --- frozen-golden oracles: the Spark side re-runs the LIVE
+        # kernels over the freeze-time input; DuckDB reads the
+        # commit-time parquet the same run was frozen to. A hash match
+        # therefore proves live extraction still reproduces the frozen
+        # full output (VERDICT r3 item 1).
+        "extract_turns_golden": (
+            "SELECT conv_id, turn_idx, md5(expected_text) AS text_md5, "
+            "expected_method AS method, expected_chars_out AS chars_out, "
+            "expected_bytes_in AS bytes_in, "
+            "round(expected_boilerplate_ratio, 4) AS boilerplate_ratio "
+            f"FROM read_parquet('{_GOLDEN_DIR}/golden_turns.parquet')"
+        ),
+        "assemble_docs": (
+            "SELECT conv_id, doc_md5, doc_len, n_turns, failed_turns, "
+            "chars_out, bytes_in FROM read_parquet("
+            f"'{_GOLDEN_DIR}/golden_assembled.parquet/*.parquet')"
+        ),
+        "layout_text": (
+            "SELECT conv_id, turn_idx, layout_md5, layout_chars "
+            "FROM read_parquet("
+            f"'{_GOLDEN_DIR}/golden_layout.parquet/*.parquet')"
+        ),
+        "extract_metrics": (
+            "SELECT expected_method AS method, count(*)::BIGINT AS n_turns, "
+            "CAST(sum(expected_bytes_in) AS BIGINT) AS bytes_in, "
+            "CAST(sum(expected_chars_out) AS BIGINT) AS chars_out, "
+            "round(avg(expected_boilerplate_ratio), 4) "
+            "AS avg_boilerplate_ratio "
+            f"FROM read_parquet('{_GOLDEN_DIR}/golden_turns.parquet') "
+            "GROUP BY expected_method"
+        ),
         "pending_filter": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE value IS NULL OR value < 100"

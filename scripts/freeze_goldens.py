@@ -21,7 +21,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from pyspark.sql import SparkSession  # noqa: E402
-from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
@@ -38,25 +37,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    assembled = entrymod._q_assemble_docs(spark, SF_DIR).select(
-        "conv_id",
-        F.md5("doc_text").alias("doc_md5"),
-        F.length("doc_text").alias("doc_len"),
-        "n_turns",
-        "failed_turns",
-        "chars_out",
-        "bytes_in",
-    )
+    # the driver queries now emit the golden schema directly (md5
+    # rollups) — freezing is just materializing their output
+    assembled = entrymod._q_assemble_docs(spark, SF_DIR)
     assembled.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(DATA, "golden_assembled.parquet")
     )
 
-    layout = entrymod._q_layout_text(spark, SF_DIR).select(
-        "conv_id",
-        "turn_idx",
-        F.md5("layout_text").alias("layout_md5"),
-        "layout_chars",
-    )
+    layout = entrymod._q_layout_text(spark, SF_DIR)
     layout.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(DATA, "golden_layout.parquet")
     )

@@ -109,3 +109,27 @@ def test_ann_variants_recall(spark, sf_dir):
         ).collect()
     ]
     assert exact == brute
+
+
+def test_driver_cap_discipline():
+    """The round driver's CORRECTNESS check covers only the FIRST 50
+    queries() entries. Every query the driver has NEVER hash-verified
+    must sit inside positions 1-50; the tail (51+) may hold only
+    driver-green queries (still covered here by test_parity)."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    greens: dict[str, int] = {}
+    for fn in sorted(os.listdir(repo)):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            with open(os.path.join(repo, fn)) as f:
+                for k, v in json.load(f).items():
+                    if v.get("hash_match"):
+                        greens[k] = greens.get(k, 0) + 1
+    tail = list(entry_mod.queries())[50:]
+    weak = [k for k in tail if greens.get(k, 0) < 1]
+    assert not weak, (
+        f"never-driver-verified queries outside the driver's 50-cap: "
+        f"{weak} — rotate them into positions 1-50"
+    )
