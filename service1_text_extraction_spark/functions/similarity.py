@@ -84,7 +84,7 @@ def cosine_neardup_pairs(
     column, which is a test-data crutch, not a computable key).
     At real scale, raise N_PLANES and the band width together (e.g. 64
     planes -> 4 bands of 16 bits) to keep buckets sparse."""
-    from .dedup import _bucket_pairs
+    from .dedup import MAX_BUCKET_DF, _bucket_pairs, _capped_buckets
 
     width = N_PLANES // NEARDUP_BANDS
     e = _emb(spark, sf_dir).select(
@@ -100,8 +100,8 @@ def cosine_neardup_pairs(
     exploded = e.select(
         "vec_id", F.explode(F.array(*bands)).alias("b")
     ).select("vec_id", F.col("b.band_idx"), F.col("b.band_val"))
-    buckets = exploded.groupBy("band_idx", "band_val").agg(
-        F.array_sort(F.collect_list("vec_id")).alias("ids")
+    buckets = _capped_buckets(
+        exploded, ["band_idx", "band_val"], "vec_id", MAX_BUCKET_DF
     )
     pairs = _bucket_pairs(buckets).distinct()
     a = e.select(
@@ -401,14 +401,17 @@ def semantic_dedup(
     with the corpus so clusters stay bounded, exactly the SemDeDup
     recipe). The quantizer is the same engine-deterministic k-means
     the IVF index uses, so the oracle replays it exactly."""
-    from .dedup import _bucket_pairs
+    from .dedup import _bucket_pairs, _capped_buckets
 
     assign = kmeans_assign(spark, sf_dir)  # (vec_id, list_id)
     e = _emb(spark, sf_dir).select(
         "vec_id", "embedding", _norm("embedding").alias("nrm")
     )
-    buckets = assign.groupBy("list_id").agg(
-        F.array_sort(F.collect_list("vec_id")).alias("ids")
+    buckets = _capped_buckets(
+        assign.select("vec_id", "list_id"),
+        ["list_id"],
+        "vec_id",
+        SEM_MAX_CLUSTER,
     )
     pairs = _bucket_pairs(buckets, cap=SEM_MAX_CLUSTER)
     a = e.select(
