@@ -244,14 +244,78 @@ def kmeans_assign(
     pure per-row projection — zero shuffle; the update is one
     hash-aggregate."""
     centroids = _kmeans_centroids(spark, sf_dir, k, iters)
-    return _emb(spark, sf_dir).select(
-        "vec_id", _assign_col(centroids).cast("int").alias("list_id")
+    return _assigned(
+        spark, _emb(spark, sf_dir).select("vec_id", "embedding"), centroids
+    ).select("vec_id", "list_id")
+
+
+# Above this k, centroid-literal expression trees stop scaling: a 10^4
+# x 768 literal plan is megabytes of expression tree and Catalyst
+# analysis blows up long before data does (VERDICT r3). The join path
+# broadcasts the centroids as DATA instead.
+ASSIGN_BROADCAST_K = 64
+
+
+def _assigned(
+    spark: SparkSession,
+    e: DataFrame,
+    centroids: list[list[float]],
+    use_join: bool | None = None,
+) -> DataFrame:
+    """``e`` (vec_id, embedding, ...) -> same columns + ``list_id``.
+
+    Small k (the default/oracle regime): centroid-literal
+    greatest-struct projection — zero shuffle, zero join. Large k:
+    broadcast the centroid table as data (k x dim doubles), expand each
+    vector to k scored rows JVM-side, and take the per-vector struct-max
+    — partial aggregation collapses the k rows map-side, so the single
+    exchange carries one row per vector, never k. Both paths compute
+    the identical quantized dot with the identical tie-break (highest
+    dot, then lowest list id), so results are bit-equal (pinned by
+    tests/test_oracle_parity.py::test_assign_paths_agree)."""
+    if use_join is None:
+        use_join = len(centroids) > ASSIGN_BROADCAST_K
+    if not use_join:
+        return e.withColumn(
+            "list_id", _assign_col(centroids).cast("int")
+        )
+    cdf = spark.createDataFrame(
+        [(li, [float(x) for x in c]) for li, c in enumerate(centroids)],
+        "list_id int, centroid array<double>",
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("centroid"),
+            lambda x, w: x.cast("double") * w,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    others = [c for c in e.columns if c != "vec_id"]
+    scored = e.join(F.broadcast(cdf)).select(
+        *e.columns,
+        F.struct(
+            dot.alias("d"),
+            (-F.col("list_id")).alias("neg"),
+            F.col("list_id").alias("list_id"),
+        ).alias("s"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max("s").alias("m"),
+            *[F.first(c).alias(c) for c in others],
+        )
+        .select(
+            "vec_id", *others, F.col("m.list_id").cast("int").alias("list_id")
+        )
     )
 
 
 def _assign_col(cents: list[list[float]]) -> Column:
     """argmax over k centroid dots via greatest-struct (pure per-row
-    projection, zero shuffle); ties -> lowest list id."""
+    projection, zero shuffle); ties -> lowest list id. Small-k path of
+    ``_assigned`` — see ASSIGN_BROADCAST_K for the large-k switch."""
     structs = []
     for li, c in enumerate(cents):
         arr = F.array(*[F.lit(x) for x in c])
@@ -295,7 +359,7 @@ def _kmeans_centroids(
     # while Python/Spark/DuckDB rounding modes differ at exact halves
     centroids = [[float(x) for x in r.embedding] for r in init]
     for _ in range(iters):
-        assigned = e.withColumn("list_id", _assign_col(centroids))
+        assigned = _assigned(spark, e, centroids)
         upd = (
             assigned.select(
                 "list_id", F.posexplode("embedding").alias("pos", "v")

@@ -133,3 +133,19 @@ def test_driver_cap_discipline():
         f"never-driver-verified queries outside the driver's 50-cap: "
         f"{weak} — rotate them into positions 1-50"
     )
+
+
+def test_assign_paths_agree(spark, sf_dir):
+    """The literal-projection and broadcast-join centroid assignment
+    paths must be bit-equal (same quantized dots, same tie-break) —
+    the oracle covers the literal path; this pins the large-k path to
+    it."""
+    from service1_text_extraction_spark.functions import similarity
+
+    e = similarity._emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = similarity._kmeans_centroids(spark, sf_dir)
+    lit = similarity._assigned(spark, e, cents, use_join=False)
+    join = similarity._assigned(spark, e, cents, use_join=True)
+    a = {r.vec_id: r.list_id for r in lit.collect()}
+    b = {r.vec_id: r.list_id for r in join.collect()}
+    assert a == b

@@ -256,3 +256,30 @@ def test_capped_buckets_in_neardup_pipelines(spark, sf_dir):
         similarity.semantic_dedup,
     ):
         assert _window_below_collect(_plan(q(spark, sf_dir))), q.__name__
+
+
+def test_large_k_assignment_broadcasts_centroids(spark):
+    """At k > ASSIGN_BROADCAST_K the assignment must broadcast the
+    centroid TABLE (bounded plan, BroadcastNestedLoopJoin + one
+    partial-aggregated exchange) instead of inlining a k x dim literal
+    expression tree."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[float(x) for x in rng.standard_normal(8)] for _ in range(100)]
+    df = similarity._assigned(spark, e, cents)  # auto-selects join path
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # bounded expression tree: no 100-way greatest() literal chain
+    assert "greatest" not in plan
+    assert len(plan) < 100_000, len(plan)
+    # argmax semantics hold on the join path
+    arr = np.array(cents)
+    rows = {r.vec_id: r.list_id for r in df.collect()}
+    for r in e.collect():
+        dots = arr @ np.array(r.embedding)
+        assert rows[r.vec_id] == int(np.argmax(dots)), r.vec_id
