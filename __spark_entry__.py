@@ -895,9 +895,11 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf"
             " FROM ranked WHERE rank <= 3"
         ),
-        # mirrors dedup.decontaminate: benchmark = doc_id < 20 of the
-        # same table; token 8-grams, per-doc distinct (concat_ws skips
-        # out-of-range NULL elements in both engines)
+        # mirrors dedup.decontaminate's two-table form: corpus = ALL
+        # documents; benchmark table = the driver stand-in (the 20
+        # lowest doc_ids' texts, fed through the same parameter real
+        # eval suites use). Token 8-grams, per-doc distinct (concat_ws
+        # skips out-of-range NULL elements in both engines).
         "decontaminate": (
             f"WITH {_TOKS_CTE},"
             " g AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1],"
@@ -905,7 +907,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT doc_id, t, unnest(generate_series(1,"
             " greatest(len(t)-7, 1))) AS i FROM toks))"
             " SELECT c.doc_id, count(*)::BIGINT AS n_hits"
-            " FROM (SELECT doc_id, g FROM g WHERE doc_id >= 20) c"
+            " FROM g c"
             " JOIN (SELECT DISTINCT g FROM g WHERE doc_id < 20) b"
             " USING (g) GROUP BY c.doc_id"
         ),

@@ -149,3 +149,25 @@ def test_assign_paths_agree(spark, sf_dir):
     a = {r.vec_id: r.list_id for r in lit.collect()}
     b = {r.vec_id: r.list_id for r in join.collect()}
     assert a == b
+
+
+def test_decontaminate_two_table_form(spark, sf_dir, tmp_path):
+    """decontaminate must accept a genuinely external benchmark table
+    (VERDICT r3): grams from the supplied DataFrame, corpus untouched
+    by any magic doc_id constant — and the production 13-gram width
+    must be selectable."""
+    from service1_text_extraction_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    one = docs.orderBy("doc_id").limit(1).collect()[0]
+    bench = spark.createDataFrame([(one.text,)], "text string")
+    out = dedup.decontaminate(spark, sf_dir, benchmark=bench)
+    hits = {r.doc_id: r.n_hits for r in out.collect()}
+    # the source document flags itself (verbatim contamination)
+    assert hits.get(one.doc_id, 0) >= 1
+    # 13-gram production width runs and can only tighten the match set
+    out13 = dedup.decontaminate(
+        spark, sf_dir, benchmark=bench, gram_len=dedup.DECON_GRAM_PROD
+    )
+    hits13 = {r.doc_id: r.n_hits for r in out13.collect()}
+    assert set(hits13) <= set(hits) or hits13 == {}
