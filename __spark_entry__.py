@@ -147,7 +147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": _q_extract_metrics,
         "layout_text": _q_layout_text,
         # --- SURVEY §2 relational operators ---------------------------
-        "chars_rollup": relational.chars_rollup,
         "method_counts": relational.method_counts,
         "batch_summary": relational.batch_summary,
         "turn_ordering": relational.turn_ordering,
@@ -195,12 +194,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": textstats.pack_sequences,
         "curate_corpus": curate.curate_corpus,
         "semantic_dedup": similarity.semantic_dedup,
+        # --- round-4 additions ------------------------------------
+        "semantic_keepers": similarity.semantic_keepers,
         # --- tail (positions 51+): multi-round-green TPC-H-style
         #     queries the driver already hash-verified in r1 AND r2;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "pending_filter": relational.pending_filter,
         "success_counts": relational.success_counts,
+        "chars_rollup": relational.chars_rollup,
         "rollup_lang_source": relational.rollup_lang_source,
         "value_quantiles": relational.value_quantiles,
         "page_marker_format": relational.page_marker_format,
@@ -653,6 +655,30 @@ def oracle_sql() -> dict[str, str]:
             " JOIN embeddings eb ON eb.vec_id = b_id"
             " WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],"
             f" eb.embedding::DOUBLE[]), 4) >= {similarity.SEM_THRESHOLD}"
+        ),
+        # SemDeDup removal policy: transitive closure (recursive CTE)
+        # over the same edge SQL as semantic_dedup; keeper = component
+        # min, mirroring the Spark min-label propagation fixpoint
+        "semantic_keepers": (
+            f"WITH RECURSIVE {_KM_CTES}, asg AS ({_KM_ASSIGN}),"
+            " capped AS (SELECT list_id FROM asg GROUP BY list_id"
+            f" HAVING count(*) BETWEEN 2 AND {similarity.SEM_MAX_CLUSTER}),"
+            " cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id"
+            " FROM asg a JOIN asg b ON a.list_id = b.list_id AND"
+            " a.vec_id < b.vec_id"
+            " JOIN capped c ON c.list_id = a.list_id),"
+            " edges AS (SELECT a_id, b_id FROM cand"
+            " JOIN embeddings ea ON ea.vec_id = a_id"
+            " JOIN embeddings eb ON eb.vec_id = b_id"
+            " WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],"
+            f" eb.embedding::DOUBLE[]), 4) >= {similarity.SEM_THRESHOLD}),"
+            " adj AS (SELECT a_id AS a, b_id AS b FROM edges"
+            " UNION SELECT b_id, a_id FROM edges),"
+            " reach AS (SELECT vec_id AS a, vec_id AS b FROM embeddings"
+            " UNION SELECT r.a, j.b FROM reach r JOIN adj j ON j.a = r.b)"
+            " SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS keeper_id,"
+            " CAST(CASE WHEN min(b) = a THEN 1 ELSE 0 END AS BIGINT)"
+            " AS keep FROM reach GROUP BY a"
         ),
         "ann_lsh_topk": (
             f"WITH b AS (SELECT vec_id, embedding, {_LSH_BUCKET} AS bucket"

@@ -127,6 +127,7 @@ def main() -> None:
         "pack_sequences": q(textstats.pack_sequences),
         "curate_corpus": q(curate.curate_corpus),
         "semantic_dedup": q(similarity.semantic_dedup),
+        "semantic_keepers": q(similarity.semantic_keepers),
     }
 
     # two runs per query, min wins: measures steady-state plan execution

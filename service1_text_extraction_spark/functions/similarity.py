@@ -500,3 +500,84 @@ def semantic_dedup(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def semantic_keepers(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = SEM_THRESHOLD,
+    max_iters: int = 20,
+) -> DataFrame:
+    """SemDeDup removal policy over ``semantic_dedup``'s duplicate
+    edges: connected components by iterative min-label propagation
+    (the same alternating-aggregation CC as
+    dedup.minhash_connected_components, here over the symmetrized pair
+    list), keeping the lowest vec_id of each component. Emits every
+    vector with its component keeper and a keep flag — the training
+    set is ``keep = 1``.
+
+    Scale shape: the edge list is already bucket-capped upstream (no
+    pair explosion); propagation runs over ONLY the vectors that occur
+    in a duplicate edge (vectors with no edge are trivially their own
+    keeper and join back at the end), so each round is one join + two
+    hash-aggregates over the dup subgraph — a duplicate mega-component
+    costs O(edges x diameter), never O(pairs), and a 10^12-vector
+    corpus with 1% duplicates iterates over 1% of its rows.
+    ``localCheckpoint`` cuts the growing loop lineage exactly as in
+    the MinHash closure."""
+    edges = (
+        semantic_dedup(spark, sf_dir, threshold)
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    adj = edges.selectExpr("a_id AS src", "b_id AS dst").union(
+        edges.selectExpr("b_id AS src", "a_id AS dst")
+    )
+    labels = (
+        adj.select(F.col("src").alias("vec_id"))
+        .distinct()
+        .select("vec_id", F.col("vec_id").cast("long").alias("label"))
+    )
+    for _ in range(max_iters):
+        prop = (
+            adj.join(labels.withColumnRenamed("vec_id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nl"))
+            .withColumnRenamed("dst", "vec_id")
+        ).localCheckpoint()
+        # convergence read off the proposal itself — no new-vs-old join
+        changed = (
+            labels.join(prop, "vec_id")
+            .where(F.col("nl") < F.col("label"))
+            .count()
+        )
+        if changed == 0:
+            break
+        labels = (
+            labels.join(prop, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("label"), F.coalesce("nl", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"semantic_keepers did not converge in {max_iters} iterations"
+        )
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("label", F.col("vec_id").cast("long")).alias(
+                "keeper_id"
+            ),
+            (F.col("vec_id") == F.coalesce("label", F.col("vec_id")))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
