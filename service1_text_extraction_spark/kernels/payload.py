@@ -68,6 +68,10 @@ class TurnResult:
     # indented layout-text artifact (reference sink S8 / W6 full form,
     # core_pdf_processor.py:650-781); empty for non-PDF methods
     layout_text: str = ""
+    # which candidate password opened an encrypted PDF (reference
+    # password_used metadata, file_management_service.py:119-212);
+    # empty when no password was needed
+    password_used: str = ""
 
 
 def sniff_payload(payload: str) -> str:
@@ -95,8 +99,14 @@ def _failed(error: str, bytes_in: int) -> TurnResult:
     return TurnResult("", "failed", error, [], bytes_in, 0, 0.0)
 
 
-def extract_turn(payload: str | None) -> TurnResult:
+def extract_turn(
+    payload: str | None, passwords: list[str] | None = None
+) -> TurnResult:
     """Decode + extract + quality-gate one turn payload.
+
+    ``passwords``: candidate passwords for encrypted PDF payloads (≤3
+    tried after the empty password; the match surfaces as
+    ``password_used``).
 
     Never raises: any unexpected kernel failure becomes a ``failed``
     row carrying the error (the reference likewise stores per-row
@@ -104,13 +114,15 @@ def extract_turn(payload: str | None) -> TurnResult:
     must not kill a whole 10k-row Arrow batch task.
     """
     try:
-        return _extract_turn_inner(payload)
+        return _extract_turn_inner(payload, passwords)
     except Exception as e:  # noqa: BLE001 - task-survival boundary
         nbytes = len(payload.encode("utf-8", "ignore")) if payload else 0
         return _failed(f"kernel error: {type(e).__name__}: {e}", nbytes)
 
 
-def _extract_turn_inner(payload: str | None) -> TurnResult:
+def _extract_turn_inner(
+    payload: str | None, passwords: list[str] | None = None
+) -> TurnResult:
     if payload is None or not payload.strip():
         return _failed("empty payload", 0)
 
@@ -127,7 +139,7 @@ def _extract_turn_inner(payload: str | None) -> TurnResult:
                 f"base64 decode failed: {e}", len(payload.encode("utf-8"))
             )
         try:
-            result = extract_pdf(raw)
+            result = extract_pdf(raw, passwords=passwords)
         except PdfError as e:
             return _failed(f"pdf parse failed: {e}", len(raw))
         text, spans = result.joined()
@@ -147,6 +159,7 @@ def _extract_turn_inner(payload: str | None) -> TurnResult:
                 len(stripped),
                 0.0,
                 result.joined_layout(),
+                result.password_used or "",
             )
         if _OCR_HOOK is not None:
             try:

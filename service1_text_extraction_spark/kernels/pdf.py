@@ -274,12 +274,18 @@ _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+(\d+)\s+R")
 class PdfDocument:
     """Parsed object store + page walk."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, passwords: list[str] | None = None):
         # the spec allows junk before the header within the first 1024
         # bytes; slicing first also avoids copying a multi-MB buffer
         if b"%PDF-" not in data[:1024]:
             raise PdfError("not a PDF: missing %PDF header")
         self.data = data
+        # candidate passwords, tried in order after the empty password
+        # — capped at 3 attempts like the reference's password-list
+        # loop (file_management_service.py:119-212,
+        # core_pdf_processor.py:282-283)
+        self._passwords = [p for p in (passwords or []) if p][:3]
+        self.password_used: str | None = None
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}
         self._obj_pos: dict[int, int] = {}  # byte offset of winning rev
@@ -292,6 +298,21 @@ class PdfDocument:
         self._apply_xref()
         self._setup_encryption()
         self._expand_object_streams()
+
+    def _auth_candidates(self):
+        """Empty password first (the silent owner-locked fast path the
+        reference relies on, core_pdf_processor.py:282-344), then the
+        caller-supplied list in order, UTF-8 encoded, ≤3 attempts."""
+        yield b""
+        for p in self._passwords:
+            yield p.encode("utf-8") if isinstance(p, str) else bytes(p)
+
+    def _note_password(self, pwd: bytes) -> None:
+        """Record which non-empty candidate opened the document (the
+        reference's password_used metadata,
+        file_management_service.py:119-212)."""
+        if pwd:
+            self.password_used = pwd.decode("utf-8", "replace")
 
     def _setup_encryption(self) -> None:
         """Standard security handler, empty-user-password path.
@@ -400,15 +421,21 @@ class PdfDocument:
             o5 = enc.get("/O")
             oe = enc.get("/OE")
             key = None
-            if isinstance(u5, bytes) and isinstance(ue, bytes):
-                key = pdfcrypt.check_user_password_v5(b"", u5, ue, r)
-            if (
-                key is None
-                and isinstance(o5, bytes)
-                and isinstance(oe, bytes)
-                and isinstance(u5, bytes)
-            ):
-                key = pdfcrypt.check_owner_password_v5(b"", o5, oe, u5, r)
+            for pwd in self._auth_candidates():
+                if isinstance(u5, bytes) and isinstance(ue, bytes):
+                    key = pdfcrypt.check_user_password_v5(pwd, u5, ue, r)
+                if (
+                    key is None
+                    and isinstance(o5, bytes)
+                    and isinstance(oe, bytes)
+                    and isinstance(u5, bytes)
+                ):
+                    key = pdfcrypt.check_owner_password_v5(
+                        pwd, o5, oe, u5, r
+                    )
+                if key is not None:
+                    self._note_password(pwd)
+                    break
             if key is None:
                 raise PdfError("password_required: document is encrypted")
             if identity_streams:
@@ -428,11 +455,18 @@ class PdfDocument:
             raise PdfError("password_required: malformed /O or /U")
         p = _int_of(self.resolve(enc.get("/P")), -1)
         em = self.resolve(enc.get("/EncryptMetadata"))
-        key = pdfcrypt.check_user_password(
-            b"", o, u, p, id0, r,
-            max(5, length_bits // 8),
-            em if isinstance(em, bool) else True,
-        )
+        kb = max(5, length_bits // 8)
+        emb = em if isinstance(em, bool) else True
+        key = None
+        for pwd in self._auth_candidates():
+            key = pdfcrypt.check_user_password(pwd, o, u, p, id0, r, kb, emb)
+            if key is None:
+                key = pdfcrypt.check_owner_password(
+                    pwd, o, u, p, id0, r, kb, emb
+                )
+            if key is not None:
+                self._note_password(pwd)
+                break
         if key is None:
             raise PdfError("password_required: document is encrypted")
         if identity_streams:
@@ -1444,6 +1478,9 @@ def assemble_page(runs: list[Run]) -> PageText:
 @dataclass
 class PdfResult:
     pages: list[PageText]
+    # which non-empty candidate password opened the document (None for
+    # unencrypted / silently-authenticated docs)
+    password_used: str | None = None
 
     def joined(self) -> tuple[str, list[tuple[int, int, str]]]:
         """All pages joined with a newline; spans re-offset."""
@@ -1467,9 +1504,12 @@ class PdfResult:
         return "\n\n".join(p.layout_text for p in self.pages)
 
 
-def extract_pdf(data: bytes) -> PdfResult:
-    """Full pipeline: bytes -> per-page ordered text + spans."""
-    doc = PdfDocument(data)
+def extract_pdf(data: bytes, passwords: list[str] | None = None) -> PdfResult:
+    """Full pipeline: bytes -> per-page ordered text + spans.
+    ``passwords``: candidate list for encrypted documents (≤3 tried
+    after the empty password); the match is surfaced as
+    ``result.password_used``."""
+    doc = PdfDocument(data, passwords=passwords)
     pages = []
     for page in doc.pages():
         content = doc.page_content(page)
@@ -1478,7 +1518,7 @@ def extract_pdf(data: bytes) -> PdfResult:
         runs = interpret_content(content, fonts, forms)
         runs = _apply_rotation(runs, doc, page)
         pages.append(assemble_page(runs))
-    return PdfResult(pages)
+    return PdfResult(pages, password_used=doc.password_used)
 
 
 def _apply_rotation(

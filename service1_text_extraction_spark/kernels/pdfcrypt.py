@@ -411,6 +411,39 @@ def check_user_password(
     return key if ok else None
 
 
+def check_owner_password(
+    password: bytes,
+    o_entry: bytes,
+    u_entry: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    key_bytes: int,
+    encrypt_metadata: bool = True,
+) -> bytes | None:
+    """Algorithm 7 (PDF 32000-1 §7.6.3.4): the owner password's RC4 key
+    decrypts /O back to the padded USER password; success iff that user
+    password then validates /U (Algorithm 6). Returns the file key or
+    None."""
+    # same key derivation as compute_o (Algorithm 3's first step)
+    h = hashlib.md5(_pad32(password)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    rc4_key = h[:key_bytes]
+    if r == 2:
+        user_padded = rc4(rc4_key, o_entry)
+    else:
+        data = o_entry
+        for i in range(19, -1, -1):
+            data = rc4(bytes(b ^ i for b in rc4_key), data)
+        user_padded = data
+    return check_user_password(
+        user_padded[:32], o_entry, u_entry, p, id0, r, key_bytes,
+        encrypt_metadata,
+    )
+
+
 def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
     """Algorithm 1: per-object key (md5 of key + obj id, +sAlT for AES)."""
     h = hashlib.md5()

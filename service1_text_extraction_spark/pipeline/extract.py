@@ -71,11 +71,39 @@ RESULT_FIELDS = StructType(
         StructField("chars_out", LongType()),
         StructField("boilerplate_ratio", DoubleType()),
         StructField("layout_text", StringType()),
+        StructField("password_used", StringType()),
     ]
 )
 
 DEFAULT_N_BUCKETS = 64
 DEFAULT_SALT = 16
+
+
+_RESULT_COLUMNS = [
+    "text",
+    "method",
+    "error",
+    "spans",
+    "bytes_in",
+    "chars_out",
+    "boilerplate_ratio",
+    "layout_text",
+    "password_used",
+]
+
+
+def _result_tuple(r) -> tuple:
+    return (
+        r.text,
+        r.method,
+        r.error,
+        [{"start": s, "end": e, "kind": k} for s, e, k in r.spans],
+        r.bytes_in,
+        r.chars_out,
+        r.boilerplate_ratio,
+        r.layout_text,
+        r.password_used,
+    )
 
 
 @F.pandas_udf(RESULT_FIELDS)
@@ -93,34 +121,43 @@ def extract_turn_udf(payloads: pd.Series) -> pd.DataFrame:
         cached = memo.get(key)
         if cached is None:
             r = extract_turn(payload if isinstance(payload, str) else None)
-            cached = (
-                r.text,
-                r.method,
-                r.error,
-                [
-                    {"start": s, "end": e, "kind": k}
-                    for s, e, k in r.spans
-                ],
-                r.bytes_in,
-                r.chars_out,
-                r.boilerplate_ratio,
-                r.layout_text,
-            )
+            cached = _result_tuple(r)
             memo[key] = cached
         rows.append(cached)
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "text",
-            "method",
-            "error",
-            "spans",
-            "bytes_in",
-            "chars_out",
-            "boilerplate_ratio",
-            "layout_text",
-        ],
-    )
+    return pd.DataFrame(rows, columns=_RESULT_COLUMNS)
+
+
+def _extract_with_passwords_udf(pw_map: dict[str, list[str]]):
+    """Password-aware UDF variant (reference password store,
+    file_management_service.py:119-212): ``pw_map`` maps conv_id to
+    candidate passwords (≤3 tried per document, after the empty
+    password). The map ships to workers inside the UDF closure — the
+    broadcast-variable analogue; password stores are KBs even at 100 TB
+    corpus scale. Memoization keys on (payload, conv's candidates) so
+    identical payloads under different password sets never cross."""
+
+    @F.pandas_udf(RESULT_FIELDS)
+    def udf(conv_ids: pd.Series, payloads: pd.Series) -> pd.DataFrame:
+        memo: dict[tuple, tuple] = {}
+        rows = []
+        for conv_id, payload in zip(conv_ids, payloads):
+            pws = pw_map.get(conv_id if isinstance(conv_id, str) else "")
+            key = (
+                payload if isinstance(payload, str) else "",
+                tuple(pws) if pws else (),
+            )
+            cached = memo.get(key)
+            if cached is None:
+                r = extract_turn(
+                    payload if isinstance(payload, str) else None,
+                    passwords=pws,
+                )
+                cached = _result_tuple(r)
+                memo[key] = cached
+            rows.append(cached)
+        return pd.DataFrame(rows, columns=_RESULT_COLUMNS)
+
+    return udf
 
 
 def bucket_expr(conv_id: Column, n_buckets: int) -> Column:
@@ -140,6 +177,7 @@ def run_extraction(
     salt: int | None = None,
     shuffle_partitions: int | None = None,
     pre_shuffle: bool = False,
+    passwords: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted.
 
@@ -150,6 +188,11 @@ def run_extraction(
     offset of this turn's text inside the plain in-order concatenation
     of the conversation's turn texts — NOT inside assemble_documents'
     page-marker format, whose markers shift every offset).
+
+    ``passwords`` (opt-in) maps conv_id -> candidate passwords for
+    encrypted PDF payloads (≤3 tried per document after the empty
+    password, reference file_management_service.py:119-212); the
+    matching candidate surfaces in the ``password_used`` column.
 
     ``pre_shuffle`` (opt-in) repartitions the raw payloads by
     ``(bucket_id, turn_idx % salt)`` *before* the UDF. The default
@@ -195,7 +238,13 @@ def run_extraction(
         else:
             df = df.repartition(F.col("bucket_id"), salt_key)
 
-    extracted = df.withColumn("ex", extract_turn_udf(F.col("text"))).select(
+    if passwords is None:
+        ex_col = extract_turn_udf(F.col("text"))
+    else:
+        ex_col = _extract_with_passwords_udf(
+            {str(k): list(v)[:3] for k, v in passwords.items()}
+        )(F.col("conv_id"), F.col("text"))
+    extracted = df.withColumn("ex", ex_col).select(
         "conv_id",
         "turn_idx",
         "role",
@@ -210,6 +259,7 @@ def run_extraction(
         F.col("ex.chars_out").alias("chars_out"),
         F.col("ex.boilerplate_ratio").alias("boilerplate_ratio"),
         F.col("ex.layout_text").alias("layout_text"),
+        F.col("ex.password_used").alias("password_used"),
     )
 
     # W1: stable turn ordering (reference 1-based page loop,

@@ -308,3 +308,88 @@ def test_pdf20_layout_aes256_xrefstream_objstm():
         pdf.extract_pdf(data).pages[0].text
         == "PDF 2.0 modern body.\nLine two."
     )
+
+
+def test_password_list_opens_real_user_password():
+    """Reference password-list flow (file_management_service.py:119-212,
+    ≤3 attempts core_pdf_processor.py:282-283): candidates tried in
+    order open the document and surface password_used."""
+    lines = [f"Sentence number {i} fills the quality gate." for i in range(12)]
+    for mode in ("rc4-128", "aes-128", "aes-256"):
+        data = pdfgen.build_pdf_encrypted(
+            [pdfgen.simple_page([(72, 700, lines)])],
+            mode=mode,
+            user_pwd=b"hunter2",
+        )
+        res = pdf.extract_pdf(data, passwords=["wrong", "hunter2"])
+        assert "Sentence number 3" in res.pages[0].text, mode
+        assert res.password_used == "hunter2", mode
+        # wrong-only list still refuses
+        with pytest.raises(pdf.PdfError, match="password_required"):
+            pdf.extract_pdf(data, passwords=["nope", "alsowrong"])
+
+
+def test_password_list_owner_password_opens_classic_and_v5():
+    """Algorithm 7 (classic) and the V5 /OE path: an OWNER password in
+    the candidate list must also open the document."""
+    lines = [f"Sentence number {i} fills the quality gate." for i in range(12)]
+    for mode in ("rc4-128", "aes-128", "aes-256"):
+        data = pdfgen.build_pdf_encrypted(
+            [pdfgen.simple_page([(72, 700, lines)])],
+            mode=mode,
+            user_pwd=b"hunter2",
+            owner_pwd=b"admin-master",
+        )
+        res = pdf.extract_pdf(data, passwords=["admin-master"])
+        assert "Sentence number 3" in res.pages[0].text, mode
+        assert res.password_used == "admin-master", mode
+
+
+def test_password_list_caps_at_three_attempts():
+    data = pdfgen.build_pdf_encrypted(
+        [pdfgen.simple_page(_BLOCKS)], mode="aes-128", user_pwd=b"pw4"
+    )
+    # the correct password sits at position 4 -> must NOT be tried
+    with pytest.raises(pdf.PdfError, match="password_required"):
+        pdf.extract_pdf(data, passwords=["pw1", "pw2", "pw3", "pw4"])
+
+
+def test_run_extraction_password_map(spark):
+    """E2e: an encrypted-PDF turn opens via the conv_id -> passwords
+    map and surfaces password_used; the same turn without the map is a
+    password_required failure row."""
+    import base64
+
+    from service1_text_extraction_spark.pipeline import run_extraction
+
+    lines = [f"Sentence number {i} fills the quality gate." for i in range(12)]
+    data = pdfgen.build_pdf_encrypted(
+        [pdfgen.simple_page([(72, 700, lines)])],
+        mode="aes-128",
+        user_pwd=b"s3cret",
+    )
+    payload = base64.b64encode(data).decode("ascii")
+    tdf = spark.createDataFrame(
+        [("locked", 1, "user", payload, None, None),
+         ("open", 1, "user", "plain text " * 40, None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    out = {
+        r.conv_id: r
+        for r in run_extraction(
+            spark, tdf, n_buckets=4,
+            passwords={"locked": ["wrong", "s3cret"]},
+        ).collect()
+    }
+    assert out["locked"].method == "pdf"
+    assert out["locked"].password_used == "s3cret"
+    assert "Sentence number 3" in out["locked"].text
+    assert out["open"].password_used == ""
+
+    no_pw = {
+        r.conv_id: r
+        for r in run_extraction(spark, tdf, n_buckets=4).collect()
+    }
+    assert no_pw["locked"].method == "failed"
+    assert "password_required" in (no_pw["locked"].error or "")
