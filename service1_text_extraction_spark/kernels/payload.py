@@ -38,6 +38,21 @@ MIN_PDF_TEXT_LENGTH = 250
 _OCR_HOOK = None
 
 
+def resolve_ocr_hook(spec: str):
+    """Resolve a ``"package.module:callable"`` hook spec and install it
+    via :func:`set_ocr_hook`. This is the worker-side installation
+    path: a string spec serializes into a UDF closure (a callable from
+    the driver would not reach executor Python workers), so
+    ``run_extraction(ocr_hook="pkg.mod:fn")`` works on any cluster.
+    Returns the installed callable."""
+    import importlib
+
+    mod, _, name = spec.partition(":")
+    fn = getattr(importlib.import_module(mod), name)
+    set_ocr_hook(fn)
+    return fn
+
+
 def set_ocr_hook(fn) -> None:
     """Install (or clear, with None) the OCR fallback used when a PDF
     fails the quality gate.

@@ -175,12 +175,15 @@ def _assemble(
     extra_objects: list[bytes] | None = None,
     stream_encrypt=None,
     trailer_extra: str = "",
+    resources_extra: str = "",
 ) -> bytes:
     """Classic-xref assembly. ``font_body`` overrides object 3 (the
     /F1 font); ``extra_objects`` are appended after the per-page
     objects, numbered from ``4 + 2 * n_pages``. ``stream_encrypt``
     (obj_num, encoded_bytes) -> bytes runs after filter encoding;
-    ``trailer_extra`` is spliced into the trailer dict."""
+    ``trailer_extra`` is spliced into the trailer dict;
+    ``resources_extra`` into each page's /Resources (e.g. an /XObject
+    entry)."""
     objects: list[bytes] = []  # 1-based object bodies, without "N 0 obj"
 
     n_pages = len(page_streams)
@@ -200,7 +203,7 @@ def _assemble(
         objects.append(
             (
                 f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Resources << /Font << /F1 3 0 R >>{resources_extra} >> "
                 f"/Contents {5 + 2 * i} 0 R >>"
             ).encode()
         )
@@ -599,3 +602,28 @@ def append_xref_stream_update(
     )
     buf += f"startxref\n{xpos}\n%%EOF\n".encode()
     return bytes(buf)
+
+
+def build_scanned_pdf(lines: list[str]) -> bytes:
+    """A "scanned" page: no text operators at all — just one 8-bit
+    /DeviceGray /Image XObject holding the fixture-font raster of
+    ``lines`` (kernels/ocr.py renders and reads the same atlas). The
+    structured extractor therefore yields empty text and fails the
+    quality gate, which is exactly the input the F5 OCR fallback
+    exists for (reference core_pdf_processor.py:467-561)."""
+    from .ocr import render_text_raster
+
+    w, h, px = render_text_raster(lines)
+    img_num = 6  # 1 catalog, 2 pages, 3 font, 4 page, 5 content, 6 image
+    compressed = zlib.compress(px)
+    image_obj = (
+        f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h}"
+        f" /ColorSpace /DeviceGray /BitsPerComponent 8"
+        f" /Filter /FlateDecode /Length {len(compressed)} >>\n"
+    ).encode() + b"stream\n" + compressed + b"\nendstream"
+    content = f"q {w} 0 0 {h} 72 {720 - h} cm /Im1 Do Q".encode()
+    return _assemble(
+        [content],
+        extra_objects=[image_obj],
+        resources_extra=f" /XObject << /Im1 {img_num} 0 R >>",
+    )

@@ -127,35 +127,62 @@ def extract_turn_udf(payloads: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_RESULT_COLUMNS)
 
 
-def _extract_with_passwords_udf(pw_map: dict[str, list[str]]):
-    """Password-aware UDF variant (reference password store,
-    file_management_service.py:119-212): ``pw_map`` maps conv_id to
-    candidate passwords (≤3 tried per document, after the empty
-    password). The map ships to workers inside the UDF closure — the
-    broadcast-variable analogue; password stores are KBs even at 100 TB
-    corpus scale. Memoization keys on (payload, conv's candidates) so
-    identical payloads under different password sets never cross."""
+def _custom_extract_udf(
+    pw_map: dict[str, list[str]] | None = None,
+    ocr_spec: str | None = None,
+):
+    """Parameterized UDF variant, used when either opt-in is present.
+
+    ``pw_map`` (reference password store,
+    file_management_service.py:119-212) maps conv_id to candidate
+    passwords (≤3 tried per document, after the empty password). The
+    map ships to workers inside the UDF closure — the
+    broadcast-variable analogue; password stores are KBs even at
+    100 TB corpus scale. Memoization keys on (payload, conv's
+    candidates) so identical payloads under different password sets
+    never cross.
+
+    ``ocr_spec`` is a ``"package.module:callable"`` OCR-hook spec
+    (reference F5 fallback, core_pdf_processor.py:467-561), resolved
+    and installed once per worker via ``payload.resolve_ocr_hook`` —
+    a string survives serialization to executor Python workers where
+    a driver-side callable would not."""
+    pw_map = pw_map or {}
 
     @F.pandas_udf(RESULT_FIELDS)
     def udf(conv_ids: pd.Series, payloads: pd.Series) -> pd.DataFrame:
-        memo: dict[tuple, tuple] = {}
-        rows = []
-        for conv_id, payload in zip(conv_ids, payloads):
-            pws = pw_map.get(conv_id if isinstance(conv_id, str) else "")
-            key = (
-                payload if isinstance(payload, str) else "",
-                tuple(pws) if pws else (),
-            )
-            cached = memo.get(key)
-            if cached is None:
-                r = extract_turn(
-                    payload if isinstance(payload, str) else None,
-                    passwords=pws,
+        from ..kernels import payload as payload_mod
+
+        # scope the spec-installed hook to this batch: executor Python
+        # workers are REUSED across jobs, so a hook left in the module
+        # global would silently leak into later hook-less runs
+        prev_hook = payload_mod._OCR_HOOK
+        if ocr_spec:
+            payload_mod.resolve_ocr_hook(ocr_spec)
+        try:
+            memo: dict[tuple, tuple] = {}
+            rows = []
+            for conv_id, payload in zip(conv_ids, payloads):
+                pws = pw_map.get(
+                    conv_id if isinstance(conv_id, str) else ""
                 )
-                cached = _result_tuple(r)
-                memo[key] = cached
-            rows.append(cached)
-        return pd.DataFrame(rows, columns=_RESULT_COLUMNS)
+                key = (
+                    payload if isinstance(payload, str) else "",
+                    tuple(pws) if pws else (),
+                )
+                cached = memo.get(key)
+                if cached is None:
+                    r = extract_turn(
+                        payload if isinstance(payload, str) else None,
+                        passwords=pws,
+                    )
+                    cached = _result_tuple(r)
+                    memo[key] = cached
+                rows.append(cached)
+            return pd.DataFrame(rows, columns=_RESULT_COLUMNS)
+        finally:
+            if ocr_spec:
+                payload_mod.set_ocr_hook(prev_hook)
 
     return udf
 
@@ -178,6 +205,7 @@ def run_extraction(
     shuffle_partitions: int | None = None,
     pre_shuffle: bool = False,
     passwords: dict[str, list[str]] | None = None,
+    ocr_hook: str | None = None,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted.
 
@@ -193,6 +221,11 @@ def run_extraction(
     encrypted PDF payloads (≤3 tried per document after the empty
     password, reference file_management_service.py:119-212); the
     matching candidate surfaces in the ``password_used`` column.
+
+    ``ocr_hook`` (opt-in) is a ``"package.module:callable"`` spec for
+    the F5 OCR fallback (reference core_pdf_processor.py:467-561),
+    resolved on each worker; the in-tree glyph-match implementation is
+    ``"service1_text_extraction_spark.kernels.ocr:glyph_ocr"``.
 
     ``pre_shuffle`` (opt-in) repartitions the raw payloads by
     ``(bucket_id, turn_idx % salt)`` *before* the UDF. The default
@@ -238,12 +271,17 @@ def run_extraction(
         else:
             df = df.repartition(F.col("bucket_id"), salt_key)
 
-    if passwords is None:
+    if passwords is None and ocr_hook is None:
         ex_col = extract_turn_udf(F.col("text"))
     else:
-        ex_col = _extract_with_passwords_udf(
+        pw_map = (
             {str(k): list(v)[:3] for k, v in passwords.items()}
-        )(F.col("conv_id"), F.col("text"))
+            if passwords
+            else None
+        )
+        ex_col = _custom_extract_udf(pw_map, ocr_hook)(
+            F.col("conv_id"), F.col("text")
+        )
     extracted = df.withColumn("ex", ex_col).select(
         "conv_id",
         "turn_idx",

@@ -1,0 +1,92 @@
+"""F5 OCR fallback, driven end to end with REAL pixel flow: a
+"scanned" PDF (image-only page, no text operators) fails the quality
+gate, the glyph-match OCR recovers the text from the embedded raster,
+and the turn surfaces method ``ocr`` (reference Tesseract fallback,
+core_pdf_processor.py:467-561)."""
+
+import base64
+
+import pytest
+
+from service1_text_extraction_spark.kernels import ocr, payload, pdf, pdfgen
+
+LINES = [
+    f"SCANNED LINE {i} OF THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG."
+    for i in range(6)
+]
+TEXT = "\n".join(LINES)
+
+
+@pytest.fixture(autouse=True)
+def _clear_hook():
+    yield
+    payload.set_ocr_hook(None)
+
+
+def test_font_atlas_is_unambiguous():
+    assert len(set(ocr.FONT_3X5.values())) == len(ocr.FONT_3X5)
+
+
+def test_raster_roundtrip():
+    w, h, px = ocr.render_text_raster(LINES)
+    assert ocr.ocr_raster(px, w, h) == TEXT
+
+
+def test_scanned_pdf_has_no_structured_text():
+    data = pdfgen.build_scanned_pdf(LINES)
+    assert pdf.extract_pdf(data).joined()[0].strip() == ""
+
+
+def test_glyph_ocr_reads_the_embedded_image():
+    data = pdfgen.build_scanned_pdf(LINES)
+    assert ocr.glyph_ocr(data) == TEXT
+
+
+def test_gate_fail_routes_through_ocr_hook():
+    """The full F5 path: gate-fail -> hook(raw bytes) -> re-gate ->
+    method tag. With the hook installed the turn recovers; without it,
+    the reference's no-tesseract failure row."""
+    data = pdfgen.build_scanned_pdf(LINES)
+    b64 = base64.b64encode(data).decode("ascii")
+
+    r = payload.extract_turn(b64)
+    assert r.method == "failed" and "no OCR fallback" in (r.error or "")
+
+    payload.set_ocr_hook(ocr.glyph_ocr)
+    r = payload.extract_turn(b64)
+    assert r.method == "ocr", (r.method, r.error)
+    assert "SCANNED LINE 3" in r.text
+    assert r.chars_out == len(r.text) >= 250
+
+
+def test_ocr_garbage_output_still_fails_gate():
+    """An OCR that returns junk must not bypass the re-gate."""
+    data = pdfgen.build_scanned_pdf(LINES)
+    payload.set_ocr_hook(lambda raw: "#$%" * 200)
+    r = payload.extract_turn(base64.b64encode(data).decode("ascii"))
+    assert r.method == "failed"
+
+
+def test_run_extraction_ocr_hook_spec(spark):
+    """Cluster path: the hook ships as a module:callable spec inside
+    the UDF closure and resolves on the worker."""
+    from service1_text_extraction_spark.pipeline import run_extraction
+
+    data = pdfgen.build_scanned_pdf(LINES)
+    b64 = base64.b64encode(data).decode("ascii")
+    tdf = spark.createDataFrame(
+        [("scan", 1, "user", b64, None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    rows = run_extraction(
+        spark,
+        tdf,
+        n_buckets=4,
+        ocr_hook="service1_text_extraction_spark.kernels.ocr:glyph_ocr",
+    ).collect()
+    assert rows[0].method == "ocr"
+    assert "SCANNED LINE 3" in rows[0].text
+
+    plain = run_extraction(spark, tdf, n_buckets=4).collect()
+    assert plain[0].method == "failed"
