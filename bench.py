@@ -87,7 +87,7 @@ def main() -> None:
     # warm the Python UDF workers + Arrow path once so extract_turns
     # measures steady-state throughput, not worker fork/JIT cost
     run_extraction(
-        spark, transcripts.limit(256), n_buckets=4, salt=2
+        spark, transcripts.limit(256), n_buckets=4
     ).write.format("noop").mode("overwrite").save()
 
     def bench_extract():

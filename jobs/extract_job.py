@@ -8,7 +8,12 @@ Cluster usage (north rule: multi-executor, resumable):
         --input  <transcripts parquet/Iceberg path> \
         --output <extracted table path> \
         --markers <checkpoint marker table path> \
-        --n-buckets 4096 --salt 64
+        --n-buckets 4096
+
+For pathological input layouts (non-splittable sources that co-locate
+a giant conversation) add --pre-shuffle [--salt 64]: a pre-UDF salted
+repartition spreads the skew; without --pre-shuffle the plan has a
+single exchange and --salt is rejected.
 
 Sandbox smoke (local mode):
 
@@ -32,10 +37,17 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--markers", required=True)
     p.add_argument("--n-buckets", type=int, default=64)
-    p.add_argument("--salt", type=int, default=16)
+    p.add_argument(
+        "--pre-shuffle",
+        action="store_true",
+        help="opt-in pre-UDF salted repartition for skewed layouts",
+    )
+    p.add_argument("--salt", type=int, default=None)
     p.add_argument("--lineage-id", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args()
+    if args.salt is not None and not args.pre_shuffle:
+        raise SystemExit("--salt requires --pre-shuffle")
 
     from pyspark.sql import SparkSession
 
@@ -64,6 +76,7 @@ def main() -> None:
         lineage_id=args.lineage_id,
         n_buckets=args.n_buckets,
         salt=args.salt,
+        pre_shuffle=args.pre_shuffle,
     )
     print(json.dumps(stats))
     spark.stop()

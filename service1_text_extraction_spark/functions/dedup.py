@@ -403,13 +403,22 @@ def minhash_connected_components(
             .groupBy("doc_id")
             .agg(F.min("bmin").alias("nl"))
         )
+        stepped = labels.join(proposed, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nl", "label")).alias(
+                "label"
+            ),
+        )
+        # pointer jumping (label <- label(label)): labels are doc ids
+        # and monotonically non-increasing, so the jump stays in the
+        # component and halves its depth — O(log diameter) rounds, so
+        # the iteration cap covers any real bucket graph (review r4)
+        jump = stepped.selectExpr("doc_id AS j_id", "label AS j_label")
         new_labels = (
-            labels.join(proposed, "doc_id", "left")
+            stepped.join(jump, stepped.label == F.col("j_id"), "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nl", "label")).alias(
-                    "label"
-                ),
+                F.coalesce("j_label", "label").alias("label"),
             )
             .localCheckpoint()
         )

@@ -429,7 +429,10 @@ def ivf_ann_topk(
         lambda acc, v: acc + v,
     )
     cands = (
-        e.withColumn("list_id", _assign_col(cents))
+        # _assigned auto-switches to the broadcast-join path at large
+        # k — the same Catalyst-blowup guard as kmeans_assign
+        # (review r4); at the oracle k the literal projection is kept
+        _assigned(spark, e.select("vec_id", "embedding"), cents)
         .where(
             F.col("list_id").isin(probe_lists)
             & (F.col("vec_id") != query_vec_id)
@@ -502,6 +505,67 @@ def semantic_dedup(
     )
 
 
+def _cc_min_labels(
+    edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over an undirected pair list
+    ``edges(a_id, b_id)`` by min-label propagation with pointer
+    jumping: each round proposes the min neighbor label, then jumps
+    ``label <- label(label)``. Labels are node ids and monotonically
+    non-increasing, so the jump stays inside the component and halves
+    its depth — O(log diameter) rounds, so ``max_iters = 20`` covers
+    any component a real corpus can produce (the DuckDB oracles'
+    recursive closures have no iteration cap to diverge from —
+    review r4; convergence unit-tested on a 60-node path graph).
+    Returns ``(vec_id, label)`` for every node that occurs in an
+    edge."""
+    adj = edges.selectExpr("a_id AS src", "b_id AS dst").union(
+        edges.selectExpr("b_id AS src", "a_id AS dst")
+    )
+    labels = (
+        adj.select(F.col("src").alias("vec_id"))
+        .distinct()
+        .select("vec_id", F.col("vec_id").cast("long").alias("label"))
+    )
+    for _ in range(max_iters):
+        prop = (
+            adj.join(labels.withColumnRenamed("vec_id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nl"))
+            .withColumnRenamed("dst", "vec_id")
+        ).localCheckpoint()
+        # convergence read off the proposal itself — no new-vs-old join
+        changed = (
+            labels.join(prop, "vec_id")
+            .where(F.col("nl") < F.col("label"))
+            .count()
+        )
+        if changed == 0:
+            break
+        stepped = labels.join(prop, "vec_id", "left").select(
+            "vec_id",
+            F.least(
+                F.col("label"), F.coalesce("nl", "label")
+            ).alias("label"),
+        )
+        jump = stepped.selectExpr("vec_id AS j_id", "label AS j_label")
+        labels = (
+            stepped.join(
+                jump, stepped.label == F.col("j_id"), "left"
+            )
+            .select(
+                "vec_id",
+                F.coalesce("j_label", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} iterations"
+        )
+    return labels
+
+
 def semantic_keepers(
     spark: SparkSession,
     sf_dir: str,
@@ -530,43 +594,7 @@ def semantic_keepers(
         .select("a_id", "b_id")
         .localCheckpoint()
     )
-    adj = edges.selectExpr("a_id AS src", "b_id AS dst").union(
-        edges.selectExpr("b_id AS src", "a_id AS dst")
-    )
-    labels = (
-        adj.select(F.col("src").alias("vec_id"))
-        .distinct()
-        .select("vec_id", F.col("vec_id").cast("long").alias("label"))
-    )
-    for _ in range(max_iters):
-        prop = (
-            adj.join(labels.withColumnRenamed("vec_id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.min("label").alias("nl"))
-            .withColumnRenamed("dst", "vec_id")
-        ).localCheckpoint()
-        # convergence read off the proposal itself — no new-vs-old join
-        changed = (
-            labels.join(prop, "vec_id")
-            .where(F.col("nl") < F.col("label"))
-            .count()
-        )
-        if changed == 0:
-            break
-        labels = (
-            labels.join(prop, "vec_id", "left")
-            .select(
-                "vec_id",
-                F.least(
-                    F.col("label"), F.coalesce("nl", "label")
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-    else:
-        raise RuntimeError(
-            f"semantic_keepers did not converge in {max_iters} iterations"
-        )
+    labels = _cc_min_labels(edges, max_iters)
     return (
         _emb(spark, sf_dir)
         .select("vec_id")

@@ -120,22 +120,34 @@ def ocr_raster(pixels: bytes, width: int, height: int) -> str:
     return "\n".join(lines).strip()
 
 
-def glyph_ocr(pdf_bytes: bytes) -> str:
+def glyph_ocr(pdf_bytes: bytes, passwords: list[str] | None = None) -> str:
     """F5 hook implementation: find every 8-bit /DeviceGray /Image
     XObject in the document (decoded through the real filter/decrypt
-    chain) and OCR it; page images concatenate in object order."""
-    doc = PdfDocument(pdf_bytes)
+    chain — ``passwords`` reach that chain so encrypted scanned
+    documents compose with the password-list feature) and OCR it;
+    page images concatenate in object order.
+
+    Only exact 8-bit gray rasters are attempted: an RGB or 16-bit
+    image segmented as 8-bit gray would emit '?' noise that pollutes
+    (or garbage-gates) the recovered text. Generation numbers are
+    assumed 0 — the object scan keys on number only, matching the
+    rest of the parser."""
+    doc = PdfDocument(pdf_bytes, passwords=passwords)
     texts = []
     for num in sorted(doc.objects):
         obj = doc.objects[num]
         if not isinstance(obj, dict) or obj.get("/Subtype") != "/Image":
+            continue
+        if obj.get("/ColorSpace") != "/DeviceGray":
+            continue
+        if doc.resolve(obj.get("/BitsPerComponent")) != 8:
             continue
         w = doc.resolve(obj.get("/Width"))
         h = doc.resolve(obj.get("/Height"))
         if not isinstance(w, int) or not isinstance(h, int):
             continue
         pixels = doc.stream_data(Ref(num, 0))
-        if len(pixels) < w * h:
+        if len(pixels) != w * h:
             continue
         text = ocr_raster(pixels, w, h)
         if text:

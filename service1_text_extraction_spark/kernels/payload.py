@@ -178,7 +178,15 @@ def _extract_turn_inner(
             )
         if _OCR_HOOK is not None:
             try:
-                ocr_text = textnorm.clean_unicode(_OCR_HOOK(raw)).strip()
+                # hooks that understand encrypted documents take the
+                # candidate passwords as a keyword (the in-tree
+                # glyph_ocr does); legacy (pdf_bytes)-only hooks keep
+                # working via the TypeError fallback
+                try:
+                    raw_ocr = _OCR_HOOK(raw, passwords=passwords)
+                except TypeError:
+                    raw_ocr = _OCR_HOOK(raw)
+                ocr_text = textnorm.clean_unicode(raw_ocr).strip()
             except Exception:  # noqa: BLE001 - hook errors -> failure row
                 ocr_text = ""
             if (
@@ -193,6 +201,8 @@ def _extract_turn_inner(
                     len(raw),
                     len(ocr_text),
                     0.0,
+                    "",
+                    result.password_used or "",
                 )
         return _failed(
             "quality gate failed and no OCR fallback available", len(raw)

@@ -401,7 +401,19 @@ class PdfDocument:
                     if isinstance(cflen, int):
                         length_bits = cflen * 8 if cflen <= 32 else cflen
             if identity_streams:
-                pass  # no stream crypt filter to resolve; auth below
+                # auth-only: the STRING filter's /Length governs the
+                # file-key width this document was written with (the
+                # stream filter is /Identity, so /StmF's CF entry
+                # doesn't exist to consult)
+                strf = enc.get("/StrF")
+                if isinstance(cf, dict) and isinstance(strf, str):
+                    cfd = self.resolve(cf.get(strf))
+                    if isinstance(cfd, dict):
+                        cflen = self.resolve(cfd.get("/Length"))
+                        if isinstance(cflen, int):
+                            length_bits = (
+                                cflen * 8 if cflen <= 32 else cflen
+                            )
             elif cfm == "/AESV2":
                 aes = True
                 length_bits = 128
@@ -437,6 +449,13 @@ class PdfDocument:
                     self._note_password(pwd)
                     break
             if key is None:
+                if identity_streams and not (
+                    isinstance(u5, bytes) and isinstance(ue, bytes)
+                ):
+                    # nonconforming auth material on a document whose
+                    # streams are plaintext anyway: extract rather
+                    # than regress a previously-readable file
+                    return
                 raise PdfError("password_required: document is encrypted")
             if identity_streams:
                 return  # authenticated; streams pass through verbatim
@@ -452,6 +471,10 @@ class PdfDocument:
         o = enc.get("/O")
         u = enc.get("/U")
         if not isinstance(o, bytes) or not isinstance(u, bytes):
+            if identity_streams:
+                # nonconforming auth material, plaintext streams:
+                # extract rather than regress a readable file
+                return
             raise PdfError("password_required: malformed /O or /U")
         p = _int_of(self.resolve(enc.get("/P")), -1)
         em = self.resolve(enc.get("/EncryptMetadata"))

@@ -412,12 +412,17 @@ def build_pdf_encrypted(
     stream_filter: str | None = None,
     p: int = -44,
     stmf_identity: bool = False,
+    extra_streams: list[tuple[str, bytes]] | None = None,
+    resources_extra: str = "",
 ) -> bytes:
     """Standard-security-handler fixture. With the default empty user
     password the document is "owner-locked" (openable by anyone) — the
     case the parser must decrypt transparently. ``stmf_identity``
     writes the spec-legal V>=4 config where only strings are encrypted
-    (/StmF /Identity): streams stay plaintext."""
+    (/StmF /Identity): streams stay plaintext. ``extra_streams``
+    appends (dict_body, stream_bytes) stream objects after the
+    /Encrypt dict — encrypted under their own object keys, numbered
+    from ``enc_num + 1`` (reference them via ``resources_extra``)."""
     import hashlib
 
     from .pdfcrypt import (
@@ -464,10 +469,24 @@ def build_pdf_encrypted(
         )
     enc_body = (" ".join(parts) + " >>").encode()
 
+    extra_objs = [enc_body]
+    for j, (dict_body, sdata) in enumerate(extra_streams or []):
+        onum = enc_num + 1 + j
+        edata = (
+            sdata
+            if stmf_identity
+            else encrypt_data(key, onum, 0, sdata, aes)
+        )
+        extra_objs.append(
+            f"<< {dict_body} /Length {len(edata)} >>\n".encode()
+            + b"stream\n" + edata + b"\nendstream"
+        )
+
     return _assemble(
         page_streams,
         stream_filter=stream_filter,
-        extra_objects=[enc_body],
+        extra_objects=extra_objs,
+        resources_extra=resources_extra,
         stream_encrypt=(
             (lambda num, data: data)
             if stmf_identity

@@ -163,8 +163,14 @@ def _custom_extract_udf(
             memo: dict[tuple, tuple] = {}
             rows = []
             for conv_id, payload in zip(conv_ids, payloads):
+                # str() mirrors the map's build-time key coercion — an
+                # integer conv_id column must still hit its entry
                 pws = pw_map.get(
-                    conv_id if isinstance(conv_id, str) else ""
+                    conv_id
+                    if isinstance(conv_id, str)
+                    else str(conv_id)
+                    if conv_id is not None
+                    else ""
                 )
                 key = (
                     payload if isinstance(payload, str) else "",

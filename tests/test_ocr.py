@@ -90,3 +90,68 @@ def test_run_extraction_ocr_hook_spec(spark):
 
     plain = run_extraction(spark, tdf, n_buckets=4).collect()
     assert plain[0].method == "failed"
+
+
+def test_ocr_composes_with_password_list():
+    """An ENCRYPTED scanned PDF: the password list must reach the OCR
+    hook's own parse (review r4 finding 1) — gate-fail -> hook(raw,
+    passwords=...) -> decrypted raster -> recovered text — and the
+    ocr-method row must surface password_used."""
+    import zlib
+
+    w, h, px = ocr.render_text_raster(LINES)
+    comp = zlib.compress(px)
+    content = f"q {w} 0 0 {h} 72 {720 - h} cm /Im1 Do Q".encode()
+    # 1 page: enc dict = obj 6, image = obj 7
+    data = pdfgen.build_pdf_encrypted(
+        [content],
+        mode="aes-128",
+        user_pwd=b"scan-pw",
+        extra_streams=[(
+            f"/Type /XObject /Subtype /Image /Width {w} /Height {h}"
+            " /ColorSpace /DeviceGray /BitsPerComponent 8"
+            " /Filter /FlateDecode",
+            comp,
+        )],
+        resources_extra=" /XObject << /Im1 7 0 R >>",
+    )
+    b64 = base64.b64encode(data).decode("ascii")
+    payload.set_ocr_hook(ocr.glyph_ocr)
+
+    r = payload.extract_turn(b64, passwords=["scan-pw"])
+    assert r.method == "ocr", (r.method, r.error)
+    assert "SCANNED LINE 3" in r.text
+    assert r.password_used == "scan-pw"
+
+    # without the password the parse fails before OCR can help
+    r2 = payload.extract_turn(b64)
+    assert r2.method == "failed"
+    assert "password_required" in (r2.error or "")
+
+
+def test_ocr_skips_non_gray_images():
+    """An RGB image in the same document must not pollute the OCR
+    text with misread-glyph noise (review r4 finding 7)."""
+    import zlib
+
+    w, h, px = ocr.render_text_raster(LINES[:3])
+    rgb = bytes(w * h * 3)
+    comp_g, comp_rgb = zlib.compress(px), zlib.compress(rgb)
+    content = f"q {w} 0 0 {h} 72 {720 - h} cm /Im1 Do Q".encode()
+    img = (
+        "<< /Type /XObject /Subtype /Image /Width {w} /Height {h}"
+        " /ColorSpace {cs} /BitsPerComponent 8 /Filter /FlateDecode"
+        " /Length {n} >>\n"
+    )
+    objs = [
+        img.format(w=w, h=h, cs="/DeviceGray", n=len(comp_g)).encode()
+        + b"stream\n" + comp_g + b"\nendstream",
+        img.format(w=w, h=h, cs="/DeviceRGB", n=len(comp_rgb)).encode()
+        + b"stream\n" + comp_rgb + b"\nendstream",
+    ]
+    data = pdfgen._assemble(
+        [content],
+        extra_objects=objs,
+        resources_extra=" /XObject << /Im1 6 0 R >>",
+    )
+    assert ocr.glyph_ocr(data) == "\n".join(LINES[:3])

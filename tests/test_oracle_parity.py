@@ -171,3 +171,31 @@ def test_decontaminate_two_table_form(spark, sf_dir, tmp_path):
     )
     hits13 = {r.doc_id: r.n_hits for r in out13.collect()}
     assert set(hits13) <= set(hits) or hits13 == {}
+
+
+def test_cc_propagation_converges_on_deep_chain(spark):
+    """Review r4: min-label propagation alone needs diameter rounds;
+    with pointer jumping a 60-node path (diameter 59 > max_iters=20)
+    must still converge to the single component min."""
+    from service1_text_extraction_spark.functions import similarity
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "a_id long, b_id long"
+    )
+    labels = {
+        r.vec_id: r.label
+        for r in similarity._cc_min_labels(edges, max_iters=20).collect()
+    }
+    assert len(labels) == 60 and set(labels.values()) == {0}
+    # two components + an isolated pair keep distinct minima
+    edges2 = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)]
+        + [(100 + i, 101 + i) for i in range(10)]
+        + [(500, 501)],
+        "a_id long, b_id long",
+    )
+    labels2 = {
+        r.vec_id: r.label
+        for r in similarity._cc_min_labels(edges2).collect()
+    }
+    assert set(labels2.values()) == {0, 100, 500}

@@ -393,3 +393,18 @@ def test_run_extraction_password_map(spark):
     }
     assert no_pw["locked"].method == "failed"
     assert "password_required" in (no_pw["locked"].error or "")
+
+
+def test_stmf_identity_malformed_auth_material_still_extracts():
+    """Review r4: a nonconforming /StmF /Identity document (malformed
+    /O — auth impossible) has plaintext streams; it must extract, not
+    regress to password_required."""
+    data = pdfgen.build_pdf_encrypted(
+        [pdfgen.simple_page(_BLOCKS)], mode="aes-128", stmf_identity=True
+    )
+    # corrupt /O into a non-string token
+    import re
+
+    broken = re.sub(rb"/O <[0-9a-f]+>", b"/O null", data)
+    assert broken != data
+    assert pdf.extract_pdf(broken).pages[0].text == _EXPECT
