@@ -147,8 +147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": _q_extract_metrics,
         "layout_text": _q_layout_text,
         # --- SURVEY §2 relational operators ---------------------------
-        "method_counts": relational.method_counts,
-        "batch_summary": relational.batch_summary,
         "turn_ordering": relational.turn_ordering,
         "doc_char_offsets": relational.doc_char_offsets,
         "resume_antijoin": relational.resume_antijoin,
@@ -196,6 +194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": similarity.semantic_dedup,
         # --- round-4 additions ------------------------------------
         "semantic_keepers": similarity.semantic_keepers,
+        "gopher_repetition": textstats.gopher_repetition,
+        "gopher_quality": textstats.gopher_quality,
         # position 50: the last in-cap slot, filled by a thrice-green
         # query so a future addition evicts it knowingly
         "pending_filter": relational.pending_filter,
@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     (tests/test_oracle_parity.py) still checks every one ----
         "success_counts": relational.success_counts,
         "chars_rollup": relational.chars_rollup,
+        "method_counts": relational.method_counts,
+        "batch_summary": relational.batch_summary,
         "rollup_lang_source": relational.rollup_lang_source,
         "value_quantiles": relational.value_quantiles,
         "page_marker_format": relational.page_marker_format,
@@ -709,6 +711,64 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_TOKS_CTE},"
             f" s AS (SELECT doc_id, {_LANG_SCORES} FROM toks)"
             f" SELECT doc_id, {_LANG_CASE} AS lang_pred FROM s"
+        ),
+        # mirrors textstats.gopher_repetition: 10-token pseudo-lines
+        # (documents carry no newlines) + most-common bigram by
+        # (count desc, gram asc) — engine-deterministic tie-break
+        "gopher_repetition": (
+            "WITH base AS (SELECT doc_id, length(text) AS n_chars,"
+            " list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+            " x -> x <> '') AS t FROM documents),"
+            " lines AS (SELECT doc_id, array_to_string("
+            f"t[i * {textstats.LINE_TOKENS} + 1 :"
+            f" i * {textstats.LINE_TOKENS} + {textstats.LINE_TOKENS}],"
+            " ' ') AS line FROM (SELECT doc_id, t,"
+            " unnest(generate_series(0, CAST(floor((len(t) - 1) /"
+            f" {textstats.LINE_TOKENS}.0) AS INT))) AS i FROM base)),"
+            " lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines"
+            " GROUP BY 1, 2),"
+            " ls AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,"
+            " round((sum(cnt) - count(*)) / sum(cnt), 4) AS dup_line_frac,"
+            " round(sum((cnt - 1) * length(line)) /"
+            " sum(cnt * length(line)), 4) AS dup_line_char_frac"
+            " FROM lc GROUP BY doc_id),"
+            " bigr AS (SELECT doc_id, n_chars, concat_ws(' ', t[i],"
+            " t[i + 1]) AS g FROM (SELECT doc_id, n_chars, t,"
+            " unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i"
+            " FROM base)),"
+            " bc AS (SELECT doc_id, n_chars, g, count(*) AS cnt FROM bigr"
+            " GROUP BY 1, 2, 3),"
+            " bm AS (SELECT doc_id, max(cnt) AS mx FROM bc GROUP BY"
+            " doc_id),"
+            " top AS (SELECT bc.doc_id, min(g) AS top_bigram,"
+            " max(cnt) AS top_cnt, max(n_chars) AS n_chars FROM bc"
+            " JOIN bm USING (doc_id) WHERE cnt = mx GROUP BY bc.doc_id)"
+            " SELECT ls.doc_id, n_lines, dup_line_frac,"
+            " dup_line_char_frac, top_bigram, round(top_cnt *"
+            " length(top_bigram) / n_chars, 4) AS top_bigram_char_frac"
+            " FROM ls JOIN top ON ls.doc_id = top.doc_id"
+        ),
+        # mirrors textstats.gopher_quality: published Gopher thresholds
+        # over the same signals; passes evaluated on the ROUNDED values
+        # exactly as the Spark side does
+        "gopher_quality": (
+            f"WITH {_TOKS_CTE},"
+            " m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,"
+            " round(list_sum(list_transform(t, x -> length(x)))::DOUBLE"
+            " / len(t), 4) AS mean_word_len,"
+            " round(len(list_filter(t, x -> regexp_matches(x,"
+            " '[a-z]')))::DOUBLE / len(t), 4) AS alpha_word_frac,"
+            f" CAST(len(list_filter(t, x -> x IN ({_STOP_SQL['en']})))"
+            " AS BIGINT) AS n_stop_hits FROM toks)"
+            " SELECT doc_id, n_words, mean_word_len, alpha_word_frac,"
+            " n_stop_hits, CAST(CASE WHEN n_words BETWEEN"
+            f" {textstats.GOPHER_MIN_WORDS} AND"
+            f" {textstats.GOPHER_MAX_WORDS}"
+            f" AND mean_word_len BETWEEN {textstats.GOPHER_MIN_MEAN_WLEN}"
+            f" AND {textstats.GOPHER_MAX_MEAN_WLEN}"
+            f" AND alpha_word_frac >= {textstats.GOPHER_MIN_ALPHA_FRAC}"
+            f" AND n_stop_hits >= {textstats.GOPHER_MIN_STOP_HITS}"
+            " THEN 1 ELSE 0 END AS BIGINT) AS passes FROM m"
         ),
         "quality_score": (
             f"WITH {_TOKS_CTE},"

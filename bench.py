@@ -128,6 +128,8 @@ def main() -> None:
         "curate_corpus": q(curate.curate_corpus),
         "semantic_dedup": q(similarity.semantic_dedup),
         "semantic_keepers": q(similarity.semantic_keepers),
+        "gopher_repetition": q(textstats.gopher_repetition),
+        "gopher_quality": q(textstats.gopher_quality),
     }
 
     # two runs per query, min wins: measures steady-state plan execution

@@ -315,3 +315,149 @@ def pack_sequences(
         .cast("long")
         .alias("pack_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style corpus filters (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Appendix A1 — the standard pretraining quality
+# and repetition rules; also used by MassiveText/Dolma-family
+# pipelines). All JVM-side expressions, no UDFs.
+# --------------------------------------------------------------------------
+
+LINE_TOKENS = 10  # pseudo-line width (test docs carry no newlines)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals per document: duplicate-line fraction,
+    duplicate-line CHARACTER fraction, and the most common word
+    bigram's character coverage (tie -> lexicographically smallest
+    bigram, so the result is engine-deterministic).
+
+    The test documents carry no newlines, so a "line" is a
+    deterministic ``LINE_TOKENS``-token window of the token array —
+    the same derivation the DuckDB oracle replays. Scale shape: two
+    hash-aggregates over exploded lines/bigrams plus one max-filter
+    join, all keyed by doc_id — no pairwise anything; the token array
+    is materialized once per branch (the lambda-inlining trap)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("n_chars"), F.expr(_TOKENS).alias("t")
+    )
+    lines = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(floor((size(t) - 1) /"
+                f" {LINE_TOKENS}) as int)), i -> concat_ws(' ',"
+                f" slice(t, i * {LINE_TOKENS} + 1, {LINE_TOKENS})))"
+            )
+        ).alias("line"),
+    )
+    line_stats = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.round(
+                (F.sum("cnt") - F.count("*")) / F.sum("cnt"), 4
+            ).alias("dup_line_frac"),
+            F.round(
+                F.sum((F.col("cnt") - 1) * F.length("line"))
+                / F.sum(F.col("cnt") * F.length("line")),
+                4,
+            ).alias("dup_line_char_frac"),
+        )
+    )
+    bigrams = toks.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 1, 1)), i ->"
+                " concat_ws(' ', try_element_at(t, i),"
+                " try_element_at(t, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    counts = bigrams.groupBy("doc_id", "n_chars", "g").agg(
+        F.count("*").alias("cnt")
+    )
+    # per-doc max via window over the (small) post-agg counts — a
+    # groupBy+self-join here would recompute the tokenize+explode
+    # branch twice (pinned by the plan test: one split() per branch)
+    from pyspark.sql import Window as _W
+
+    top = (
+        counts.withColumn(
+            "mx", F.max("cnt").over(_W.partitionBy("doc_id"))
+        )
+        .where(F.col("cnt") == F.col("mx"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("g").alias("top_bigram"),
+            F.first("mx").alias("top_cnt"),
+            F.first("n_chars").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "top_bigram",
+            F.round(
+                F.col("top_cnt") * F.length("top_bigram") / F.col("n_chars"),
+                4,
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+    return line_stats.join(top, "doc_id").select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_bigram",
+        "top_bigram_char_frac",
+    )
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules per document (word-count bounds, mean word
+    length bounds, alphabetic-word fraction, minimum stopword hits)
+    with the published thresholds and a combined pass flag — the
+    standard pretraining admission gate. One scan, one projection per
+    signal, token array materialized once."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    )
+    sig = toks.select(
+        "doc_id",
+        F.expr("size(t)").alias("n_words"),
+        F.expr(
+            "round(aggregate(t, 0L, (a, x) -> a + length(x))"
+            " / cast(size(t) as double), 4)"
+        ).alias("mean_word_len"),
+        F.expr(
+            "round(size(filter(t, x -> x rlike '[a-z]'))"
+            " / cast(size(t) as double), 4)"
+        ).alias("alpha_word_frac"),
+        _stop_count("en").alias("n_stop_hits"),
+    )
+    passes = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN
+        )
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
+    )
+    return sig.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "alpha_word_frac",
+        F.col("n_stop_hits").cast("long").alias("n_stop_hits"),
+        passes.cast("long").alias("passes"),
+    )

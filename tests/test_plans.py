@@ -283,3 +283,21 @@ def test_large_k_assignment_broadcasts_centroids(spark):
     for r in e.collect():
         dots = arr @ np.array(r.embedding)
         assert rows[r.vec_id] == int(np.argmax(dots)), r.vec_id
+
+
+def test_gopher_filters_tokenize_once_per_branch(spark, sf_dir):
+    """The Gopher signals reference the token array many times — the
+    tokenizer must run once per scan branch, never once per signal."""
+    from service1_text_extraction_spark.functions import textstats
+
+    plan = (
+        textstats.gopher_quality(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("split(") == 1, plan
+    # repetition has two branches (lines, bigrams): one tokenize each
+    plan2 = (
+        textstats.gopher_repetition(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan2.count("split(") == 2, plan2
