@@ -147,10 +147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": _q_extract_metrics,
         "layout_text": _q_layout_text,
         # --- SURVEY §2 relational operators ---------------------------
-        "turn_ordering": relational.turn_ordering,
-        "doc_char_offsets": relational.doc_char_offsets,
-        "resume_antijoin": relational.resume_antijoin,
-        "quality_gate_length": relational.quality_gate_length,
         "header_footer_line_filter": relational.header_footer_line_filter,
         # --- training-data pipeline operators --------------------------
         "dedup_exact": dedup.exact_dedup,
@@ -196,12 +192,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_keepers": similarity.semantic_keepers,
         "gopher_repetition": textstats.gopher_repetition,
         "gopher_quality": textstats.gopher_quality,
+        "c4_line_stats": textstats.c4_line_stats,
+        "pii_redact": textstats.pii_redact,
+        "dsir_weights": textstats.dsir_weights,
+        "sample_by_source": curate.sample_by_source,
         # position 50: the last in-cap slot, filled by a thrice-green
         # query so a future addition evicts it knowingly
         "pending_filter": relational.pending_filter,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
+        "turn_ordering": relational.turn_ordering,
+        "doc_char_offsets": relational.doc_char_offsets,
+        "resume_antijoin": relational.resume_antijoin,
+        "quality_gate_length": relational.quality_gate_length,
         "success_counts": relational.success_counts,
         "chars_rollup": relational.chars_rollup,
         "method_counts": relational.method_counts,
@@ -769,6 +773,110 @@ def oracle_sql() -> dict[str, str]:
             f" AND alpha_word_frac >= {textstats.GOPHER_MIN_ALPHA_FRAC}"
             f" AND n_stop_hits >= {textstats.GOPHER_MIN_STOP_HITS}"
             " THEN 1 ELSE 0 END AS BIGINT) AS passes FROM m"
+        ),
+        # mirrors textstats.c4_line_stats: same pseudo-lines, the same
+        # deterministic punctuation fixture (md5(doc_id:i) buckets),
+        # then the C4 keep rules read only the final line content
+        "c4_line_stats": (
+            "WITH base AS (SELECT doc_id, lower(text) AS lt,"
+            " list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+            " x -> x <> '') AS t FROM documents),"
+            " li AS (SELECT doc_id, lt, t, unnest(generate_series(0,"
+            " CAST(floor((len(t) - 1) /"
+            f" {textstats.LINE_TOKENS}.0) AS INT))) AS i FROM base),"
+            " lx AS (SELECT doc_id, lt, ('0x' ||"
+            " substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR),"
+            f" 1, 4))::BIGINT % {textstats._C4_FIX_MOD} AS b,"
+            " array_to_string("
+            f"t[i * {textstats.LINE_TOKENS} + 1 :"
+            f" i * {textstats.LINE_TOKENS} + {textstats.LINE_TOKENS}],"
+            f" ' ') AS line0, least({textstats.LINE_TOKENS},"
+            f" len(t) - i * {textstats.LINE_TOKENS}) AS w0 FROM li),"
+            " ly AS (SELECT doc_id, lt, line0 || (CASE WHEN b < 5"
+            " THEN '.' WHEN b = 5 THEN '!' WHEN b = 6 THEN '?'"
+            " WHEN b = 7 THEN ' javascript.' ELSE '' END) AS line,"
+            " w0 + (CASE WHEN b = 7 THEN 1 ELSE 0 END) AS n_words"
+            " FROM lx),"
+            " lz AS (SELECT doc_id, lt, line, (n_words >="
+            f" {textstats.C4_MIN_LINE_WORDS} AND right(line, 1) IN"
+            + " ("
+            + ", ".join(
+                "'" + c.replace("'", "''") + "'"
+                for c in textstats.C4_TERMINAL
+            )
+            + ")"
+            " AND NOT contains(line, 'javascript')) AS kept FROM ly)"
+            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,"
+            " CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_kept_lines,"
+            " CAST(sum(CASE WHEN kept THEN length(line) ELSE 0 END)"
+            " AS BIGINT) AS kept_chars,"
+            " CAST(CASE WHEN sum(CASE WHEN kept THEN 1 ELSE 0 END) >="
+            f" {textstats.C4_MIN_KEPT_LINES}"
+            " AND NOT contains(min(lt), 'lorem ipsum')"
+            " AND NOT contains(min(lt), '{') THEN 1 ELSE 0 END"
+            " AS BIGINT) AS c4_keep FROM lz GROUP BY doc_id"
+        ),
+        # mirrors textstats.pii_redact: the same doc_id-derived PII
+        # fixture splice, the same RE2-compatible patterns, the same
+        # email -> phone -> ip replacement order ('g' = replace all,
+        # Spark's regexp_replace default)
+        "pii_redact": (
+            "WITH aug AS (SELECT doc_id, text ||"
+            " (CASE WHEN doc_id % 2 = 0 THEN ' contact user' ||"
+            " doc_id::VARCHAR || '@mail.example.com' ELSE '' END) ||"
+            " (CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-' ||"
+            " lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||"
+            " lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END) ||"
+            " (CASE WHEN doc_id % 5 < 2 THEN ' from 10.' ||"
+            " (doc_id % 200)::VARCHAR || '.0.' ||"
+            " (doc_id % 250)::VARCHAR ELSE '' END) AS a FROM documents)"
+            " SELECT doc_id,"
+            f" CAST(len(regexp_extract_all(a, '{textstats.PII_EMAIL}'))"
+            " AS BIGINT) AS n_emails,"
+            f" CAST(len(regexp_extract_all(a, '{textstats.PII_PHONE}'))"
+            " AS BIGINT) AS n_phones,"
+            f" CAST(len(regexp_extract_all(a, '{textstats.PII_IP}'))"
+            " AS BIGINT) AS n_ips,"
+            " md5(regexp_replace(regexp_replace(regexp_replace(a,"
+            f" '{textstats.PII_EMAIL}', '<EMAIL>', 'g'),"
+            f" '{textstats.PII_PHONE}', '<PHONE>', 'g'),"
+            f" '{textstats.PII_IP}', '<IP>', 'g')) AS redacted_md5"
+            " FROM aug"
+        ),
+        # mirrors textstats.dsir_weights: md5-bucketed unigrams, one
+        # two-distribution count pass, add-one-smoothed log ratios
+        "dsir_weights": (
+            "WITH tw AS (SELECT doc_id, lang,"
+            " unnest(list_filter(regexp_split_to_array(lower(text),"
+            " '\\s+'), x -> x <> '')) AS w FROM documents),"
+            " tb AS (SELECT doc_id, lang, ('0x' ||"
+            " substring(md5(w), 1, 8))::BIGINT %"
+            f" {textstats.DSIR_BUCKETS} AS b FROM tw),"
+            " lk AS (SELECT b, count(*) AS cr, sum(CASE WHEN lang = 'en'"
+            " THEN 1 ELSE 0 END) AS ct FROM tb GROUP BY b),"
+            " lr AS (SELECT b, ln((ct + 1.0) / (sum(ct) OVER () +"
+            f" {textstats.DSIR_BUCKETS})) - ln((cr + 1.0) /"
+            f" (sum(cr) OVER () + {textstats.DSIR_BUCKETS})) AS lr"
+            " FROM lk)"
+            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,"
+            " round(sum(lr), 4) AS dsir_weight"
+            " FROM tb JOIN lr USING (b) GROUP BY doc_id"
+        ),
+        # mirrors curate.sample_by_source: salted md5 bucket under the
+        # suffix-rotated per-source rate
+        "sample_by_source": (
+            "SELECT source,"
+            f" CAST({curate.MIX_BASE_PCT} + {curate.MIX_STEP_PCT} *"
+            " (CAST(substring(source, 4) AS INT) % 5) AS INT)"
+            " AS rate_pct,"
+            " CAST(count(*) AS BIGINT) AS n_in,"
+            " CAST(sum(CASE WHEN ('0x' || substring(md5('mix:' ||"
+            " doc_id::VARCHAR), 1, 4))::BIGINT % 100 <"
+            f" {curate.MIX_BASE_PCT} + {curate.MIX_STEP_PCT} *"
+            " (CAST(substring(source, 4) AS INT) % 5)"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_kept"
+            " FROM documents GROUP BY source"
         ),
         "quality_score": (
             f"WITH {_TOKS_CTE},"

@@ -56,3 +56,54 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang_pred", "quality", "split")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic source-mixture sampling (the "domain weights" step of
+# corpus assembly — The Pile / Dolma / FineWeb all downsample or
+# upweight per-source before training).
+# --------------------------------------------------------------------------
+
+MIX_BASE_PCT = 30  # smallest per-source keep rate
+MIX_STEP_PCT = 10  # rate spread across the 5 source classes
+
+
+def mix_rate_expr() -> F.Column:
+    """Per-source keep rate in percent: sources rotate through five
+    rate classes (30/40/50/60/70%) by their numeric suffix — a stand-in
+    mixture policy that exercises the machinery; a production run
+    passes its own source -> rate map the same shape."""
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    return (MIX_BASE_PCT + MIX_STEP_PCT * (src_num % 5)).cast("int")
+
+
+def mix_keep_expr() -> F.Column:
+    """Deterministic per-document keep decision: md5-bucket of
+    'mix:'||doc_id (salted so it is independent of the train/test
+    split hash) under the source's rate. Reproducible across engines,
+    runs, and cluster sizes — rerunning the mixture can never swap
+    which documents were sampled, the property a 100 TB ablation
+    grid depends on."""
+    h = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 100
+    return bucket < mix_rate_expr()
+
+
+def sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mixture policy and report per-source admission:
+    (source, rate_pct, n_in, n_kept). Scale shape: a stateless per-row
+    filter (no shuffle of the corpus) followed by one 20-row
+    hash-aggregate with map-side combine — the 100 TB form writes the
+    kept rows and this rollup in the same pass."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.first(mix_rate_expr()).alias("rate_pct"),
+            F.count("*").cast("long").alias("n_in"),
+            F.sum(mix_keep_expr().cast("long")).cast("long").alias("n_kept"),
+        )
+        .select("source", "rate_pct", "n_in", "n_kept")
+    )

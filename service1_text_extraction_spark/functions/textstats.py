@@ -461,3 +461,257 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_stop_hits").cast("long").alias("n_stop_hits"),
         passes.cast("long").alias("passes"),
     )
+
+
+# --------------------------------------------------------------------------
+# C4-style line cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2 —
+# the C4 heuristics: keep only lines that end in a terminal
+# punctuation mark and have >= 5 words, drop lines mentioning
+# javascript, drop whole pages containing "lorem ipsum" or a curly
+# brace, and drop pages with < 3 surviving sentences). All JVM-side
+# expressions, no UDFs.
+# --------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5  # C4: "only retained lines that contained at
+                       # least 5 words"
+C4_MIN_KEPT_LINES = 3  # C4: "only retained pages that contained at
+                       # least 3 sentences"
+C4_TERMINAL = (".", "!", "?", '"')  # C4 terminal punctuation marks
+_C4_FIX_MOD = 10  # deterministic punctuation-fixture buckets
+
+
+def _c4_fixture_suffix_sql(doc: str, i: str) -> tuple[str, str]:
+    """(bucket_expr, engine) pair is dialect-specific; this returns the
+    Spark forms. The test corpus carries no punctuation at all, so the
+    C4 punctuation/javascript rules would be vacuously all-drop on it;
+    the query therefore augments each pseudo-line with a DETERMINISTIC
+    fixture suffix derived from md5(doc_id:line_idx) — '.' (b<5), '!'
+    (b=5), '?' (b=6), ' javascript.' (b=7), none (b>=8) — which the
+    DuckDB oracle replays bit-for-bit. The keep/drop rules themselves
+    read only the final line content (last char, word count,
+    substring), exactly as C4 does on real corpora."""
+    bucket = (
+        f"pmod(cast(conv(substring(md5(concat(cast({doc} as string), ':',"
+        f" cast({i} as string))), 1, 4), 16, 10) as int), {_C4_FIX_MOD})"
+    )
+    suffix = (
+        f"CASE WHEN {bucket} < 5 THEN '.' WHEN {bucket} = 5 THEN '!'"
+        f" WHEN {bucket} = 6 THEN '?' WHEN {bucket} = 7"
+        f" THEN ' javascript.' ELSE '' END"
+    )
+    return bucket, suffix
+
+
+def c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning per document: pseudo-line segmentation (the
+    ``LINE_TOKENS``-token windows the Gopher filters also use — the
+    test docs carry no newlines), the C4 line rules (terminal
+    punctuation, >= 5 words, no 'javascript'), and the C4 page rules
+    ('lorem ipsum' / '{' anywhere, >= 3 surviving lines).
+
+    Scale shape: one scan; the line array is built by a single
+    ``transform`` over the materialized token array (tokenize-once,
+    plan-pinned) and exploded; the per-doc rollup is one
+    hash-aggregate on doc_id — partial map-side combine applies, no
+    joins, no windows. At 100 TB this is a pure scan+agg job."""
+    bucket, suffix = _c4_fixture_suffix_sql("doc_id", "i")
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lower("text").alias("lt"),
+        F.expr(_TOKENS).alias("t"),
+    )
+    # struct per pseudo-line: the augmented line text and its word count
+    lines = toks.select(
+        "doc_id",
+        F.col("lt").contains("lorem ipsum").alias("has_lorem"),
+        F.col("lt").contains("{").alias("has_brace"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(floor((size(t) - 1) /"
+                f" {LINE_TOKENS}) as int)), i -> struct("
+                f" concat(concat_ws(' ', slice(t, i * {LINE_TOKENS} + 1,"
+                f" {LINE_TOKENS})), {suffix}) AS line,"
+                f" least({LINE_TOKENS}, size(t) - i * {LINE_TOKENS})"
+                f" + CASE WHEN {bucket}"
+                " = 7 THEN 1 ELSE 0 END AS n_words))"
+            )
+        ).alias("s"),
+    )
+    kept = (
+        (F.col("s.n_words") >= C4_MIN_LINE_WORDS)
+        & F.substring(F.col("s.line"), -1, 1).isin(*C4_TERMINAL)
+        & ~F.col("s.line").contains("javascript")
+    )
+    agg = lines.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(kept.cast("long")).cast("long").alias("n_kept_lines"),
+        F.sum(
+            F.when(kept, F.length("s.line")).otherwise(F.lit(0))
+        ).cast("long").alias("kept_chars"),
+        F.first("has_lorem").alias("has_lorem"),
+        F.first("has_brace").alias("has_brace"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "kept_chars",
+        (
+            (F.col("n_kept_lines") >= C4_MIN_KEPT_LINES)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+        ).cast("long").alias("c4_keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (the standard pretraining scrub — e.g. ROOTS/BigScience
+# and FineWeb pipelines redact emails / IP addresses / phone numbers
+# with typed placeholder tokens before training). RE2-compatible
+# patterns (no lookaround, no backrefs) so Spark (Java regex) and the
+# DuckDB oracle (RE2) agree literally.
+# --------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d{1,2}-\d{3}-\d{3}-\d{4}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii_col(col: F.Column) -> F.Column:
+    """The reusable redaction core: emails -> <EMAIL>, then phones ->
+    <PHONE>, then IPv4 -> <IP> (this order keeps the dotted-quad
+    pattern from ever seeing an address that is part of an email or
+    phone). Pure ``regexp_replace`` — JVM-side, codegen'd."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IP, "<IP>")
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact PII per document and report counts + an md5 of the
+    redacted text. The test corpus contains no PII, so the query
+    splices a DETERMINISTIC PII fixture into each document first —
+    an email when doc_id % 2 = 0, a phone when doc_id % 3 = 0, an IP
+    when doc_id % 5 < 2, all derived from doc_id arithmetic the
+    DuckDB oracle replays — leaving a mix of docs with 0-3 PII kinds.
+    The detection/redaction expressions themselves read only the text.
+
+    Scale shape: one scan, per-row regex projections, no shuffle at
+    all before the (row-per-doc) result — the 100 TB form is a pure
+    map job that never moves the corpus."""
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 < 2,
+            F.concat(
+                F.lit(" from 10."),
+                (d % 200).cast("string"),
+                F.lit(".0."),
+                (d % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    base = _docs(spark, sf_dir).select("doc_id", aug.alias("aug"))
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("aug", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("aug", F.lit(PII_PHONE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all("aug", F.lit(PII_IP), F.lit(0)))
+        .cast("long").alias("n_ips"),
+        F.md5(redact_pii_col(F.col("aug"))).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — hashed-n-gram bag
+# importance weights log p_target(x) - log p_raw(x), the standard
+# cheap domain-relevance scorer for pretraining selection).
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64  # hashed feature buckets (production: 10^4; the
+                   # oracle interpolates this constant either way)
+
+
+def _dsir_bucket(col) -> F.Column:
+    """Unigram -> feature bucket via the house md5 derivation (first 8
+    hex chars as int, mod DSIR_BUCKETS) — engine-portable, unlike
+    Spark's hash()."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight against the English subset
+    as the target domain: weight(d) = sum over tokens w of
+    ln p_target(bucket(w)) - ln p_raw(bucket(w)), with add-one
+    smoothing over DSIR_BUCKETS hashed unigram buckets (bigram
+    features in the paper; unigrams here keep the oracle linear).
+
+    Scale shape: DSIR's real two-pass form — pass 1 reduces the corpus
+    to a DSIR_BUCKETS-row feature table (hash-agg with map-side
+    combine), pass 2 re-scans and scores each token against the
+    broadcast log-ratio lookup (BroadcastHashJoin — the lookup is B
+    rows at any corpus size) then hash-aggregates per doc. The corpus
+    text itself never shuffles; only (doc_id, bucket) pairs do."""
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.explode(F.expr(_TOKENS)).alias("w"))
+        .select("doc_id", "lang", _dsir_bucket(F.col("w")).alias("b"))
+    )
+    # ONE aggregation builds both distributions (raw count + target
+    # count per bucket) — the corpus is scanned exactly twice total,
+    # never once per distribution (plan-pinned: two split() branches)
+    lk = tok.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
+    )
+    # totals via an unpartitioned window over the B-row feature table
+    # (NOT a separate .agg branch, which would re-run the count scan)
+    from pyspark.sql import Window as _W
+
+    whole = _W.partitionBy()
+    lr = lk.select(
+        "b",
+        (
+            F.log(
+                (F.col("ct") + 1.0)
+                / (F.sum("ct").over(whole) + DSIR_BUCKETS)
+            )
+            - F.log(
+                (F.col("cr") + 1.0)
+                / (F.sum("cr").over(whole) + DSIR_BUCKETS)
+            )
+        ).alias("lr"),
+    )
+    return (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.round(F.sum("lr"), 4).alias("dsir_weight"),
+        )
+    )

@@ -301,3 +301,48 @@ def test_gopher_filters_tokenize_once_per_branch(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan2.count("split(") == 2, plan2
+
+
+def test_c4_line_stats_single_scan_no_joins(spark, sf_dir):
+    """C4 cleaning must be one scan + one hash-aggregate: tokenize
+    once, no joins, no windows (the 100 TB form is a pure map+agg)."""
+    from service1_text_extraction_spark.functions import textstats
+
+    df = textstats.c4_line_stats(spark, sf_dir)
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exec_plan.count("split(") == 1, exec_plan
+    plan = _plan(df)
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_pii_redact_is_shuffle_free(spark, sf_dir):
+    """Redaction is a per-row projection — the plan must contain no
+    Exchange at all (the corpus never moves)."""
+    from service1_text_extraction_spark.functions import textstats
+
+    plan = _plan(textstats.pii_redact(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_dsir_two_scans_broadcast_lookup(spark, sf_dir):
+    """DSIR must scan the corpus exactly twice (count pass + score
+    pass — never once per distribution) and join the B-row log-ratio
+    lookup via broadcast, not shuffle."""
+    from service1_text_extraction_spark.functions import textstats
+
+    df = textstats.dsir_weights(spark, sf_dir)
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exec_plan.count("split(") == 2, exec_plan
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sample_by_source_no_corpus_shuffle(spark, sf_dir):
+    """The mixture decision is per-row; only the 20-row source rollup
+    may exchange (partial aggregation applies)."""
+    from service1_text_extraction_spark.functions import curate
+
+    plan = _plan(curate.sample_by_source(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+    assert "partial_" in plan, plan
