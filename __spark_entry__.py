@@ -146,8 +146,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_docs": _q_assemble_docs,
         "extract_metrics": _q_extract_metrics,
         "layout_text": _q_layout_text,
-        # --- SURVEY §2 relational operators ---------------------------
-        "header_footer_line_filter": relational.header_footer_line_filter,
         # --- training-data pipeline operators --------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -196,12 +194,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": textstats.pii_redact,
         "dsir_weights": textstats.dsir_weights,
         "sample_by_source": curate.sample_by_source,
-        # position 50: the last in-cap slot, filled by a thrice-green
-        # query so a future addition evicts it knowingly
-        "pending_filter": relational.pending_filter,
+        "vocab_top_terms": textstats.vocab_top_terms,
+        "vocab_oov": textstats.vocab_oov,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
+        "pending_filter": relational.pending_filter,
+        "header_footer_line_filter": relational.header_footer_line_filter,
         "turn_ordering": relational.turn_ordering,
         "doc_char_offsets": relational.doc_char_offsets,
         "resume_antijoin": relational.resume_antijoin,
@@ -862,6 +861,31 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,"
             " round(sum(lr), 4) AS dsir_weight"
             " FROM tb JOIN lr USING (b) GROUP BY doc_id"
+        ),
+        # mirrors textstats.vocab_top_terms: top-V wordforms with the
+        # (count desc, token asc) deterministic cut
+        "vocab_top_terms": (
+            f"WITH {_TOKS_CTE},"
+            " w AS (SELECT unnest(t) AS w FROM toks),"
+            " c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w)"
+            " SELECT w, CAST(cnt AS BIGINT) AS cnt FROM c"
+            f" ORDER BY cnt DESC, w LIMIT {textstats.VOCAB_SIZE}"
+        ),
+        # mirrors textstats.vocab_oov: per-doc OOV profile against the
+        # same deterministic top-V cut
+        "vocab_oov": (
+            "WITH tw AS (SELECT doc_id,"
+            " unnest(list_filter(regexp_split_to_array(lower(text),"
+            " '\\s+'), x -> x <> '')) AS w FROM documents),"
+            " c AS (SELECT w, count(*) AS cnt FROM tw GROUP BY w),"
+            " v AS (SELECT w FROM c ORDER BY cnt DESC, w LIMIT"
+            f" {textstats.VOCAB_SIZE})"
+            " SELECT tw.doc_id, CAST(count(*) AS BIGINT) AS n_tok,"
+            " CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_oov,"
+            " round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)"
+            " / count(*), 4) AS oov_frac"
+            " FROM tw LEFT JOIN v ON tw.w = v.w GROUP BY tw.doc_id"
         ),
         # mirrors curate.sample_by_source: salted md5 bucket under the
         # suffix-rotated per-source rate

@@ -130,6 +130,11 @@ def main() -> None:
         "semantic_keepers": q(similarity.semantic_keepers),
         "gopher_repetition": q(textstats.gopher_repetition),
         "gopher_quality": q(textstats.gopher_quality),
+        "c4_line_stats": q(textstats.c4_line_stats),
+        "pii_redact": q(textstats.pii_redact),
+        "dsir_weights": q(textstats.dsir_weights),
+        "sample_by_source": q(curate.sample_by_source),
+        "vocab_oov": q(textstats.vocab_oov),
     }
 
     # two runs per query, min wins: measures steady-state plan execution

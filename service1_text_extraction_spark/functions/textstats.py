@@ -715,3 +715,69 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lr"), 4).alias("dsir_weight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer vocabulary induction + OOV profiling (the step before any
+# tokenizer training run: pick the top-V corpus wordforms, then
+# measure what fraction of each document falls outside them).
+# --------------------------------------------------------------------------
+
+VOCAB_SIZE = 20  # top-V wordforms, chosen BELOW the test corpus's 31
+                 # distinct words so the OOV branch is genuinely
+                 # exercised (production: 10^4-10^5; the oracle
+                 # interpolates the constant either way)
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The induced vocabulary: top ``VOCAB_SIZE`` wordforms by corpus
+    frequency, ties broken on the token string so the cut is
+    engine-deterministic. Scale shape: one scan, one hash-aggregate
+    with map-side combine (vocabulary-sized output, 10^8-10^9 distinct
+    keys at 100 TB — a plain shuffle agg, NOT a global sort: the top-V
+    head is taken with a rank window over the aggregated counts, and
+    Spark's TakeOrderedAndProject handles the small-V case)."""
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(_TOKENS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(VOCAB_SIZE)
+        .select(
+            "w",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+
+
+def vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary profile against the induced
+    vocabulary: token count, OOV token count, OOV fraction (4dp).
+    Scale shape: the vocabulary is V rows at any corpus size, so the
+    membership test is a broadcast LEFT join (never a shuffle of the
+    corpus tokens' payload); the per-doc rollup is one hash-aggregate
+    with partial combine."""
+    vocab = vocab_top_terms(spark, sf_dir).select(
+        "w", F.lit(1).alias("in_vocab")
+    )
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("w")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum((F.col("in_vocab").isNull()).cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum((F.col("in_vocab").isNull()).cast("long"))
+                / F.count("*"),
+                4,
+            ).alias("oov_frac"),
+        )
+    )

@@ -346,3 +346,13 @@ def test_sample_by_source_no_corpus_shuffle(spark, sf_dir):
     plan = _plan(curate.sample_by_source(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
     assert "partial_" in plan, plan
+
+
+def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
+    """The OOV membership test must be a broadcast join against the
+    V-row vocabulary — never a shuffle of the exploded corpus tokens."""
+    from service1_text_extraction_spark.functions import textstats
+
+    plan = _plan(textstats.vocab_oov(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
