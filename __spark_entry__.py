@@ -829,19 +829,20 @@ def oracle_sql() -> dict[str, str]:
             " lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END) ||"
             " (CASE WHEN doc_id % 5 < 2 THEN ' from 10.' ||"
             " (doc_id % 200)::VARCHAR || '.0.' ||"
-            " (doc_id % 250)::VARCHAR ELSE '' END) AS a FROM documents)"
+            " (doc_id % 250)::VARCHAR ELSE '' END) AS a FROM documents),"
+            " r1 AS (SELECT doc_id, a, regexp_replace(a,"
+            f" '{textstats.PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM aug),"
+            " r2 AS (SELECT doc_id, a, t1, regexp_replace(t1,"
+            f" '{textstats.PII_PHONE}', '<PHONE>', 'g') AS t2 FROM r1)"
             " SELECT doc_id,"
             f" CAST(len(regexp_extract_all(a, '{textstats.PII_EMAIL}'))"
             " AS BIGINT) AS n_emails,"
-            f" CAST(len(regexp_extract_all(a, '{textstats.PII_PHONE}'))"
+            f" CAST(len(regexp_extract_all(t1, '{textstats.PII_PHONE}'))"
             " AS BIGINT) AS n_phones,"
-            f" CAST(len(regexp_extract_all(a, '{textstats.PII_IP}'))"
+            f" CAST(len(regexp_extract_all(t2, '{textstats.PII_IP}'))"
             " AS BIGINT) AS n_ips,"
-            " md5(regexp_replace(regexp_replace(regexp_replace(a,"
-            f" '{textstats.PII_EMAIL}', '<EMAIL>', 'g'),"
-            f" '{textstats.PII_PHONE}', '<PHONE>', 'g'),"
-            f" '{textstats.PII_IP}', '<IP>', 'g')) AS redacted_md5"
-            " FROM aug"
+            f" md5(regexp_replace(t2, '{textstats.PII_IP}', '<IP>',"
+            " 'g')) AS redacted_md5 FROM r2"
         ),
         # mirrors textstats.dsir_weights: md5-bucketed unigrams, one
         # two-distribution count pass, add-one-smoothed log ratios
@@ -889,16 +890,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         # mirrors curate.sample_by_source: salted md5 bucket under the
         # suffix-rotated per-source rate
+        # TRY_CAST + the same 10-char substring width as the Spark
+        # side, so a non-'src<digits>' source yields NULL rate / zero
+        # kept in both engines instead of a conversion error
         "sample_by_source": (
             "SELECT source,"
             f" CAST({curate.MIX_BASE_PCT} + {curate.MIX_STEP_PCT} *"
-            " (CAST(substring(source, 4) AS INT) % 5) AS INT)"
+            " (TRY_CAST(substring(source, 4, 10) AS INT) % 5) AS INT)"
             " AS rate_pct,"
             " CAST(count(*) AS BIGINT) AS n_in,"
             " CAST(sum(CASE WHEN ('0x' || substring(md5('mix:' ||"
             " doc_id::VARCHAR), 1, 4))::BIGINT % 100 <"
             f" {curate.MIX_BASE_PCT} + {curate.MIX_STEP_PCT} *"
-            " (CAST(substring(source, 4) AS INT) % 5)"
+            " (TRY_CAST(substring(source, 4, 10) AS INT) % 5)"
             " THEN 1 ELSE 0 END) AS BIGINT) AS n_kept"
             " FROM documents GROUP BY source"
         ),

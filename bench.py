@@ -134,6 +134,7 @@ def main() -> None:
         "pii_redact": q(textstats.pii_redact),
         "dsir_weights": q(textstats.dsir_weights),
         "sample_by_source": q(curate.sample_by_source),
+        "vocab_top_terms": q(textstats.vocab_top_terms),
         "vocab_oov": q(textstats.vocab_oov),
     }
 

@@ -73,7 +73,9 @@ def mix_rate_expr() -> F.Column:
     rate classes (30/40/50/60/70%) by their numeric suffix — a stand-in
     mixture policy that exercises the machinery; a production run
     passes its own source -> rate map the same shape."""
-    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    # try_cast: a non-'src<digits>' source yields NULL rate (ANSI mode
+    # would hard-fail the whole job on one odd source name)
+    src_num = F.substring(F.col("source"), 4, 10).try_cast("int")
     return (MIX_BASE_PCT + MIX_STEP_PCT * (src_num % 5)).cast("int")
 
 
@@ -98,12 +100,16 @@ def sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
+    # a source whose suffix fails to parse gets NULL rate; its rows
+    # must count as NOT kept (0), never as NULL (a NULL-only group
+    # would sum to NULL here but 0 in the oracle)
+    kept = F.when(mix_keep_expr(), F.lit(1)).otherwise(F.lit(0))
     return (
         d.groupBy("source")
         .agg(
             F.first(mix_rate_expr()).alias("rate_pct"),
             F.count("*").cast("long").alias("n_in"),
-            F.sum(mix_keep_expr().cast("long")).cast("long").alias("n_kept"),
+            F.sum(kept).cast("long").alias("n_kept"),
         )
         .select("source", "rate_pct", "n_in", "n_kept")
     )

@@ -325,6 +325,21 @@ def pack_sequences(
 # --------------------------------------------------------------------------
 
 LINE_TOKENS = 10  # pseudo-line width (test docs carry no newlines)
+
+
+def _line_starts_sql() -> str:
+    """Spark SQL array of pseudo-line start indices for a materialized
+    token column ``t`` — EMPTY for a token-less document. The naive
+    ``sequence(0, floor((size(t)-1)/W))`` yields the descending pair
+    [0, -1] when size(t)=0 (two phantom lines), while the oracles'
+    ``generate_series(0, -1)`` yields no rows; the CASE guard pins
+    both engines to "empty doc -> no lines". ONE definition serves
+    gopher_repetition and c4_line_stats so the derivation cannot
+    desynchronize."""
+    return (
+        "CASE WHEN size(t) = 0 THEN array() ELSE sequence(0,"
+        f" cast(floor((size(t) - 1) / {LINE_TOKENS}) as int)) END"
+    )
 GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 GOPHER_MIN_MEAN_WLEN = 3.0
@@ -352,8 +367,7 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, cast(floor((size(t) - 1) /"
-                f" {LINE_TOKENS}) as int)), i -> concat_ws(' ',"
+                f"transform({_line_starts_sql()}, i -> concat_ws(' ',"
                 f" slice(t, i * {LINE_TOKENS} + 1, {LINE_TOKENS})))"
             )
         ).alias("line"),
@@ -481,26 +495,33 @@ C4_TERMINAL = (".", "!", "?", '"')  # C4 terminal punctuation marks
 _C4_FIX_MOD = 10  # deterministic punctuation-fixture buckets
 
 
-def _c4_fixture_suffix_sql(doc: str, i: str) -> tuple[str, str]:
-    """(bucket_expr, engine) pair is dialect-specific; this returns the
-    Spark forms. The test corpus carries no punctuation at all, so the
-    C4 punctuation/javascript rules would be vacuously all-drop on it;
-    the query therefore augments each pseudo-line with a DETERMINISTIC
-    fixture suffix derived from md5(doc_id:line_idx) — '.' (b<5), '!'
-    (b=5), '?' (b=6), ' javascript.' (b=7), none (b>=8) — which the
-    DuckDB oracle replays bit-for-bit. The keep/drop rules themselves
-    read only the final line content (last char, word count,
-    substring), exactly as C4 does on real corpora."""
-    bucket = (
+def _c4_fixture_bucket_sql(doc: str, i: str) -> str:
+    """Spark SQL for the deterministic fixture bucket in
+    [0, _C4_FIX_MOD): md5(doc_id:line_idx). The test corpus carries no
+    punctuation at all, so the C4 punctuation/javascript rules would
+    be vacuously all-drop on it; c4_line_stats therefore augments each
+    pseudo-line with a fixture suffix keyed by this bucket — '.'
+    (b<5), '!' (b=5), '?' (b=6), ' javascript.' (b=7), none (b>=8) —
+    which the DuckDB oracle replays bit-for-bit. The keep/drop rules
+    themselves read only the final line content (last char, word
+    count, substring), exactly as C4 does on real corpora."""
+    return (
         f"pmod(cast(conv(substring(md5(concat(cast({doc} as string), ':',"
         f" cast({i} as string))), 1, 4), 16, 10) as int), {_C4_FIX_MOD})"
     )
-    suffix = (
-        f"CASE WHEN {bucket} < 5 THEN '.' WHEN {bucket} = 5 THEN '!'"
-        f" WHEN {bucket} = 6 THEN '?' WHEN {bucket} = 7"
-        f" THEN ' javascript.' ELSE '' END"
+
+
+def _c4_suffix_from_bucket(b: F.Column) -> F.Column:
+    """Fixture suffix from an already-computed bucket COLUMN — the
+    bucket md5 evaluates exactly once per line, never once per CASE
+    branch (the lambda-inlining recomputation trap)."""
+    return (
+        F.when(b < 5, F.lit("."))
+        .when(b == 5, F.lit("!"))
+        .when(b == 6, F.lit("?"))
+        .when(b == 7, F.lit(" javascript."))
+        .otherwise(F.lit(""))
     )
-    return bucket, suffix
 
 
 def c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,42 +533,57 @@ def c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan; the line array is built by a single
     ``transform`` over the materialized token array (tokenize-once,
-    plan-pinned) and exploded; the per-doc rollup is one
-    hash-aggregate on doc_id — partial map-side combine applies, no
-    joins, no windows. At 100 TB this is a pure scan+agg job."""
-    bucket, suffix = _c4_fixture_suffix_sql("doc_id", "i")
+    plan-pinned; the fixture md5 evaluates once per line) and
+    exploded; the per-doc rollup is one hash-aggregate on doc_id —
+    partial map-side combine applies, no joins, no windows. At 100 TB
+    this is a pure scan+agg job. A token-less document yields no
+    lines and is absent from the output (both engines —
+    ``_line_starts_sql``)."""
+    bucket = _c4_fixture_bucket_sql("doc_id", "i")
     toks = _docs(spark, sf_dir).select(
         "doc_id",
         F.lower("text").alias("lt"),
         F.expr(_TOKENS).alias("t"),
     )
-    # struct per pseudo-line: the augmented line text and its word count
-    lines = toks.select(
+    # struct per pseudo-line: base text, base word count, fixture
+    # bucket (md5 computed ONCE here; suffix/word adjustments derive
+    # from the struct field in the post-explode projection)
+    raw_lines = toks.select(
         "doc_id",
         F.col("lt").contains("lorem ipsum").alias("has_lorem"),
         F.col("lt").contains("{").alias("has_brace"),
         F.explode(
             F.expr(
-                "transform(sequence(0, cast(floor((size(t) - 1) /"
-                f" {LINE_TOKENS}) as int)), i -> struct("
-                f" concat(concat_ws(' ', slice(t, i * {LINE_TOKENS} + 1,"
-                f" {LINE_TOKENS})), {suffix}) AS line,"
+                f"transform({_line_starts_sql()}, i -> struct("
+                f" concat_ws(' ', slice(t, i * {LINE_TOKENS} + 1,"
+                f" {LINE_TOKENS})) AS line0,"
                 f" least({LINE_TOKENS}, size(t) - i * {LINE_TOKENS})"
-                f" + CASE WHEN {bucket}"
-                " = 7 THEN 1 ELSE 0 END AS n_words))"
+                f" AS w0, {bucket} AS b))"
             )
         ).alias("s"),
     )
+    lines = raw_lines.select(
+        "doc_id",
+        "has_lorem",
+        "has_brace",
+        F.concat(
+            F.col("s.line0"), _c4_suffix_from_bucket(F.col("s.b"))
+        ).alias("line"),
+        (
+            F.col("s.w0")
+            + F.when(F.col("s.b") == 7, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_words"),
+    )
     kept = (
-        (F.col("s.n_words") >= C4_MIN_LINE_WORDS)
-        & F.substring(F.col("s.line"), -1, 1).isin(*C4_TERMINAL)
-        & ~F.col("s.line").contains("javascript")
+        (F.col("n_words") >= C4_MIN_LINE_WORDS)
+        & F.substring(F.col("line"), -1, 1).isin(*C4_TERMINAL)
+        & ~F.col("line").contains("javascript")
     )
     agg = lines.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_lines"),
         F.sum(kept.cast("long")).cast("long").alias("n_kept_lines"),
         F.sum(
-            F.when(kept, F.length("s.line")).otherwise(F.lit(0))
+            F.when(kept, F.length("line")).otherwise(F.lit(0))
         ).cast("long").alias("kept_chars"),
         F.first("has_lorem").alias("has_lorem"),
         F.first("has_brace").alias("has_brace"),
@@ -630,16 +666,29 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
+    # counts are STAGED to mirror the sequential replacement: each
+    # pattern is counted on the text the corresponding replace
+    # actually sees, so the counts always agree with the redacted
+    # output (a phone digit-run inside an email local part is part of
+    # the <EMAIL> redaction, not a phantom n_phones hit)
     base = _docs(spark, sf_dir).select("doc_id", aug.alias("aug"))
-    return base.select(
+    r1 = base.withColumn(
+        "r1", F.regexp_replace("aug", PII_EMAIL, "<EMAIL>")
+    )
+    r2 = r1.withColumn(
+        "r2", F.regexp_replace("r1", PII_PHONE, "<PHONE>")
+    )
+    return r2.select(
         "doc_id",
         F.size(F.regexp_extract_all("aug", F.lit(PII_EMAIL), F.lit(0)))
         .cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all("aug", F.lit(PII_PHONE), F.lit(0)))
+        F.size(F.regexp_extract_all("r1", F.lit(PII_PHONE), F.lit(0)))
         .cast("long").alias("n_phones"),
-        F.size(F.regexp_extract_all("aug", F.lit(PII_IP), F.lit(0)))
+        F.size(F.regexp_extract_all("r2", F.lit(PII_IP), F.lit(0)))
         .cast("long").alias("n_ips"),
-        F.md5(redact_pii_col(F.col("aug"))).alias("redacted_md5"),
+        F.md5(F.regexp_replace("r2", PII_IP, "<IP>")).alias(
+            "redacted_md5"
+        ),
     )
 
 

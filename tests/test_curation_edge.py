@@ -1,0 +1,132 @@
+"""Edge-case parity for the curation operators beyond the driver
+fixture: empty/whitespace documents (the sequence(0,-1) phantom-line
+trap), PII embedded inside other PII, and sources that do not parse
+as 'src<digits>'. Each test materializes a tiny corpus to parquet and
+runs BOTH the Spark query and its registered DuckDB oracle on it —
+the same contract the round driver checks, on inputs it never
+generates."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def _mini_docs(spark, tmp_path, rows):
+    """Write a documents.parquet shaped like the driver testdata."""
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    out = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    return out
+
+
+def _oracle(sf_dir, key):
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the part glob
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    res = con.execute(entry_mod.oracle_sql()[key])
+    cols = [d[0] for d in res.description]
+    return cols, res.fetchall()
+
+
+def _spark_rows(spark, sf_dir, key):
+    df = entry_mod.queries()[key](spark, sf_dir)
+    return df.columns, [tuple(r) for r in df.collect()]
+
+
+def _assert_parity(spark, sf_dir, key):
+    s_cols, s_rows = _spark_rows(spark, sf_dir, key)
+    d_cols, d_rows = _oracle(sf_dir, key)
+    assert s_cols == d_cols, key
+    norm = lambda rows: sorted(tuple(str(v) for v in r) for r in rows)
+    assert norm(s_rows) == norm(d_rows), (
+        key, norm(s_rows)[:4], norm(d_rows)[:4]
+    )
+
+
+EDGE_DOCS = [
+    (0, "", "en", "src0", 0),                       # empty text
+    (1, "   \t  ", "en", "src1", 6),                # whitespace only
+    (2, "the quick brown fox jumps over a dog", "en", "src2", 36),
+    (3, "one two three four five six seven eight nine ten eleven"
+        " twelve", "fr", "src3", 57),
+]
+
+
+def test_c4_empty_doc_yields_no_lines(spark, tmp_path):
+    """A token-less document must be absent from c4_line_stats (not
+    report two phantom pseudo-lines from sequence(0, -1))."""
+    sf = _mini_docs(spark, tmp_path, EDGE_DOCS)
+    from service1_text_extraction_spark.functions import textstats
+
+    got = {
+        r.doc_id: r.n_lines
+        for r in textstats.c4_line_stats(spark, sf).collect()
+    }
+    assert 0 not in got and 1 not in got, got
+    assert got[2] >= 1 and got[3] >= 1
+    _assert_parity(spark, sf, "c4_line_stats")
+
+
+def test_gopher_repetition_empty_doc_parity(spark, tmp_path):
+    """gopher_repetition shares the pseudo-line derivation — the same
+    empty-doc guard must hold there."""
+    sf = _mini_docs(spark, tmp_path, EDGE_DOCS)
+    _assert_parity(spark, sf, "gopher_repetition")
+
+
+def test_pii_counts_match_redactions(spark, tmp_path):
+    """A phone-shaped digit run inside an email local part is redacted
+    as part of <EMAIL>; the staged counts must NOT report it as a
+    phone. Counts are checked against the actual redacted text."""
+    rows = [
+        # doc_id 5: %2=1 %3=1 %5=0 -> fixture adds only an IP; the
+        # text itself carries a phone-in-email plus a real phone
+        (5, "reach foo+1-555-123-4567@bar.com or +9-888-777-6666 now",
+         "en", "src5", 55),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    from service1_text_extraction_spark.functions import textstats
+
+    r = textstats.pii_redact(spark, sf).collect()[0]
+    assert r.n_emails == 1
+    assert r.n_phones == 1, r  # only the standalone phone
+    assert r.n_ips == 1  # the fixture-injected one
+    _assert_parity(spark, sf, "pii_redact")
+
+
+def test_sample_by_source_unparseable_source(spark, tmp_path):
+    """A source not shaped 'src<digits>' must yield NULL rate and zero
+    kept in BOTH engines (TRY_CAST oracle), not a conversion error or
+    a NULL n_kept."""
+    rows = [
+        (0, "alpha beta", "en", "web", 10),
+        (1, "gamma delta", "en", "web", 11),
+        (2, "epsilon zeta", "en", "src7", 12),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    from service1_text_extraction_spark.functions import curate
+
+    got = {
+        r.source: (r.rate_pct, r.n_in, r.n_kept)
+        for r in curate.sample_by_source(spark, sf).collect()
+    }
+    assert got["web"] == (None, 2, 0), got
+    assert got["src7"][0] == 50
+    _assert_parity(spark, sf, "sample_by_source")
+
+
+def test_vocab_oov_small_corpus_parity(spark, tmp_path):
+    """The vocab cut and OOV profile agree on a corpus smaller than
+    VOCAB_SIZE (every word in-vocab) including an empty doc."""
+    sf = _mini_docs(spark, tmp_path, EDGE_DOCS)
+    _assert_parity(spark, sf, "vocab_top_terms")
+    _assert_parity(spark, sf, "vocab_oov")
