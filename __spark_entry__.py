@@ -148,7 +148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_text": _q_layout_text,
         # --- training-data pipeline operators --------------------------
         "dedup_exact": dedup.exact_dedup,
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_candidates": dedup.minhash_band_candidates,
         "dedup_minhash_clusters": dedup.minhash_clusters,
         "dedup_minhash_cc": dedup.minhash_connected_components,
@@ -196,10 +195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_by_source": curate.sample_by_source,
         "vocab_top_terms": textstats.vocab_top_terms,
         "vocab_oov": textstats.vocab_oov,
+        "admit_corpus": curate.admit_corpus,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "pending_filter": relational.pending_filter,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "header_footer_line_filter": relational.header_footer_line_filter,
         "turn_ordering": relational.turn_ordering,
         "doc_char_offsets": relational.doc_char_offsets,
@@ -343,6 +344,39 @@ _SIMHASH_SEGS = ", ".join(
 _SIMHASH_HAMMING_INT = " + ".join(
     f"bit_count(xor(a{b}::BIGINT, b{b}::BIGINT))"
     for b in range(dedup.N_SIMHASH_BITS // dedup.SIMHASH_BAND_BITS)
+)
+
+# C4 pseudo-line pipeline (mirrors textstats._c4_lines_sql /
+# _c4_kept_sql): base tokens -> line starts -> fixture bucket ->
+# augmented line + word count -> the C4 keep predicate. SHARED by the
+# c4_line_stats oracle and the admit_corpus composite so the
+# derivation exists in exactly one SQL form.
+_C4_CTES = (
+    "cbase AS (SELECT doc_id, lower(text) AS lt,"
+    " list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+    " x -> x <> '') AS t FROM documents),"
+    " cli AS (SELECT doc_id, lt, t, unnest(generate_series(0,"
+    " CAST(floor((len(t) - 1) /"
+    f" {textstats.LINE_TOKENS}.0) AS INT))) AS i FROM cbase),"
+    " clx AS (SELECT doc_id, lt, ('0x' ||"
+    " substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR),"
+    f" 1, 4))::BIGINT % {textstats._C4_FIX_MOD} AS b,"
+    " array_to_string("
+    f"t[i * {textstats.LINE_TOKENS} + 1 :"
+    f" i * {textstats.LINE_TOKENS} + {textstats.LINE_TOKENS}],"
+    f" ' ') AS line0, least({textstats.LINE_TOKENS},"
+    f" len(t) - i * {textstats.LINE_TOKENS}) AS w0 FROM cli),"
+    " cly AS (SELECT doc_id, lt, line0 || (CASE WHEN b < 5"
+    " THEN '.' WHEN b = 5 THEN '!' WHEN b = 6 THEN '?'"
+    " WHEN b = 7 THEN ' javascript.' ELSE '' END) AS line,"
+    " w0 + (CASE WHEN b = 7 THEN 1 ELSE 0 END) AS n_words"
+    " FROM clx),"
+    " clz AS (SELECT doc_id, lt, line, (n_words >="
+    f" {textstats.C4_MIN_LINE_WORDS} AND right(line, 1) IN ("
+    + ", ".join(
+        "'" + c.replace("'", "''") + "'" for c in textstats.C4_TERMINAL
+    )
+    + ") AND NOT contains(line, 'javascript')) AS kept FROM cly)"
 )
 
 
@@ -777,34 +811,7 @@ def oracle_sql() -> dict[str, str]:
         # deterministic punctuation fixture (md5(doc_id:i) buckets),
         # then the C4 keep rules read only the final line content
         "c4_line_stats": (
-            "WITH base AS (SELECT doc_id, lower(text) AS lt,"
-            " list_filter(regexp_split_to_array(lower(text), '\\s+'),"
-            " x -> x <> '') AS t FROM documents),"
-            " li AS (SELECT doc_id, lt, t, unnest(generate_series(0,"
-            " CAST(floor((len(t) - 1) /"
-            f" {textstats.LINE_TOKENS}.0) AS INT))) AS i FROM base),"
-            " lx AS (SELECT doc_id, lt, ('0x' ||"
-            " substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR),"
-            f" 1, 4))::BIGINT % {textstats._C4_FIX_MOD} AS b,"
-            " array_to_string("
-            f"t[i * {textstats.LINE_TOKENS} + 1 :"
-            f" i * {textstats.LINE_TOKENS} + {textstats.LINE_TOKENS}],"
-            f" ' ') AS line0, least({textstats.LINE_TOKENS},"
-            f" len(t) - i * {textstats.LINE_TOKENS}) AS w0 FROM li),"
-            " ly AS (SELECT doc_id, lt, line0 || (CASE WHEN b < 5"
-            " THEN '.' WHEN b = 5 THEN '!' WHEN b = 6 THEN '?'"
-            " WHEN b = 7 THEN ' javascript.' ELSE '' END) AS line,"
-            " w0 + (CASE WHEN b = 7 THEN 1 ELSE 0 END) AS n_words"
-            " FROM lx),"
-            " lz AS (SELECT doc_id, lt, line, (n_words >="
-            f" {textstats.C4_MIN_LINE_WORDS} AND right(line, 1) IN"
-            + " ("
-            + ", ".join(
-                "'" + c.replace("'", "''") + "'"
-                for c in textstats.C4_TERMINAL
-            )
-            + ")"
-            " AND NOT contains(line, 'javascript')) AS kept FROM ly)"
+            f"WITH {_C4_CTES}"
             " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,"
             " CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)"
             " AS n_kept_lines,"
@@ -814,7 +821,45 @@ def oracle_sql() -> dict[str, str]:
             f" {textstats.C4_MIN_KEPT_LINES}"
             " AND NOT contains(min(lt), 'lorem ipsum')"
             " AND NOT contains(min(lt), '{') THEN 1 ELSE 0 END"
-            " AS BIGINT) AS c4_keep FROM lz GROUP BY doc_id"
+            " AS BIGINT) AS c4_keep FROM clz GROUP BY doc_id"
+        ),
+        # mirrors curate.admit_corpus: the intersection of the four
+        # independently verified admission oracles (gopher pass, C4
+        # page keep, mixture keep, exact-dedup keeper) + split label
+        "admit_corpus": (
+            f"WITH {_TOKS_CTE}, {_C4_CTES},"
+            " g AS (SELECT doc_id FROM (SELECT doc_id,"
+            " len(t) AS n_words,"
+            " round(list_sum(list_transform(t, x -> length(x)))::DOUBLE"
+            " / len(t), 4) AS mwl,"
+            " round(len(list_filter(t, x -> regexp_matches(x,"
+            " '[a-z]')))::DOUBLE / len(t), 4) AS awf,"
+            f" len(list_filter(t, x -> x IN ({_STOP_SQL['en']})))"
+            " AS ns FROM toks) m"
+            f" WHERE n_words BETWEEN {textstats.GOPHER_MIN_WORDS} AND"
+            f" {textstats.GOPHER_MAX_WORDS}"
+            f" AND mwl BETWEEN {textstats.GOPHER_MIN_MEAN_WLEN} AND"
+            f" {textstats.GOPHER_MAX_MEAN_WLEN}"
+            f" AND awf >= {textstats.GOPHER_MIN_ALPHA_FRAC}"
+            f" AND ns >= {textstats.GOPHER_MIN_STOP_HITS}),"
+            " c4k AS (SELECT doc_id FROM clz GROUP BY doc_id"
+            " HAVING sum(CASE WHEN kept THEN 1 ELSE 0 END) >="
+            f" {textstats.C4_MIN_KEPT_LINES}"
+            " AND NOT contains(min(lt), 'lorem ipsum')"
+            " AND NOT contains(min(lt), '{')),"
+            " mixk AS (SELECT doc_id FROM documents WHERE"
+            " ('0x' || substring(md5('mix:' || doc_id::VARCHAR),"
+            " 1, 4))::BIGINT % 100 <"
+            f" {curate.MIX_BASE_PCT} + {curate.MIX_STEP_PCT} *"
+            " (TRY_CAST(substring(source, 4, 10) AS INT) % 5)),"
+            " k AS (SELECT min(doc_id) AS doc_id FROM documents"
+            " GROUP BY md5(text))"
+            " SELECT d.doc_id, CASE WHEN ('0x' ||"
+            " substring(md5(d.doc_id::VARCHAR), 1, 4))::BIGINT % 100 <"
+            f" {textstats.TEST_PCT} THEN 'test' ELSE 'train' END"
+            " AS split FROM documents d JOIN g USING (doc_id)"
+            " JOIN c4k USING (doc_id) JOIN mixk USING (doc_id)"
+            " JOIN k USING (doc_id)"
         ),
         # mirrors textstats.pii_redact: the same doc_id-derived PII
         # fixture splice, the same RE2-compatible patterns, the same

@@ -30,7 +30,16 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CACHE = os.path.join(REPO, ".bench_cache", "transcripts_sf0.1")
+# SCALING_TURNS: input size. 200k (default) keeps sessions short; a
+# larger input (e.g. 600000) amortizes fixed per-stage overhead
+# (scheduling, Python-worker spin-up) the way an hours-long cluster
+# job does — both levels always measure the IDENTICAL cached input.
+TURNS = int(os.environ.get("SCALING_TURNS", "200000"))
+CACHE = os.path.join(
+    REPO,
+    ".bench_cache",
+    "transcripts_sf0.1" if TURNS == 200_000 else f"transcripts_{TURNS}",
+)
 LEVELS = tuple(
     int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(",")
 )
@@ -112,7 +121,7 @@ def ensure_cache() -> None:
         .getOrCreate()
     )
     t, _ = generate_transcripts(
-        seed=42, with_golden=False, target_turns=200_000, max_turns=2_000
+        seed=42, with_golden=False, target_turns=TURNS, max_turns=2_000
     )
     spark.createDataFrame(t).repartition(64).write.mode("overwrite").parquet(
         CACHE

@@ -113,3 +113,46 @@ def sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "rate_pct", "n_in", "n_kept")
     )
+
+
+def admit_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern admission pipeline — documents that clear ALL
+    of: the deterministic source mixture (``mix_keep_expr``), the
+    Gopher quality gate, the C4 page gate, and exact-dedup keeper
+    selection — labeled with the train/test split. The composition a
+    FineWeb/Dolma-style assembly runs as its last step.
+
+    Scale shape (the reason this beats chaining the four standalone
+    queries): every admission signal except dedup is a PER-ROW
+    function, so the whole quality decision is ONE boolean predicate
+    over one corpus scan; the only other input is the exact-dedup
+    keeper set (one hash-aggregate over md5(text) on a second scan)
+    joined back on doc_id. Two scans, one shuffle join, no
+    intermediate corpus materialized.
+
+    The predicate uses a LET-BINDING — ``transform(array(<tokens>),
+    t -> <rules>)[0]`` — so the token array materializes exactly once
+    per row inside the Filter. The naive form (signal columns in a
+    projection consumed only by a filter) collapses under predicate
+    pushdown: Catalyst substitutes every alias into the Filter and
+    the tokenizer re-runs once per signal reference (measured: 14
+    ``split()`` copies in the pushed-down plan; plan-pinned to 1)."""
+    pred_sql = (
+        f"transform(array({textstats._TOKENS}), t ->"
+        f" ({textstats.gopher_pass_sql()})"
+        f" and size({textstats._c4_kept_sql(textstats._c4_lines_sql())})"
+        f" >= {textstats.C4_MIN_KEPT_LINES}"
+        " and not contains(lower(text), 'lorem ipsum')"
+        " and not contains(lower(text), '{'))[0]"
+    )
+    admitted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.expr(pred_sql) & mix_keep_expr())
+        .select("doc_id", textstats.split_label_expr().alias("split"))
+    )
+    keepers = (
+        dedup.exact_dedup(spark, sf_dir)
+        .select(F.col("keeper_id").alias("doc_id"))
+        .distinct()
+    )
+    return admitted.join(keepers, "doc_id").select("doc_id", "split")

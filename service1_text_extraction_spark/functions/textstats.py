@@ -437,6 +437,60 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_sig_sql() -> dict[str, str]:
+    """The four Gopher quality signals as Spark SQL over a token
+    array bound to the name ``t`` — the ONE definition
+    gopher_quality, gopher_pass_sql, and the admission composite all
+    derive from."""
+    words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return {
+        "n_words": "size(t)",
+        "mean_word_len": (
+            "round(aggregate(t, 0L, (a, x) -> a + length(x))"
+            " / cast(size(t) as double), 4)"
+        ),
+        "alpha_word_frac": (
+            "round(size(filter(t, x -> x rlike '[a-z]'))"
+            " / cast(size(t) as double), 4)"
+        ),
+        "n_stop_hits": f"size(filter(t, x -> x in ({words})))",
+    }
+
+
+def gopher_signal_cols() -> dict[str, F.Column]:
+    """Column form of the Gopher signals (over a materialized token
+    column ``t``)."""
+    return {n: F.expr(s) for n, s in _gopher_sig_sql().items()}
+
+
+def gopher_pass_expr() -> F.Column:
+    """The published Gopher thresholds over the NAMED signal columns
+    (evaluated on the rounded values, as the oracle does)."""
+    return (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN
+        )
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
+    )
+
+
+def gopher_pass_sql() -> str:
+    """The Gopher admission predicate as one SQL boolean over a token
+    array bound to ``t`` — composable inside a lambda scope (see
+    curate.admit_corpus's let-binding)."""
+    s = _gopher_sig_sql()
+    return (
+        f"{s['n_words']} between {GOPHER_MIN_WORDS} and"
+        f" {GOPHER_MAX_WORDS}"
+        f" and {s['mean_word_len']} between {GOPHER_MIN_MEAN_WLEN} and"
+        f" {GOPHER_MAX_MEAN_WLEN}"
+        f" and {s['alpha_word_frac']} >= {GOPHER_MIN_ALPHA_FRAC}"
+        f" and {s['n_stop_hits']} >= {GOPHER_MIN_STOP_HITS}"
+    )
+
+
 def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules per document (word-count bounds, mean word
     length bounds, alphabetic-word fraction, minimum stopword hits)
@@ -448,25 +502,9 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = toks.select(
         "doc_id",
-        F.expr("size(t)").alias("n_words"),
-        F.expr(
-            "round(aggregate(t, 0L, (a, x) -> a + length(x))"
-            " / cast(size(t) as double), 4)"
-        ).alias("mean_word_len"),
-        F.expr(
-            "round(size(filter(t, x -> x rlike '[a-z]'))"
-            " / cast(size(t) as double), 4)"
-        ).alias("alpha_word_frac"),
-        _stop_count("en").alias("n_stop_hits"),
+        *[c.alias(n) for n, c in gopher_signal_cols().items()],
     )
-    passes = (
-        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & F.col("mean_word_len").between(
-            GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN
-        )
-        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC)
-        & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
-    )
+    passes = gopher_pass_expr()
     return sig.select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
@@ -511,16 +549,38 @@ def _c4_fixture_bucket_sql(doc: str, i: str) -> str:
     )
 
 
-def _c4_suffix_from_bucket(b: F.Column) -> F.Column:
-    """Fixture suffix from an already-computed bucket COLUMN — the
-    bucket md5 evaluates exactly once per line, never once per CASE
-    branch (the lambda-inlining recomputation trap)."""
+def _c4_lines_sql() -> str:
+    """Spark SQL: array<struct<line, n_words>> of fixture-augmented
+    pseudo-lines over a materialized token column ``t`` plus
+    ``doc_id``. Two nested transforms so the fixture md5 bucket
+    evaluates exactly ONCE per line (the inner struct carries it; the
+    outer transform derives suffix and word adjustment from the struct
+    field)."""
+    bucket = _c4_fixture_bucket_sql("doc_id", "i")
     return (
-        F.when(b < 5, F.lit("."))
-        .when(b == 5, F.lit("!"))
-        .when(b == 6, F.lit("?"))
-        .when(b == 7, F.lit(" javascript."))
-        .otherwise(F.lit(""))
+        f"transform(transform({_line_starts_sql()}, i -> struct("
+        f" concat_ws(' ', slice(t, i * {LINE_TOKENS} + 1,"
+        f" {LINE_TOKENS})) AS line0,"
+        f" least({LINE_TOKENS}, size(t) - i * {LINE_TOKENS})"
+        f" AS w0, {bucket} AS b)),"
+        " s -> struct(concat(s.line0, CASE WHEN s.b < 5 THEN '.'"
+        " WHEN s.b = 5 THEN '!' WHEN s.b = 6 THEN '?' WHEN s.b = 7"
+        " THEN ' javascript.' ELSE '' END) AS line,"
+        " s.w0 + CASE WHEN s.b = 7 THEN 1 ELSE 0 END AS n_words))"
+    )
+
+
+def _c4_kept_sql(lines_col: str) -> str:
+    """Spark SQL: the C4 line rules as a filter over the line-struct
+    array — >= C4_MIN_LINE_WORDS words, terminal punctuation, no
+    'javascript'."""
+    terms = ", ".join(
+        "'" + c.replace("'", "''") + "'" for c in C4_TERMINAL
+    )
+    return (
+        f"filter({lines_col}, s -> s.n_words >= {C4_MIN_LINE_WORDS}"
+        f" AND substring(s.line, -1, 1) IN ({terms})"
+        " AND NOT s.line LIKE '%javascript%')"
     )
 
 
@@ -531,72 +591,43 @@ def c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation, >= 5 words, no 'javascript'), and the C4 page rules
     ('lorem ipsum' / '{' anywhere, >= 3 surviving lines).
 
-    Scale shape: one scan; the line array is built by a single
-    ``transform`` over the materialized token array (tokenize-once,
-    plan-pinned; the fixture md5 evaluates once per line) and
-    exploded; the per-doc rollup is one hash-aggregate on doc_id —
-    partial map-side combine applies, no joins, no windows. At 100 TB
-    this is a pure scan+agg job. A token-less document yields no
-    lines and is absent from the output (both engines —
-    ``_line_starts_sql``)."""
-    bucket = _c4_fixture_bucket_sql("doc_id", "i")
-    toks = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.lower("text").alias("lt"),
-        F.expr(_TOKENS).alias("t"),
+    Scale shape: ZERO shuffles — the per-doc stats are higher-order
+    array functions (size / filter / aggregate) over the line array,
+    so the plan is scan -> project -> filter with no Exchange at all
+    (plan-pinned); the token array and the line/kept arrays each
+    materialize once per row in their own projections (Catalyst does
+    not inline non-cheap aliases referenced more than once). A
+    token-less document yields no lines and is absent from the output
+    (both engines — ``_line_starts_sql``); the exclusion is the CHEAP
+    scan-level guard ``text rlike '\\S'`` (equivalent to "tokens
+    nonempty"), not a filter on a derived column — a derived-column
+    filter pushes down by substituting the whole line pipeline into
+    the Filter and recomputes it per row (measured: 6 tokenizer
+    copies)."""
+    toks = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").rlike(r"\S"))
+        .select(
+            "doc_id",
+            F.lower("text").alias("lt"),
+            F.expr(_TOKENS).alias("t"),
+        )
     )
-    # struct per pseudo-line: base text, base word count, fixture
-    # bucket (md5 computed ONCE here; suffix/word adjustments derive
-    # from the struct field in the post-explode projection)
-    raw_lines = toks.select(
-        "doc_id",
-        F.col("lt").contains("lorem ipsum").alias("has_lorem"),
-        F.col("lt").contains("{").alias("has_brace"),
-        F.explode(
-            F.expr(
-                f"transform({_line_starts_sql()}, i -> struct("
-                f" concat_ws(' ', slice(t, i * {LINE_TOKENS} + 1,"
-                f" {LINE_TOKENS})) AS line0,"
-                f" least({LINE_TOKENS}, size(t) - i * {LINE_TOKENS})"
-                f" AS w0, {bucket} AS b))"
-            )
-        ).alias("s"),
+    staged = (
+        toks.withColumn("lines", F.expr(_c4_lines_sql()))
+        .withColumn("kept", F.expr(_c4_kept_sql("lines")))
     )
-    lines = raw_lines.select(
+    return staged.select(
         "doc_id",
-        "has_lorem",
-        "has_brace",
-        F.concat(
-            F.col("s.line0"), _c4_suffix_from_bucket(F.col("s.b"))
-        ).alias("line"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_kept_lines"),
+        F.expr("aggregate(kept, 0L, (a, s) -> a + length(s.line))")
+        .cast("long")
+        .alias("kept_chars"),
         (
-            F.col("s.w0")
-            + F.when(F.col("s.b") == 7, F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_words"),
-    )
-    kept = (
-        (F.col("n_words") >= C4_MIN_LINE_WORDS)
-        & F.substring(F.col("line"), -1, 1).isin(*C4_TERMINAL)
-        & ~F.col("line").contains("javascript")
-    )
-    agg = lines.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_lines"),
-        F.sum(kept.cast("long")).cast("long").alias("n_kept_lines"),
-        F.sum(
-            F.when(kept, F.length("line")).otherwise(F.lit(0))
-        ).cast("long").alias("kept_chars"),
-        F.first("has_lorem").alias("has_lorem"),
-        F.first("has_brace").alias("has_brace"),
-    )
-    return agg.select(
-        "doc_id",
-        "n_lines",
-        "n_kept_lines",
-        "kept_chars",
-        (
-            (F.col("n_kept_lines") >= C4_MIN_KEPT_LINES)
-            & ~F.col("has_lorem")
-            & ~F.col("has_brace")
+            (F.size("kept") >= C4_MIN_KEPT_LINES)
+            & ~F.col("lt").contains("lorem ipsum")
+            & ~F.col("lt").contains("{")
         ).cast("long").alias("c4_keep"),
     )
 

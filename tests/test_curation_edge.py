@@ -130,3 +130,17 @@ def test_vocab_oov_small_corpus_parity(spark, tmp_path):
     sf = _mini_docs(spark, tmp_path, EDGE_DOCS)
     _assert_parity(spark, sf, "vocab_top_terms")
     _assert_parity(spark, sf, "vocab_oov")
+
+
+def test_admit_corpus_edge_parity(spark, tmp_path):
+    """The admission composite agrees with its composed oracle on a
+    corpus with empty docs and odd source names."""
+    rows = EDGE_DOCS + [
+        (4, " ".join(
+            "the quick brown fox jumps over the lazy dog and then"
+            " runs far away with it for a while in the open field"
+            .split() * 3
+        ), "en", "web", 300),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    _assert_parity(spark, sf, "admit_corpus")

@@ -303,15 +303,20 @@ def test_gopher_filters_tokenize_once_per_branch(spark, sf_dir):
     assert plan2.count("split(") == 2, plan2
 
 
-def test_c4_line_stats_single_scan_no_joins(spark, sf_dir):
-    """C4 cleaning must be one scan + one hash-aggregate: tokenize
-    once, no joins, no windows (the 100 TB form is a pure map+agg)."""
+def test_c4_line_stats_is_shuffle_free(spark, sf_dir):
+    """C4 cleaning is per-row array math: tokenize once, the fixture
+    md5 evaluates in exactly one lambda, and the plan has NO Exchange
+    at all (the 100 TB form is a pure map job)."""
     from service1_text_extraction_spark.functions import textstats
 
     df = textstats.c4_line_stats(spark, sf_dir)
     exec_plan = df._jdf.queryExecution().executedPlan().toString()
     assert exec_plan.count("split(") == 1, exec_plan
+    # the md5(conv(...)) bucket must appear once — not re-inlined into
+    # every CASE branch or stat expression
+    assert exec_plan.count("conv(") == 1, exec_plan
     plan = _plan(df)
+    assert "Exchange" not in plan, plan
     assert "Join" not in plan and "Window" not in plan, plan
 
 
@@ -356,3 +361,21 @@ def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
     plan = _plan(textstats.vocab_oov(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_admit_corpus_one_signal_scan_one_join(spark, sf_dir):
+    """The admission composite must evaluate every per-row signal
+    (mixture, Gopher, C4) inside ONE let-bound predicate over one
+    corpus scan and join only the keeper aggregate. The naive
+    signal-columns-then-filter form collapses under predicate
+    pushdown into 14 tokenizer copies — the let-binding pins it to a
+    single split() in the Filter (the second textual occurrence is
+    the scan's DataFilters metadata echoing the same predicate)."""
+    from service1_text_extraction_spark.functions import curate
+
+    df = curate.admit_corpus(spark, sf_dir)
+    plan = _plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) \w*HashJoin", plan)) == 1, plan
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exec_plan.count("split(") <= 2, exec_plan
