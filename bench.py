@@ -136,6 +136,7 @@ def main() -> None:
         "sample_by_source": q(curate.sample_by_source),
         "vocab_top_terms": q(textstats.vocab_top_terms),
         "vocab_oov": q(textstats.vocab_oov),
+        "admit_corpus": q(curate.admit_corpus),
     }
 
     # two runs per query, min wins: measures steady-state plan execution

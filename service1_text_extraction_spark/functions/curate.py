@@ -115,6 +115,22 @@ def sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def admit_pred_sql() -> str:
+    """The stateless per-row admission predicate (Gopher pass + C4
+    page keep) as ONE let-bound SQL boolean over the ``text`` column:
+    ``transform(array(<tokens>), t -> <rules>)[0]`` — the token array
+    materializes exactly once per row even inside a pushed-down
+    Filter. Shared by admit_corpus and the streaming admission gate."""
+    return (
+        f"transform(array({textstats._TOKENS}), t ->"
+        f" ({textstats.gopher_pass_sql()})"
+        f" and size({textstats._c4_kept_sql(textstats._c4_lines_sql())})"
+        f" >= {textstats.C4_MIN_KEPT_LINES}"
+        " and not contains(lower(text), 'lorem ipsum')"
+        " and not contains(lower(text), '{'))[0]"
+    )
+
+
 def admit_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full modern admission pipeline — documents that clear ALL
     of: the deterministic source mixture (``mix_keep_expr``), the
@@ -137,17 +153,9 @@ def admit_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown: Catalyst substitutes every alias into the Filter and
     the tokenizer re-runs once per signal reference (measured: 14
     ``split()`` copies in the pushed-down plan; plan-pinned to 1)."""
-    pred_sql = (
-        f"transform(array({textstats._TOKENS}), t ->"
-        f" ({textstats.gopher_pass_sql()})"
-        f" and size({textstats._c4_kept_sql(textstats._c4_lines_sql())})"
-        f" >= {textstats.C4_MIN_KEPT_LINES}"
-        " and not contains(lower(text), 'lorem ipsum')"
-        " and not contains(lower(text), '{'))[0]"
-    )
     admitted = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .where(F.expr(pred_sql) & mix_keep_expr())
+        .where(F.expr(admit_pred_sql()) & mix_keep_expr())
         .select("doc_id", textstats.split_label_expr().alias("split"))
     )
     keepers = (

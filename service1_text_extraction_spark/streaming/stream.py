@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -252,3 +253,68 @@ def stream_distinct_turns(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_admit(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Streaming corpus admission: the STATELESS admission gates —
+    Gopher quality + C4 page rules (one let-bound predicate,
+    ``curate.admit_pred_sql``) + the deterministic source mixture +
+    split label — applied per micro-batch over a growing documents
+    directory. Exact-dedup keeper selection is a GLOBAL decision and
+    stays a batch/compaction step (the same reasoning that drops the
+    global ordering columns from ``stream_extract``): every per-row
+    gate gives identical verdicts in stream and batch because nothing
+    depends on batch boundaries.
+
+    Exactly-once like stream_extract: source progress in the
+    streaming checkpoint; each micro-batch dynamically overwrites its
+    own ``batch_id=`` partition."""
+    from pyspark.sql import functions as F
+
+    from ..functions import curate, textstats
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        admitted = batch_df.where(
+            F.expr(curate.admit_pred_sql()) & curate.mix_keep_expr()
+        ).select(
+            "doc_id", textstats.split_label_expr().alias("split")
+        )
+        (
+            admitted.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -169,3 +169,49 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         " AS nd FROM dd_test"
     ).first()
     assert got.n == len(t) and got.nd == len(t)
+
+
+def test_stream_admit_matches_batch(spark, tmp_path):
+    """The streaming admission gate must admit exactly the documents
+    the batch predicate admits, regardless of how the corpus is split
+    across micro-batches (every gate is stateless per-row)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from service1_text_extraction_spark.functions import curate, textstats
+    from service1_text_extraction_spark.streaming.stream import (
+        stream_admit,
+    )
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "admitted")
+    ck = str(tmp_path / "ck")
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # write as MANY small files so the stream sees several batches
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+
+    q = stream_admit(spark, src, out, ck)
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.split)
+        for r in spark.read.parquet(out).select("doc_id", "split").collect()
+    }
+    want = {
+        (r.doc_id, r.split)
+        for r in docs.where(
+            F.expr(curate.admit_pred_sql()) & curate.mix_keep_expr()
+        )
+        .select("doc_id", textstats.split_label_expr().alias("split"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+    # restart with the same checkpoint and no new files: no re-emit
+    before = len(spark.read.parquet(out).collect())
+    q2 = stream_admit(spark, src, out, ck)
+    q2.awaitTermination(60)
+    assert len(spark.read.parquet(out).collect()) == before
+    shutil.rmtree(src)
