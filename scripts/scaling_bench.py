@@ -3,7 +3,8 @@
 
 No real cluster exists in this sandbox, so (per the driver instruction)
 the same extraction job runs at two parallelism levels — local[N] and
-local[4N] cores — on the identical cached 200k-turn input.
+local[4N] cores — on an identical cached input (SCALING_TURNS turns,
+default 200k; larger inputs measure the amortized long-job regime).
 
 This VM's cores do not scale linearly even for coordination-free work:
 a pure-multiprocessing run of the raw extraction kernel (no Spark, no

@@ -43,10 +43,9 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.quality_expr(stop_en=F.col("sc_en")).alias("quality"),
         textstats.split_label_expr().alias("split"),
     )
-    keepers = (
-        dedup.exact_dedup(spark, sf_dir)
-        .select(F.col("keeper_id").alias("doc_id"))
-        .distinct()
+    # keeper_id is one-per-md5-group, already distinct
+    keepers = dedup.exact_dedup(spark, sf_dir).select(
+        F.col("keeper_id").alias("doc_id")
     )
     return (
         enriched.join(keepers, "doc_id")
@@ -158,9 +157,10 @@ def admit_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr(admit_pred_sql()) & mix_keep_expr())
         .select("doc_id", textstats.split_label_expr().alias("split"))
     )
-    keepers = (
-        dedup.exact_dedup(spark, sf_dir)
-        .select(F.col("keeper_id").alias("doc_id"))
-        .distinct()
+    # exact_dedup emits ONE keeper per md5(text) group, so keeper_id
+    # is already distinct — no .distinct() (it would add a pointless
+    # exchange+aggregate to the composite's plan)
+    keepers = dedup.exact_dedup(spark, sf_dir).select(
+        F.col("keeper_id").alias("doc_id")
     )
     return admitted.join(keepers, "doc_id").select("doc_id", "split")

@@ -272,6 +272,7 @@ def stream_admit(
     output_dir: str,
     checkpoint_dir: str,
     *,
+    max_files_per_trigger: int = 16,
     available_now: bool = True,
 ):
     """Streaming corpus admission: the STATELESS admission gates —
@@ -293,7 +294,7 @@ def stream_admit(
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 

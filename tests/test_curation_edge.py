@@ -134,13 +134,32 @@ def test_vocab_oov_small_corpus_parity(spark, tmp_path):
 
 def test_admit_corpus_edge_parity(spark, tmp_path):
     """The admission composite agrees with its composed oracle on a
-    corpus with empty docs and odd source names."""
+    corpus with empty docs and odd source names — and the POSITIVE
+    path is exercised: several docs pass every gate, so split labels,
+    the gate intersection, and the keeper join are actually
+    compared (an all-rejected corpus would vacuously 'match')."""
+    passing = " ".join(
+        "the quick brown fox jumps over the lazy dog and then"
+        " runs far away with it for a while in the open field"
+        .split() * 3
+    )
+    # texts must be DISTINCT per doc — identical texts would collapse
+    # into one exact-dedup group whose single keeper could be a
+    # mixture-dropped doc, silently re-vacuating the test
     rows = EDGE_DOCS + [
-        (4, " ".join(
-            "the quick brown fox jumps over the lazy dog and then"
-            " runs far away with it for a while in the open field"
-            .split() * 3
-        ), "en", "web", 300),
+        # gate-passing text; 'web' source -> NULL mixture rate (drops)
+        (4, passing + " alpha", "en", "web", 300),
+        # gate-passing text on high-rate sources: the mixture hash
+        # admits a deterministic subset of these
+        (6, passing + " beta", "en", "src4", 300),
+        (7, passing + " gamma", "en", "src9", 300),
+        (8, passing + " delta", "en", "src14", 300),
+        (9, passing + " epsilon", "en", "src19", 300),
+        (10, passing + " zeta", "en", "src4", 300),
+        (11, passing + " eta", "en", "src9", 300),
     ]
     sf = _mini_docs(spark, tmp_path, rows)
+    s_cols, s_rows = _spark_rows(spark, sf, "admit_corpus")
+    assert len(s_rows) > 0, "no doc admitted — the test corpus is vacuous"
+    assert all(r[0] != 4 for r in s_rows)  # NULL-rate source dropped
     _assert_parity(spark, sf, "admit_corpus")

@@ -189,15 +189,19 @@ def test_stream_admit_matches_batch(spark, tmp_path):
     ck = str(tmp_path / "ck")
     sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # write as MANY small files so the stream sees several batches
+    # 8 files at 2 files/trigger -> at least 4 real micro-batches
     docs.repartition(8).write.mode("overwrite").parquet(src)
 
-    q = stream_admit(spark, src, out, ck)
+    q = stream_admit(spark, src, out, ck, max_files_per_trigger=2)
     q.awaitTermination(120)
 
+    sink = spark.read.parquet(out)
+    # the multi-batch property must actually be exercised
+    n_batches = sink.select("batch_id").distinct().count()
+    assert n_batches >= 3, n_batches
     got = {
         (r.doc_id, r.split)
-        for r in spark.read.parquet(out).select("doc_id", "split").collect()
+        for r in sink.select("doc_id", "split").collect()
     }
     want = {
         (r.doc_id, r.split)
