@@ -148,7 +148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_text": _q_layout_text,
         # --- training-data pipeline operators --------------------------
         "dedup_exact": dedup.exact_dedup,
-        "dedup_minhash_candidates": dedup.minhash_band_candidates,
         "dedup_minhash_clusters": dedup.minhash_clusters,
         "dedup_minhash_cc": dedup.minhash_connected_components,
         "duplicate_passages": dedup.duplicate_passages,
@@ -196,10 +195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": textstats.vocab_top_terms,
         "vocab_oov": textstats.vocab_oov,
         "admit_corpus": curate.admit_corpus,
+        "knn_join": similarity.knn_join,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "pending_filter": relational.pending_filter,
+        "dedup_minhash_candidates": dedup.minhash_band_candidates,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "header_footer_line_filter": relational.header_footer_line_filter,
         "turn_ordering": relational.turn_ordering,
@@ -695,6 +696,30 @@ def oracle_sql() -> dict[str, str]:
             " JOIN embeddings eb ON eb.vec_id = b_id"
             " WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],"
             f" eb.embedding::DOUBLE[]), 4) >= {similarity.SEM_THRESHOLD}"
+        ),
+        # mirrors similarity.knn_join: same cluster blocking + cap,
+        # undirected cosine mirrored into both directions, rank by
+        # (cos desc, neighbor id asc)
+        "knn_join": (
+            f"WITH {_KM_CTES}, asg AS ({_KM_ASSIGN}),"
+            " capped AS (SELECT list_id FROM asg GROUP BY list_id"
+            f" HAVING count(*) BETWEEN 2 AND {similarity.SEM_MAX_CLUSTER}),"
+            " cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id"
+            " FROM asg a JOIN asg b ON a.list_id = b.list_id AND"
+            " a.vec_id < b.vec_id"
+            " JOIN capped c ON c.list_id = a.list_id),"
+            " und AS (SELECT a_id, b_id,"
+            " round(list_cosine_similarity(ea.embedding::DOUBLE[],"
+            " eb.embedding::DOUBLE[]), 4) AS cos"
+            " FROM cand JOIN embeddings ea ON ea.vec_id = a_id"
+            " JOIN embeddings eb ON eb.vec_id = b_id),"
+            " bidi AS (SELECT a_id, b_id, cos FROM und"
+            " UNION ALL SELECT b_id, a_id, cos FROM und),"
+            " rk AS (SELECT a_id, b_id, cos, row_number() OVER"
+            " (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank"
+            " FROM bidi)"
+            " SELECT a_id AS vec_id, CAST(rank AS INT) AS rank,"
+            f" b_id AS nn_id, cos FROM rk WHERE rank <= {similarity.KNN_K}"
         ),
         # SemDeDup removal policy: transitive closure (recursive CTE)
         # over the same edge SQL as semantic_dedup; keeper = component

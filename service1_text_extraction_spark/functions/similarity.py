@@ -609,3 +609,49 @@ def semantic_keepers(
             .alias("keep"),
         )
     )
+
+
+KNN_K = 3  # neighbors per vector
+
+
+def knn_join(
+    spark: SparkSession, sf_dir: str, k: int = KNN_K
+) -> DataFrame:
+    """Cluster-blocked k-nearest-neighbor JOIN: the top-k cosine
+    neighbors for EVERY vector (the general form of the single-query
+    ANN searches), candidates restricted to the vector's k-means
+    cluster — the same engine-deterministic quantizer the IVF index
+    and SemDeDup use, so the oracle replays it exactly. Neighbors
+    living in other clusters are unseen: the standard single-probe
+    IVF trade-off, recall governed by quantizer quality.
+
+    Scale shape: no global pairwise join — within-cluster candidate
+    pairs expand bucket-locally under the SEM_MAX_CLUSTER cap
+    (enforced BEFORE collect_list, same machinery as semantic_dedup);
+    each undirected pair's cosine computes once and mirrors into both
+    directions; the per-vector top-k is a bounded window partitioned
+    by vec_id over each vector's own candidate list. Ties break on
+    (cos desc, neighbor id asc) — engine-deterministic."""
+    from pyspark.sql import Window
+
+    und = semantic_dedup(spark, sf_dir, threshold=-1.0)
+    edges = und.unionByName(
+        und.select(
+            F.col("b_id").alias("a_id"),
+            F.col("a_id").alias("b_id"),
+            "cos",
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cos").desc(), F.col("b_id")
+    )
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("b_id").alias("nn_id"),
+            "cos",
+        )
+    )
