@@ -148,7 +148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_text": _q_layout_text,
         # --- training-data pipeline operators --------------------------
         "dedup_exact": dedup.exact_dedup,
-        "dedup_minhash_clusters": dedup.minhash_clusters,
         "dedup_minhash_cc": dedup.minhash_connected_components,
         "duplicate_passages": dedup.duplicate_passages,
         "kmeans_assign": similarity.kmeans_assign,
@@ -196,11 +195,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov": textstats.vocab_oov,
         "admit_corpus": curate.admit_corpus,
         "knn_join": similarity.knn_join,
+        "unigram_logprob": textstats.unigram_logprob,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "pending_filter": relational.pending_filter,
         "dedup_minhash_candidates": dedup.minhash_band_candidates,
+        "dedup_minhash_clusters": dedup.minhash_clusters,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "header_footer_line_filter": relational.header_footer_line_filter,
         "turn_ordering": relational.turn_ordering,
@@ -957,6 +958,19 @@ def oracle_sql() -> dict[str, str]:
             " round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)"
             " / count(*), 4) AS oov_frac"
             " FROM tw LEFT JOIN v ON tw.w = v.w GROUP BY tw.doc_id"
+        ),
+        # mirrors textstats.unigram_logprob: corpus unigram LM with
+        # add-one smoothing, V derived in-plan
+        "unigram_logprob": (
+            "WITH tw AS (SELECT doc_id,"
+            " unnest(list_filter(regexp_split_to_array(lower(text),"
+            " '\\s+'), x -> x <> '')) AS w FROM documents),"
+            " c AS (SELECT w, count(*) AS c FROM tw GROUP BY w),"
+            " lp AS (SELECT w, ln((c + 1.0) / (sum(c) OVER () +"
+            " count(*) OVER ())) AS lp FROM c)"
+            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,"
+            " round(-avg(lp), 4) AS mean_nll"
+            " FROM tw JOIN lp USING (w) GROUP BY doc_id"
         ),
         # mirrors curate.sample_by_source: salted md5 bucket under the
         # suffix-rotated per-source rate

@@ -137,6 +137,8 @@ def main() -> None:
         "vocab_top_terms": q(textstats.vocab_top_terms),
         "vocab_oov": q(textstats.vocab_oov),
         "admit_corpus": q(curate.admit_corpus),
+        "knn_join": q(similarity.knn_join),
+        "unigram_logprob": q(textstats.unigram_logprob),
     }
 
     # two runs per query, min wins: measures steady-state plan execution

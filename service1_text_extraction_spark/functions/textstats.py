@@ -861,3 +861,49 @@ def vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model scoring (the CCNet/fastText-era quality
+# signal: mean negative log-likelihood of a document under a corpus
+# unigram LM — low surprise ~ fluent/common text, high surprise ~
+# noise). Wikipedia-LM perplexity in CCNet (Wenzek et al. 2020);
+# here the LM is the corpus itself, the standard self-scoring form.
+# --------------------------------------------------------------------------
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token negative log-likelihood under the
+    corpus unigram distribution with add-one smoothing:
+    nll(d) = -(1/|d|) * sum_w ln((c(w) + 1) / (T + V)).
+
+    Scale shape: the same two-pass form as ``dsir_weights`` — pass 1
+    reduces the corpus to its unigram count table (hash-agg with
+    map-side combine; vocabulary-sized, NOT broadcast at 100 TB — the
+    score join is a plain shuffle join on the token, exactly
+    tfidf_top_terms' df-join reasoning), pass 2 re-scans, joins each
+    token to its log-prob, and hash-aggregates per doc. Here V is
+    derived inside the plan (count of distinct tokens), never
+    hard-coded."""
+    from pyspark.sql import Window as _W
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("w")
+    )
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    whole = _W.partitionBy()
+    lp = counts.select(
+        "w",
+        F.log(
+            (F.col("c") + 1.0)
+            / (F.sum("c").over(whole) + F.count("*").over(whole))
+        ).alias("lp"),
+    )
+    return (
+        tok.join(lp, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.round(-F.avg("lp"), 4).alias("mean_nll"),
+        )
+    )

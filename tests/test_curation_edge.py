@@ -163,3 +163,45 @@ def test_admit_corpus_edge_parity(spark, tmp_path):
     assert len(s_rows) > 0, "no doc admitted — the test corpus is vacuous"
     assert all(r[0] != 4 for r in s_rows)  # NULL-rate source dropped
     _assert_parity(spark, sf, "admit_corpus")
+
+
+def test_admit_corpus_equals_gate_intersection(spark, sf_dir):
+    """Cross-operator consistency on the driver corpus: the let-bound
+    composite must admit exactly (gopher passes=1) ∩ (c4_keep=1) ∩
+    (mixture-kept) ∩ (dedup keepers) — the standalone queries it
+    claims to compose."""
+    from pyspark.sql import functions as F
+
+    from service1_text_extraction_spark.functions import (
+        curate,
+        dedup,
+        textstats,
+    )
+
+    admitted = {
+        r.doc_id for r in curate.admit_corpus(spark, sf_dir).collect()
+    }
+    gopher = {
+        r.doc_id
+        for r in textstats.gopher_quality(spark, sf_dir)
+        .where("passes = 1")
+        .collect()
+    }
+    c4 = {
+        r.doc_id
+        for r in textstats.c4_line_stats(spark, sf_dir)
+        .where("c4_keep = 1")
+        .collect()
+    }
+    mixed = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(curate.mix_keep_expr())
+        .select("doc_id")
+        .collect()
+    }
+    keepers = {
+        r.keeper_id for r in dedup.exact_dedup(spark, sf_dir).collect()
+    }
+    assert admitted == gopher & c4 & mixed & keepers
+    assert len(admitted) > 0
