@@ -877,26 +877,31 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus unigram distribution with add-one smoothing:
     nll(d) = -(1/|d|) * sum_w ln((c(w) + 1) / (T + V)).
 
-    Scale shape: the same two-pass form as ``dsir_weights`` — pass 1
-    reduces the corpus to its unigram count table (hash-agg with
-    map-side combine; vocabulary-sized, NOT broadcast at 100 TB — the
-    score join is a plain shuffle join on the token, exactly
-    tfidf_top_terms' df-join reasoning), pass 2 re-scans, joins each
-    token to its log-prob, and hash-aggregates per doc. Here V is
-    derived inside the plan (count of distinct tokens), never
-    hard-coded."""
-    from pyspark.sql import Window as _W
-
+    Scale shape: pass 1 reduces the corpus to its unigram count table
+    (hash-agg with map-side combine; vocabulary-sized, NOT broadcast
+    at 100 TB — the score join is a plain shuffle join on the token,
+    exactly tfidf_top_terms' df-join reasoning), pass 2 re-scans,
+    joins each token to its log-prob, and hash-aggregates per doc.
+    The totals (T, V) come from a one-row driver action on the
+    aggregated counts — the tfidf_top_terms ``n_docs`` precedent —
+    NOT an unpartitioned window, which would shuffle the entire
+    vocabulary-sized table into a single task. The count aggregation
+    therefore runs twice (once eagerly for the totals, once inside
+    the scoring plan); at 100 TB you persist the counts table between
+    the two, which is strictly better than serializing the vocabulary
+    through one partition."""
     tok = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.expr(_TOKENS)).alias("w")
     )
     counts = tok.groupBy("w").agg(F.count("*").alias("c"))
-    whole = _W.partitionBy()
+    tot = counts.agg(
+        F.sum("c").alias("t_tot"), F.count("*").alias("v")
+    ).collect()[0]
     lp = counts.select(
         "w",
         F.log(
             (F.col("c") + 1.0)
-            / (F.sum("c").over(whole) + F.count("*").over(whole))
+            / F.lit(float(tot.t_tot) + float(tot.v))
         ).alias("lp"),
     )
     return (

@@ -170,8 +170,6 @@ def test_admit_corpus_equals_gate_intersection(spark, sf_dir):
     composite must admit exactly (gopher passes=1) ∩ (c4_keep=1) ∩
     (mixture-kept) ∩ (dedup keepers) — the standalone queries it
     claims to compose."""
-    from pyspark.sql import functions as F
-
     from service1_text_extraction_spark.functions import (
         curate,
         dedup,
