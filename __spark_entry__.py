@@ -147,7 +147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": _q_extract_metrics,
         "layout_text": _q_layout_text,
         # --- training-data pipeline operators --------------------------
-        "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_cc": dedup.minhash_connected_components,
         "duplicate_passages": dedup.duplicate_passages,
         "kmeans_assign": similarity.kmeans_assign,
@@ -196,10 +195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admit_corpus": curate.admit_corpus,
         "knn_join": similarity.knn_join,
         "unigram_logprob": textstats.unigram_logprob,
+        "dedup_verified_pairs": dedup.minhash_verified_pairs,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "pending_filter": relational.pending_filter,
+        "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_candidates": dedup.minhash_band_candidates,
         "dedup_minhash_clusters": dedup.minhash_clusters,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -553,6 +554,33 @@ def oracle_sql() -> dict[str, str]:
             " b.band_val AND a.doc_id < b.doc_id"
             " JOIN capped c ON c.band_idx = a.band_idx AND c.band_val ="
             " a.band_val"
+        ),
+        # mirrors dedup.minhash_verified_pairs: the candidates chain
+        # above + exact Levenshtein verification (both engines ship
+        # the classic unit-cost edit distance built in)
+        "dedup_verified_pairs": (
+            f"WITH {_TOKS_CTE}, {_SHINGLES_CTE},"
+            f" sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY"
+            " doc_id), bands AS ("
+            f" SELECT doc_id, 0 AS band_idx, {_BAND0} AS"
+            f" band_val FROM sig UNION ALL SELECT doc_id, 1, {_BAND1}"
+            " FROM sig),"
+            " capped AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2"
+            f" HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET_DF}),"
+            " cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id"
+            " FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND"
+            " a.band_val = b.band_val AND a.doc_id < b.doc_id"
+            " JOIN capped c ON c.band_idx = a.band_idx AND c.band_val ="
+            " a.band_val)"
+            " SELECT a_id, b_id,"
+            " CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,"
+            " round(levenshtein(da.text, db.text) /"
+            " greatest(length(da.text), length(db.text)), 4) AS dist_frac"
+            " FROM cand JOIN documents da ON da.doc_id = a_id"
+            " JOIN documents db ON db.doc_id = b_id"
+            " WHERE round(levenshtein(da.text, db.text) /"
+            " greatest(length(da.text), length(db.text)), 4) <="
+            f" {dedup.VERIFY_MAX_DIST_FRAC}"
         ),
         "dedup_minhash_clusters": (
             f"WITH {_TOKS_CTE}, {_SHINGLES_CTE},"

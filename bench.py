@@ -139,6 +139,7 @@ def main() -> None:
         "admit_corpus": q(curate.admit_corpus),
         "knn_join": q(similarity.knn_join),
         "unigram_logprob": q(textstats.unigram_logprob),
+        "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 
     # two runs per query, min wins: measures steady-state plan execution

@@ -562,3 +562,45 @@ def decontaminate(
         .agg(F.count("*").alias("n_hits"))  # grams are per-doc distinct
         .select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
     )
+
+
+VERIFY_MAX_DIST_FRAC = 0.2  # verified near-dup: edit dist <= 20% of
+                            # the longer side
+
+
+def minhash_verified_pairs(
+    spark: SparkSession, sf_dir: str,
+    max_dist_frac: float = VERIFY_MAX_DIST_FRAC,
+) -> DataFrame:
+    """Candidate-then-VERIFY near-dup: the LSH band candidates
+    (recall-oriented, approximate) verified by exact Levenshtein
+    distance, keeping pairs whose edit distance is at most
+    ``max_dist_frac`` of the longer text — the standard two-stage
+    pipeline that restores exact precision after probabilistic
+    blocking.
+
+    Scale shape: ``levenshtein`` (JVM, codegen'd) runs ONLY on
+    candidate pairs — band-bucketed and MAX_BUCKET_DF-capped, never
+    corpus x corpus — and each side's text arrives through an id
+    join, so the full corpus text never participates in the pair
+    exchange. The verify budget is |candidates| * O(len_a * len_b);
+    MAX_BUCKET_DF is the knob that bounds it."""
+    cand = minhash_band_candidates(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("text").alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    frac = F.round(
+        lev / F.greatest(F.length("ta"), F.length("tb")), 4
+    )
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            lev.cast("long").alias("lev"),
+            frac.alias("dist_frac"),
+        )
+        .where(F.col("dist_frac") <= max_dist_frac)
+    )
