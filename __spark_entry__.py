@@ -349,6 +349,23 @@ _SIMHASH_HAMMING_INT = " + ".join(
     for b in range(dedup.N_SIMHASH_BITS // dedup.SIMHASH_BAND_BITS)
 )
 
+# MinHash band-candidate chain (mirrors dedup.minhash_band_candidates:
+# signatures -> two bands -> MAX_BUCKET_DF bucket cap -> distinct
+# a<b pairs). ONE definition serves every oracle that consumes the
+# candidate set, so the chain cannot drift between mirrors.
+_MH_CAND_CTES = (
+    f"sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),"
+    f" bands AS (SELECT doc_id, 0 AS band_idx, {_BAND0} AS band_val"
+    f" FROM sig UNION ALL SELECT doc_id, 1, {_BAND1} FROM sig),"
+    " capped AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2"
+    f" HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET_DF}),"
+    " cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id"
+    " FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND"
+    " a.band_val = b.band_val AND a.doc_id < b.doc_id"
+    " JOIN capped c ON c.band_idx = a.band_idx AND c.band_val ="
+    " a.band_val)"
+)
+
 # C4 pseudo-line pipeline (mirrors textstats._c4_lines_sql /
 # _c4_kept_sql): base tokens -> line starts -> fixture bucket ->
 # augmented line + word count -> the C4 keep predicate. SHARED by the
@@ -540,46 +557,25 @@ def oracle_sql() -> dict[str, str]:
             " sb.n_sh - n_shared), 4) >= 0.10"
         ),
         "dedup_minhash_candidates": (
-            f"WITH {_TOKS_CTE}, {_SHINGLES_CTE},"
-            f" sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY"
-            " doc_id), bands AS ("
-            f" SELECT doc_id, 0 AS band_idx, {_BAND0} AS"
-            f" band_val FROM sig UNION ALL SELECT doc_id, 1, {_BAND1}"
-            " FROM sig),"
-            # mirror the MAX_BUCKET_DF band-bucket cap from dedup.py
-            " capped AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2"
-            f" HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET_DF})"
-            " SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands"
-            " a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val ="
-            " b.band_val AND a.doc_id < b.doc_id"
-            " JOIN capped c ON c.band_idx = a.band_idx AND c.band_val ="
-            " a.band_val"
+            f"WITH {_TOKS_CTE}, {_SHINGLES_CTE}, {_MH_CAND_CTES}"
+            " SELECT a_id, b_id FROM cand"
         ),
-        # mirrors dedup.minhash_verified_pairs: the candidates chain
-        # above + exact Levenshtein verification (both engines ship
-        # the classic unit-cost edit distance built in)
+        # mirrors dedup.minhash_verified_pairs: the shared candidate
+        # chain + exact Levenshtein verification. DuckDB's
+        # levenshtein counts BYTES vs Spark's CHARACTERS, so this
+        # oracle is value-exact on the (all-ASCII) driver corpora;
+        # beyond ASCII the Spark char-based semantics are
+        # authoritative (pinned by test_verified_pairs_non_ascii).
+        # lev computes ONCE per pair in the subquery.
         "dedup_verified_pairs": (
-            f"WITH {_TOKS_CTE}, {_SHINGLES_CTE},"
-            f" sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY"
-            " doc_id), bands AS ("
-            f" SELECT doc_id, 0 AS band_idx, {_BAND0} AS"
-            f" band_val FROM sig UNION ALL SELECT doc_id, 1, {_BAND1}"
-            " FROM sig),"
-            " capped AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2"
-            f" HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET_DF}),"
-            " cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id"
-            " FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND"
-            " a.band_val = b.band_val AND a.doc_id < b.doc_id"
-            " JOIN capped c ON c.band_idx = a.band_idx AND c.band_val ="
-            " a.band_val)"
-            " SELECT a_id, b_id,"
-            " CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,"
-            " round(levenshtein(da.text, db.text) /"
-            " greatest(length(da.text), length(db.text)), 4) AS dist_frac"
+            f"WITH {_TOKS_CTE}, {_SHINGLES_CTE}, {_MH_CAND_CTES}"
+            " SELECT a_id, b_id, CAST(lev AS BIGINT) AS lev,"
+            " round(lev / greatest(la, lb, 1), 4) AS dist_frac FROM"
+            " (SELECT a_id, b_id, levenshtein(da.text, db.text) AS lev,"
+            " length(da.text) AS la, length(db.text) AS lb"
             " FROM cand JOIN documents da ON da.doc_id = a_id"
-            " JOIN documents db ON db.doc_id = b_id"
-            " WHERE round(levenshtein(da.text, db.text) /"
-            " greatest(length(da.text), length(db.text)), 4) <="
+            " JOIN documents db ON db.doc_id = b_id)"
+            " WHERE round(lev / greatest(la, lb, 1), 4) <="
             f" {dedup.VERIFY_MAX_DIST_FRAC}"
         ),
         "dedup_minhash_clusters": (

@@ -584,14 +584,24 @@ def minhash_verified_pairs(
     corpus x corpus — and each side's text arrives through an id
     join, so the full corpus text never participates in the pair
     exchange. The verify budget is |candidates| * O(len_a * len_b);
-    MAX_BUCKET_DF is the knob that bounds it."""
+    MAX_BUCKET_DF is the knob that bounds it.
+
+    Semantics notes: the distance is CHARACTER-based (Spark's
+    levenshtein); DuckDB's levenshtein counts BYTES, so the oracle is
+    value-exact on ASCII corpora (all driver corpora) and the Spark
+    semantics are authoritative beyond ASCII
+    (test_verified_pairs_non_ascii pins the char-based behavior).
+    The denominator is floored at 1 so a pair of empty/identical
+    texts keeps dist_frac 0 instead of NULL-dropping."""
     cand = minhash_band_candidates(spark, sf_dir)
     d = _docs(spark, sf_dir).select("doc_id", "text")
     a = d.select(F.col("doc_id").alias("a_id"), F.col("text").alias("ta"))
     b = d.select(F.col("doc_id").alias("b_id"), F.col("text").alias("tb"))
     lev = F.levenshtein("ta", "tb")
     frac = F.round(
-        lev / F.greatest(F.length("ta"), F.length("tb")), 4
+        lev
+        / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)),
+        4,
     )
     return (
         cand.join(a, "a_id")

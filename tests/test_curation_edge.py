@@ -203,3 +203,34 @@ def test_admit_corpus_equals_gate_intersection(spark, sf_dir):
     }
     assert admitted == gopher & c4 & mixed & keepers
     assert len(admitted) > 0
+
+
+def test_verified_pairs_non_ascii_and_empty(spark, tmp_path):
+    """Pins the authoritative Spark semantics the oracle cannot mirror
+    beyond ASCII: levenshtein is CHARACTER-based ('ééé' vs 'xyz' is 3
+    edits, not 6 bytes), and a pair of identical short/empty-ish texts
+    keeps dist_frac 0 instead of NULL-dropping on a zero denominator."""
+    from service1_text_extraction_spark.functions import dedup
+
+    rows = [
+        # identical tiny texts -> exact dup candidates, lev 0
+        (0, "x y z", "en", "src0", 5),
+        (1, "x y z", "en", "src1", 5),
+        # non-ASCII near-dup pair (same tokens -> same signature)
+        (2, "héllo wörld héllo wörld", "en", "src2", 23),
+        (3, "héllo wörld héllo wörld", "en", "src3", 23),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    got = {
+        (r.a_id, r.b_id): (r.lev, r.dist_frac)
+        for r in dedup.minhash_verified_pairs(spark, sf).collect()
+    }
+    assert got.get((0, 1)) == (0, 0.0), got   # no NULL drop
+    assert got.get((2, 3)) == (0, 0.0), got   # char-based, identical
+    # char-based distance on genuinely different non-ASCII strings
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        F.levenshtein(F.lit("ééé"), F.lit("xyz")).alias("d")
+    ).collect()[0]
+    assert row.d == 3  # characters, not UTF-8 bytes
