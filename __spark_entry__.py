@@ -733,11 +733,20 @@ def oracle_sql() -> dict[str, str]:
             " FROM asg a JOIN asg b ON a.list_id = b.list_id AND"
             " a.vec_id < b.vec_id"
             " JOIN capped c ON c.list_id = a.list_id),"
+            # zero-norm guard: Spark's 0/0 cosine is NULL and the
+            # >= -1.0 filter drops it; DuckDB's list_cosine_similarity
+            # returns -1.0 for a zero vector, which WOULD pass — so the
+            # oracle excludes zero-norm sides explicitly (ADVICE r4;
+            # pinned by test_knn_join_zero_norm_parity)
             " und AS (SELECT a_id, b_id,"
             " round(list_cosine_similarity(ea.embedding::DOUBLE[],"
             " eb.embedding::DOUBLE[]), 4) AS cos"
             " FROM cand JOIN embeddings ea ON ea.vec_id = a_id"
-            " JOIN embeddings eb ON eb.vec_id = b_id),"
+            " JOIN embeddings eb ON eb.vec_id = b_id"
+            " WHERE list_inner_product(ea.embedding::DOUBLE[],"
+            " ea.embedding::DOUBLE[]) > 0"
+            " AND list_inner_product(eb.embedding::DOUBLE[],"
+            " eb.embedding::DOUBLE[]) > 0),"
             " bidi AS (SELECT a_id, b_id, cos FROM und"
             " UNION ALL SELECT b_id, a_id, cos FROM und),"
             " rk AS (SELECT a_id, b_id, cos, row_number() OVER"

@@ -77,6 +77,25 @@ _PAIRS_EXPR = (
 MAX_BUCKET_DF = 100
 
 
+# How _capped_buckets sizes buckets before collecting them — A/B'd at
+# sf0.1 AND 10x (BENCH/capped_ab_sf0.1.json, capped_ab_sf1.json;
+# VERDICT r4 item 1), identical row counts both ways:
+#   "window" (default, the measured winner): count(*) over (partition
+#       by keys) — ONE exchange; WindowExec sorts the exploded stream
+#       by the bucket key, but the sort is radix/spill-backed and at
+#       both scales costs LESS than materializing the stream to cache.
+#       10x best-of: dedup_minhash 2.1s, ngram_jaccard 11.4s. (r4's
+#       "3x regression" did not reproduce under interleaved best-of —
+#       window dedup_minhash re-benched 1.28s at sf0.1, r3-level.)
+#   "semijoin": persist the exploded stream, hash-agg a bucket-size
+#       table, LEFT SEMI join admitted keys back — zero sorts, but the
+#       persist WRITE of the full exploded stream dominates: 2x slower
+#       on the shingle-heavy family at 10x (minhash 4.4s, jaccard
+#       27.0s). Kept selectable; it wins only when the exploded input
+#       is already tiny (semantic_dedup's (vec_id, list_id)).
+CAP_STRATEGY = "window"
+
+
 def _capped_buckets(
     exploded: DataFrame,
     keys: list[str],
@@ -84,6 +103,7 @@ def _capped_buckets(
     cap: int,
     alias: str = "ids",
     n_min: int = 2,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Bucket ``exploded`` (one row per member) by ``keys`` into sorted
     member arrays, admitting only buckets with ``n_min..cap`` members —
@@ -91,19 +111,44 @@ def _capped_buckets(
     degenerate bucket must never materialize its full id array in one
     aggregation buffer, which at 10^9 docs is an executor OOM).
 
-    Shape: a window ``count(*)`` over ``keys`` sizes every bucket in
-    the same single exchange the grouping needs anyway (WindowExec is
-    spill-backed, so a mega-bucket costs disk, not heap), the filter
-    discards over-cap/singleton rows, and only then does collect_list
-    run — its largest possible buffer is ``cap`` members. The
-    follow-up groupBy reuses the window's hash partitioning, so the
-    plan has exactly ONE exchange and ONE upstream computation (the
-    count+anti-join alternative would recompute the tokenizing scan on
-    both join sides)."""
-    w = Window.partitionBy(*keys)
-    return (
-        exploded.withColumn("n_members", F.count("*").over(w))
+    Default shape ("window", the measured winner at sf0.1 AND 10x —
+    see CAP_STRATEGY above): a window ``count(*)`` over ``keys`` sizes
+    every bucket in the same single exchange the grouping needs anyway
+    (WindowExec is spill-backed, so a mega-bucket costs disk, not
+    heap), the filter discards over-cap/singleton rows, and only then
+    does collect_list run — its largest possible buffer is ``cap``
+    members. The follow-up groupBy reuses the window's hash
+    partitioning: exactly ONE exchange, ONE upstream computation.
+
+    Alternative shape ("semijoin"): persist the exploded stream
+    (memory-and-disk, computed once), hash-agg bucket sizes with
+    map-side combine, admit ``n_min..cap`` keys, shuffled-hash LEFT
+    SEMI join back, then collect. Zero sorts — but materializing the
+    full exploded stream to cache costs more than the window's sort at
+    every measured scale unless the exploded input is already tiny.
+    Both shapes enforce the cap BEFORE any array materializes and
+    produce identical results (plan- and A/B-pinned)."""
+    if strategy is None:
+        strategy = CAP_STRATEGY
+    if strategy == "window":
+        w = Window.partitionBy(*keys)
+        return (
+            exploded.withColumn("n_members", F.count("*").over(w))
+            .where(F.col("n_members").between(n_min, cap))
+            .groupBy(*keys)
+            .agg(F.array_sort(F.collect_list(member)).alias(alias))
+        )
+    from pyspark import StorageLevel
+
+    src = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    admitted = (
+        src.groupBy(*keys)
+        .agg(F.count("*").alias("n_members"))
         .where(F.col("n_members").between(n_min, cap))
+        .select(*keys)
+    )
+    return (
+        src.join(admitted.hint("shuffle_hash"), keys, "left_semi")
         .groupBy(*keys)
         .agg(F.array_sort(F.collect_list(member)).alias(alias))
     )

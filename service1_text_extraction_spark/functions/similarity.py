@@ -631,7 +631,13 @@ def knn_join(
     each undirected pair's cosine computes once and mirrors into both
     directions; the per-vector top-k is a bounded window partitioned
     by vec_id over each vector's own candidate list. Ties break on
-    (cos desc, neighbor id asc) — engine-deterministic."""
+    (cos desc, neighbor id asc) — engine-deterministic.
+
+    A ZERO-NORM embedding has no defined cosine: its 0/0 evaluates to
+    NULL and the ``cos >= -1.0`` filter drops every pair touching it,
+    so such vectors emit no neighbor rows (the DuckDB oracle excludes
+    zero-norm sides explicitly — its cosine returns -1.0 instead of
+    NULL; pinned by test_knn_join_zero_norm_parity, ADVICE r4)."""
     from pyspark.sql import Window
 
     und = semantic_dedup(spark, sf_dir, threshold=-1.0)

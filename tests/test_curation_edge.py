@@ -26,12 +26,16 @@ def _mini_docs(spark, tmp_path, rows):
 
 
 def _oracle(sf_dir, key):
+    import os
+
     con = duckdb.connect()
     # Spark writes a parquet DIRECTORY; DuckDB needs the part glob
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM"
-        f" '{sf_dir}/documents.parquet/*.parquet'"
-    )
+    for table in ("documents", "embeddings"):
+        if os.path.exists(f"{sf_dir}/{table}.parquet"):
+            con.execute(
+                f"CREATE VIEW {table} AS SELECT * FROM"
+                f" '{sf_dir}/{table}.parquet/*.parquet'"
+            )
     res = con.execute(entry_mod.oracle_sql()[key])
     cols = [d[0] for d in res.description]
     return cols, res.fetchall()
@@ -203,6 +207,111 @@ def test_admit_corpus_equals_gate_intersection(spark, sf_dir):
     }
     assert admitted == gopher & c4 & mixed & keepers
     assert len(admitted) > 0
+
+
+def test_unigram_logprob_empty_corpus_and_laziness(spark, tmp_path):
+    """ADVICE r4: unigram_logprob's totals must be lazy (no Spark job
+    at plan-construction time) and an EMPTY corpus must yield an empty
+    result — never a TypeError on NULL sum(c)."""
+    sf = _mini_docs(spark, tmp_path, [])
+    from service1_text_extraction_spark.functions import textstats
+
+    tracker = spark.sparkContext.statusTracker()
+    # reading the parquet schema itself costs a footer job; measure it,
+    # then require construction to add nothing BEYOND its own footer
+    # read (the r4 form ran the whole count aggregation eagerly here)
+    n0 = len(tracker.getJobIdsForGroup(None))
+    spark.read.parquet(f"{sf}/documents.parquet")
+    n1 = len(tracker.getJobIdsForGroup(None))
+    textstats.unigram_logprob(spark, sf)  # construction only
+    n2 = len(tracker.getJobIdsForGroup(None))
+    assert n2 - n1 <= n1 - n0, "construction ran an aggregation job"
+    assert textstats.unigram_logprob(spark, sf).collect() == []
+
+
+def test_persist_and_precomputed_paths_agree(spark, tmp_path):
+    """The persist=True and precomputed-counts paths of the
+    twice-scanned pipelines are pure execution-shape knobs — results
+    must be bit-identical to the default path (non-vacuously)."""
+    sf = _mini_docs(spark, tmp_path, EDGE_DOCS)
+    from pyspark.sql import functions as F
+
+    from service1_text_extraction_spark.functions import textstats
+
+    base = sorted(
+        map(tuple, textstats.unigram_logprob(spark, sf).collect())
+    )
+    pers = sorted(
+        map(
+            tuple,
+            textstats.unigram_logprob(spark, sf, persist=True).collect(),
+        )
+    )
+    tok = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.explode(F.expr(textstats._TOKENS)).alias("w")
+    )
+    pre = tok.groupBy("w").agg(F.count("*").alias("c"))
+    supplied = sorted(
+        map(
+            tuple,
+            textstats.unigram_logprob(spark, sf, counts=pre).collect(),
+        )
+    )
+    assert base == pers == supplied and base
+
+    d_base = sorted(map(tuple, textstats.dsir_weights(spark, sf).collect()))
+    d_pers = sorted(
+        map(tuple, textstats.dsir_weights(spark, sf, persist=True).collect())
+    )
+    assert d_base == d_pers and d_base
+    spark.catalog.clearCache()
+
+
+def _mini_emb(spark, tmp_path, rows):
+    """Write an embeddings.parquet shaped like the driver testdata."""
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    return out
+
+
+def test_knn_join_zero_norm_parity(spark, tmp_path):
+    """ADVICE r4: a zero-norm embedding's cosine is NULL in Spark
+    (dropped by the >= -1.0 filter) but -1.0 in DuckDB — the oracle
+    must exclude zero-norm sides so both engines agree that such a
+    vector emits and receives NO neighbor rows."""
+    import math
+
+    from service1_text_extraction_spark.functions import similarity
+
+    dim = 4
+    rows = []
+    for v in range(12):
+        ang = v * 0.5
+        rows.append(
+            (
+                v,
+                [
+                    float(math.cos(ang)),
+                    float(math.sin(ang)),
+                    float(0.1 * v),
+                    1.0,
+                ],
+                f"l{v % 3}",
+            )
+        )
+    rows.append((12, [0.0] * dim, "l0"))  # the zero-norm vector
+    sf = _mini_emb(spark, tmp_path, rows)
+
+    got = similarity.knn_join(spark, sf).collect()
+    ids_touched = {r.vec_id for r in got} | {r.nn_id for r in got}
+    assert got, "vacuous: no neighbor rows at all"
+    assert 12 not in ids_touched, got  # zero-norm emits/receives none
+    _assert_parity(spark, sf, "knn_join")
 
 
 def test_verified_pairs_non_ascii_and_empty(spark, tmp_path):

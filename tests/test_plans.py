@@ -244,6 +244,33 @@ def test_capped_buckets_cap_precedes_collect(spark):
     assert out == {"ok": [1, 2]}
 
 
+def test_capped_buckets_semijoin_strategy(spark):
+    """The selectable "semijoin" cap shape (BENCH/capped_ab_*.json)
+    must keep the same safety property — the n_members size gate runs
+    BELOW collect_list, via a LEFT SEMI join against the hash-agg'd
+    bucket sizes — and agree bit-for-bit with the window default."""
+    rows = [("mega", i) for i in range(500)] + [
+        ("ok", 1), ("ok", 2), ("single", 9),
+    ]
+    df = spark.createDataFrame(rows, "shingle string, doc_id int")
+    capped = dedup._capped_buckets(
+        df, ["shingle"], "doc_id", cap=100, strategy="semijoin"
+    )
+    plan = _plan(capped)
+    assert "LeftSemi" in plan, plan
+    # the size filter sits on the semi-join's build side, so it is
+    # evaluated before any collect_list buffer can form
+    m_filter = re.search(r"\((\d+)\) Filter", plan)
+    m_coll = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) (?:Object|Sort)?(?:Hash)?Aggregate", plan)
+        if "collect_list" in plan.split(f"({m.group(1)}) ")[1].split("\n\n")[0]
+    ]
+    assert m_filter and m_coll and int(m_filter.group(1)) < min(m_coll), plan
+    out = {r.shingle: r.ids for r in capped.collect()}
+    assert out == {"ok": [1, 2]}
+
+
 def test_capped_buckets_in_neardup_pipelines(spark, sf_dir):
     """Every bucket-pair pipeline routes through the pre-collect cap:
     the plan of each candidate generator must carry the window count
@@ -256,6 +283,21 @@ def test_capped_buckets_in_neardup_pipelines(spark, sf_dir):
         similarity.semantic_dedup,
     ):
         assert _window_below_collect(_plan(q(spark, sf_dir))), q.__name__
+
+
+def test_twice_scanned_pipelines_persist_knob(spark, sf_dir):
+    """VERDICT r4 item 5: unigram_logprob and dsir_weights re-derive
+    an intermediate across their two passes; persist=True must route
+    the second pass through the cache (InMemoryTableScan in the plan)
+    so the corpus aggregation executes once at scale."""
+    from service1_text_extraction_spark.functions import textstats
+
+    for q in (textstats.unigram_logprob, textstats.dsir_weights):
+        plan = _plan(q(spark, sf_dir, persist=True))
+        assert (
+            "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+        ), (q.__name__, plan)
+    spark.catalog.clearCache()
 
 
 def test_large_k_assignment_broadcasts_centroids(spark):

@@ -171,7 +171,7 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert got.n == len(t) and got.nd == len(t)
 
 
-def test_stream_admit_matches_batch(spark, tmp_path):
+def test_stream_admit_matches_batch(spark, tmp_path, sf_dir):
     """The streaming admission gate must admit exactly the documents
     the batch predicate admits, regardless of how the corpus is split
     across micro-batches (every gate is stateless per-row)."""
@@ -187,7 +187,6 @@ def test_stream_admit_matches_batch(spark, tmp_path):
     src = str(tmp_path / "docs_in")
     out = str(tmp_path / "admitted")
     ck = str(tmp_path / "ck")
-    sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # 8 files at 2 files/trigger -> at least 4 real micro-batches
     docs.repartition(8).write.mode("overwrite").parquet(src)
