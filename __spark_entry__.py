@@ -79,6 +79,16 @@ _GOLDEN_DIR = "/root/repo/tests/data"
 _GOLDEN_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _q_source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 file listing (file_operations.py:127-157) over a PINNED scan
+    dir (sf_dir intentionally unused — the golden-oracle precedent):
+    ``input_file_name()`` is scan metadata DuckDB's registered views
+    cannot see, but reading the same parquet with ``filename=true``
+    CAN — so since r5 this query is hash-gated instead of rows-only
+    (VERDICT r4 item 8)."""
+    return relational.source_files(spark, _GOLDEN_SF_DIR)
+
+
 def _q_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/S7 doc sink (core_pdf_processor.py:809-821), hash-gated:
     per-document full-text md5 + metric rollup vs the frozen golden."""
@@ -152,7 +162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": similarity.kmeans_assign,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
-        "ann_cosine_topk": similarity.cosine_topk,
         "neardup_cosine_pairs": similarity.cosine_neardup_pairs,
         "ann_lsh_topk": similarity.lsh_ann_topk,
         "ann_ivf_topk": similarity.ivf_ann_topk,
@@ -171,7 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
         "json_sanitize": jsonfuncs.json_sanitize,
-        "source_files": relational.source_files,
+        "source_files": _q_source_files,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "normalize_ws_sql": textstats.normalize_ws_sql,
         "chunk_counts": textstats.chunk_counts,
@@ -196,10 +205,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": similarity.knn_join,
         "unigram_logprob": textstats.unigram_logprob,
         "dedup_verified_pairs": dedup.minhash_verified_pairs,
+        # --- round-5 additions (ann_cosine_topk, hash-green r1-r4,
+        #     rotated to the tail to keep these inside the 50-cap) ----
+        "knn_join_multiprobe": similarity.knn_join_multiprobe,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "pending_filter": relational.pending_filter,
+        "ann_cosine_topk": similarity.cosine_topk,
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_candidates": dedup.minhash_band_candidates,
         "dedup_minhash_clusters": dedup.minhash_clusters,
@@ -397,6 +410,51 @@ _C4_CTES = (
         "'" + c.replace("'", "''") + "'" for c in textstats.C4_TERMINAL
     )
     + ") AND NOT contains(line, 'javascript')) AS kept FROM cly)"
+)
+
+
+# Gopher full-App.-A1 signal pipeline (mirrors textstats._gopher_sig_sql
+# over text + tokens t + raw pseudo-lines L): ONE SQL definition feeds
+# the gopher_quality oracle AND the admit_corpus composite. The
+# symbol/bullet/ellipsis rules compare exact integer counts (10*n <= m),
+# never a rounded division — identical to the Spark pass flag.
+_GOPHER_CTES = (
+    "gb AS (SELECT doc_id, text,"
+    " list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+    " x -> x <> '') AS t FROM documents),"
+    " gl AS (SELECT doc_id, list_transform(generate_series(0,"
+    f" CAST(floor((len(t) - 1) / {textstats.LINE_TOKENS}.0) AS INT)),"
+    f" i -> array_to_string(t[i * {textstats.LINE_TOKENS} + 1 :"
+    f" i * {textstats.LINE_TOKENS} + {textstats.LINE_TOKENS}], ' '))"
+    " AS L FROM gb),"
+    " gm AS (SELECT gb.doc_id, len(t) AS n_words,"
+    " round(list_sum(list_transform(t, x -> length(x)))::DOUBLE"
+    " / len(t), 4) AS mean_word_len,"
+    " round(len(list_filter(t, x -> regexp_matches(x,"
+    " '[a-z]')))::DOUBLE / len(t), 4) AS alpha_word_frac,"
+    f" len(list_filter(t, x -> x IN ({_STOP_SQL['en']})))"
+    " AS n_stop_hits,"
+    " len(regexp_extract_all(text, '#')) AS n_hash,"
+    f" len(regexp_extract_all(text, '{textstats._ELLIPSIS_RE}'))"
+    " AS n_ellipsis,"
+    " len(L) AS n_lines,"
+    " len(list_filter(L, l -> regexp_matches(l,"
+    f" '{textstats._BULLET_RE}'))) AS n_bullet_lines,"
+    " len(list_filter(L, l -> regexp_matches(l,"
+    f" '{textstats._ELLIPSIS_END_RE}'))) AS n_ellipsis_lines"
+    " FROM gb JOIN gl USING (doc_id))"
+)
+_GOPHER_PASS_WHERE = (
+    f"n_words BETWEEN {textstats.GOPHER_MIN_WORDS} AND"
+    f" {textstats.GOPHER_MAX_WORDS}"
+    f" AND mean_word_len BETWEEN {textstats.GOPHER_MIN_MEAN_WLEN}"
+    f" AND {textstats.GOPHER_MAX_MEAN_WLEN}"
+    f" AND alpha_word_frac >= {textstats.GOPHER_MIN_ALPHA_FRAC}"
+    f" AND n_stop_hits >= {textstats.GOPHER_MIN_STOP_HITS}"
+    " AND 10 * n_hash <= n_words"
+    " AND 10 * n_ellipsis <= n_words"
+    " AND 10 * n_bullet_lines <= 9 * n_lines"
+    " AND 10 * n_ellipsis_lines <= 3 * n_lines"
 )
 
 
@@ -755,6 +813,40 @@ def oracle_sql() -> dict[str, str]:
             " SELECT a_id AS vec_id, CAST(rank AS INT) AS rank,"
             f" b_id AS nn_id, cos FROM rk WHERE rank <= {similarity.KNN_K}"
         ),
+        # mirrors similarity.knn_join_multiprobe: index = primary
+        # k-means list (capped, n_min=1 — a singleton bucket still
+        # serves foreign probes), query side probes its KNN_PROBES
+        # nearest lists (same dot + tie rule as assignment), zero-norm
+        # sides excluded (Spark's NULL-cosine drop)
+        "knn_join_multiprobe": (
+            f"WITH {_KM_CTES},"
+            " asgp AS (SELECT vec_id, list_id FROM (SELECT e.vec_id,"
+            " c.list_id, row_number() OVER (PARTITION BY e.vec_id ORDER"
+            " BY list_inner_product(e.embedding::DOUBLE[], c.centroid)"
+            f" DESC, c.list_id) AS rn FROM embeddings e, {_KM_FINAL} c)"
+            f" WHERE rn <= {similarity.KNN_PROBES}),"
+            f" asg1 AS ({_KM_ASSIGN}),"
+            " capped AS (SELECT list_id FROM asg1 GROUP BY list_id"
+            f" HAVING count(*) BETWEEN 1 AND {similarity.SEM_MAX_CLUSTER}),"
+            " cand AS (SELECT p.vec_id AS a_id, i.vec_id AS b_id"
+            " FROM asgp p JOIN asg1 i ON i.list_id = p.list_id"
+            " JOIN capped c ON c.list_id = p.list_id"
+            " WHERE p.vec_id <> i.vec_id),"
+            " sc AS (SELECT a_id, b_id,"
+            " round(list_cosine_similarity(ea.embedding::DOUBLE[],"
+            " eb.embedding::DOUBLE[]), 4) AS cos"
+            " FROM cand JOIN embeddings ea ON ea.vec_id = a_id"
+            " JOIN embeddings eb ON eb.vec_id = b_id"
+            " WHERE list_inner_product(ea.embedding::DOUBLE[],"
+            " ea.embedding::DOUBLE[]) > 0"
+            " AND list_inner_product(eb.embedding::DOUBLE[],"
+            " eb.embedding::DOUBLE[]) > 0),"
+            " rk AS (SELECT a_id, b_id, cos, row_number() OVER"
+            " (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank"
+            " FROM sc)"
+            " SELECT a_id AS vec_id, CAST(rank AS INT) AS rank,"
+            f" b_id AS nn_id, cos FROM rk WHERE rank <= {similarity.KNN_K}"
+        ),
         # SemDeDup removal policy: transitive closure (recursive CTE)
         # over the same edge SQL as semantic_dedup; keeper = component
         # min, mirroring the Spark min-label propagation fixpoint
@@ -844,27 +936,25 @@ def oracle_sql() -> dict[str, str]:
             " length(top_bigram) / n_chars, 4) AS top_bigram_char_frac"
             " FROM ls JOIN top ON ls.doc_id = top.doc_id"
         ),
-        # mirrors textstats.gopher_quality: published Gopher thresholds
-        # over the same signals; passes evaluated on the ROUNDED values
-        # exactly as the Spark side does
+        # mirrors textstats.gopher_quality: the FULL published App. A1
+        # rule set over the shared signal CTEs; legacy rules evaluate
+        # on the ROUNDED values, the r5 symbol/bullet/ellipsis rules on
+        # exact integer counts — exactly as the Spark side does
         "gopher_quality": (
-            f"WITH {_TOKS_CTE},"
-            " m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,"
-            " round(list_sum(list_transform(t, x -> length(x)))::DOUBLE"
-            " / len(t), 4) AS mean_word_len,"
-            " round(len(list_filter(t, x -> regexp_matches(x,"
-            " '[a-z]')))::DOUBLE / len(t), 4) AS alpha_word_frac,"
-            f" CAST(len(list_filter(t, x -> x IN ({_STOP_SQL['en']})))"
-            " AS BIGINT) AS n_stop_hits FROM toks)"
-            " SELECT doc_id, n_words, mean_word_len, alpha_word_frac,"
-            " n_stop_hits, CAST(CASE WHEN n_words BETWEEN"
-            f" {textstats.GOPHER_MIN_WORDS} AND"
-            f" {textstats.GOPHER_MAX_WORDS}"
-            f" AND mean_word_len BETWEEN {textstats.GOPHER_MIN_MEAN_WLEN}"
-            f" AND {textstats.GOPHER_MAX_MEAN_WLEN}"
-            f" AND alpha_word_frac >= {textstats.GOPHER_MIN_ALPHA_FRAC}"
-            f" AND n_stop_hits >= {textstats.GOPHER_MIN_STOP_HITS}"
-            " THEN 1 ELSE 0 END AS BIGINT) AS passes FROM m"
+            f"WITH {_GOPHER_CTES}"
+            " SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,"
+            " mean_word_len, alpha_word_frac,"
+            " CAST(n_stop_hits AS BIGINT) AS n_stop_hits,"
+            " round(n_hash / nullif(n_words, 0)::DOUBLE, 4)"
+            " AS hash_word_ratio,"
+            " round(n_ellipsis / nullif(n_words, 0)::DOUBLE, 4)"
+            " AS ellipsis_word_ratio,"
+            " round(n_bullet_lines / nullif(n_lines, 0)::DOUBLE, 4)"
+            " AS bullet_line_frac,"
+            " round(n_ellipsis_lines / nullif(n_lines, 0)::DOUBLE, 4)"
+            " AS ellipsis_line_frac,"
+            f" CAST(CASE WHEN {_GOPHER_PASS_WHERE}"
+            " THEN 1 ELSE 0 END AS BIGINT) AS passes FROM gm"
         ),
         # mirrors textstats.c4_line_stats: same pseudo-lines, the same
         # deterministic punctuation fixture (md5(doc_id:i) buckets),
@@ -886,21 +976,8 @@ def oracle_sql() -> dict[str, str]:
         # independently verified admission oracles (gopher pass, C4
         # page keep, mixture keep, exact-dedup keeper) + split label
         "admit_corpus": (
-            f"WITH {_TOKS_CTE}, {_C4_CTES},"
-            " g AS (SELECT doc_id FROM (SELECT doc_id,"
-            " len(t) AS n_words,"
-            " round(list_sum(list_transform(t, x -> length(x)))::DOUBLE"
-            " / len(t), 4) AS mwl,"
-            " round(len(list_filter(t, x -> regexp_matches(x,"
-            " '[a-z]')))::DOUBLE / len(t), 4) AS awf,"
-            f" len(list_filter(t, x -> x IN ({_STOP_SQL['en']})))"
-            " AS ns FROM toks) m"
-            f" WHERE n_words BETWEEN {textstats.GOPHER_MIN_WORDS} AND"
-            f" {textstats.GOPHER_MAX_WORDS}"
-            f" AND mwl BETWEEN {textstats.GOPHER_MIN_MEAN_WLEN} AND"
-            f" {textstats.GOPHER_MAX_MEAN_WLEN}"
-            f" AND awf >= {textstats.GOPHER_MIN_ALPHA_FRAC}"
-            f" AND ns >= {textstats.GOPHER_MIN_STOP_HITS}),"
+            f"WITH {_GOPHER_CTES}, {_C4_CTES},"
+            f" g AS (SELECT doc_id FROM gm WHERE {_GOPHER_PASS_WHERE}),"
             " c4k AS (SELECT doc_id FROM clz GROUP BY doc_id"
             " HAVING sum(CASE WHEN kept THEN 1 ELSE 0 END) >="
             f" {textstats.C4_MIN_KEPT_LINES}"
@@ -1279,6 +1356,15 @@ def oracle_sql() -> dict[str, str]:
             " ELSE 'train' END AS split"
             " FROM b"
         ),
+        # mirrors _q_source_files: the same pinned parquet read with
+        # filename=true stands in for input_file_name() (Spark's URI
+        # and DuckDB's path share the basename)
+        "source_files": (
+            "SELECT regexp_extract(filename, '([^/]+)$', 1) AS"
+            " file_name, count(*)::BIGINT AS n_rows FROM read_parquet("
+            f"'{_GOLDEN_SF_DIR}/documents.parquet', filename=true)"
+            " GROUP BY file_name"
+        ),
         "clean_unicode_sql": _clean_unicode_oracle_sql(),
         "normalize_ws_sql": (
             "SELECT doc_id, trim(regexp_replace("
@@ -1287,12 +1373,12 @@ def oracle_sql() -> dict[str, str]:
             + _sql_str("\n\nz  ")
             + r", '\s+', ' ', 'g')) AS normalized FROM documents"
         ),
-        # Remaining rows-only (no oracle) keys, all kernel-backed or
-        # metadata-dependent: extract_turns / assemble_docs /
-        # extract_metrics / layout_text (the from-scratch PDF+HTML
-        # extraction kernels are not SQL-expressible; their correctness
-        # gate is the golden-fixture pytest suite) and source_files
-        # (input_file_name() metadata is invisible to the DuckDB views).
+        # Remaining rows-only (no oracle) key: extract_turns — the
+        # sf_dir-scale extraction soak whose golden subset IS
+        # hash-verified via extract_turns_golden (the from-scratch
+        # PDF+HTML kernels are not SQL-expressible at arbitrary scale;
+        # their correctness gate is the frozen-golden queries plus the
+        # golden-fixture pytest suite).
     }
     # curate_corpus = the JOIN of four already-verified oracles, so the
     # composed pipeline is hash-checked end to end (mirrors

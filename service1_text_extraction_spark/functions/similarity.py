@@ -612,6 +612,153 @@ def semantic_keepers(
 
 
 KNN_K = 3  # neighbors per vector
+KNN_PROBES = 2  # multi-probe default: lists searched per query vector
+
+
+def _probe_lists(
+    spark: SparkSession,
+    e: DataFrame,
+    centroids: list[list[float]],
+    probes: int,
+) -> DataFrame:
+    """``e`` (vec_id, embedding) -> (vec_id, list_id): each vector's
+    ``probes`` nearest centroids under the house dot + tie rule
+    (highest dot, then lowest list id — identical to ``_assigned``, so
+    probes=1 reproduces the primary assignment bit-for-bit).
+
+    Small k: a pure per-row projection — k scored structs, array_sort
+    (nd = -dot ascending == dot descending, then list_id), slice P,
+    explode. Zero shuffle, zero join. Large k (> ASSIGN_BROADCAST_K):
+    broadcast the centroid TABLE and take row_number <= P over the
+    per-vector scored rows — one bounded window per vector, the same
+    Catalyst-blowup guard as ``_assigned``."""
+    if len(centroids) > ASSIGN_BROADCAST_K:
+        from pyspark.sql import Window
+
+        cdf = spark.createDataFrame(
+            [
+                (li, [float(x) for x in c])
+                for li, c in enumerate(centroids)
+            ],
+            "list_id int, centroid array<double>",
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), F.col("centroid"),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d").desc(), F.col("list_id")
+        )
+        return (
+            e.join(F.broadcast(cdf))
+            .select("vec_id", "list_id", dot.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= probes)
+            .select("vec_id", "list_id")
+        )
+    structs = []
+    for li, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), arr,
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        structs.append(
+            F.struct((-dot).alias("nd"), F.lit(li).alias("list_id"))
+        )
+    probed = F.slice(F.array_sort(F.array(*structs)), 1, probes)
+    return e.select(
+        "vec_id", F.explode(probed).alias("p")
+    ).select("vec_id", F.col("p.list_id").cast("int").alias("list_id"))
+
+
+def knn_join_multiprobe(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_K,
+    probes: int = KNN_PROBES,
+) -> DataFrame:
+    """Multi-probe upgrade of ``knn_join`` (VERDICT r4 item 3): every
+    vector is INDEXED in its primary k-means list, but QUERIES its
+    ``probes`` nearest lists — the standard IVF multi-probe recall
+    recovery: neighbors just across a quantization boundary become
+    visible without widening any cluster. probes=1 degenerates to the
+    single-probe candidate set; recall@k grows monotonically with
+    ``probes`` (pinned by test_multiprobe_recall_improves against a
+    brute-force numpy oracle).
+
+    Scale shape: index buckets are the capped primary-assignment
+    arrays (cap BEFORE collect, same machinery as semantic_dedup but
+    n_min=1 — a singleton bucket still serves OTHER vectors probing
+    it); the probe table is `probes` rows per vector from a pure
+    per-row projection (zero shuffle at driver k); candidates form
+    only by probe-list join — never a global pairwise join — and each
+    (a, b) pair arises exactly once because b lives in exactly one
+    primary bucket (no distinct needed). Per-query cost is
+    probes x cluster_size, the IVF knob. Zero-norm embeddings drop
+    (NULL cosine; the oracle excludes them explicitly)."""
+    from pyspark.sql import Window
+
+    from .dedup import _capped_buckets
+
+    cents = _kmeans_centroids(spark, sf_dir)
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", _norm("embedding").alias("nrm")
+    )
+    ev = e.select("vec_id", "embedding")
+    probe = _probe_lists(spark, ev, cents, probes)
+    primary = _probe_lists(spark, ev, cents, 1)
+    buckets = _capped_buckets(
+        primary, ["list_id"], "vec_id", SEM_MAX_CLUSTER, n_min=1
+    )
+    cand = (
+        probe.join(buckets, "list_id")
+        .select(
+            F.col("vec_id").alias("a_id"), F.explode("ids").alias("b_id")
+        )
+        .where(F.col("a_id") != F.col("b_id"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                _dot("ea", "eb") / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
+        )
+        .where(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("b_id").alias("nn_id"),
+            "cos",
+        )
+    )
 
 
 def knn_join(

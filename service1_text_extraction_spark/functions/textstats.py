@@ -346,6 +346,18 @@ GOPHER_MIN_MEAN_WLEN = 3.0
 GOPHER_MAX_MEAN_WLEN = 10.0
 GOPHER_MIN_ALPHA_FRAC = 0.80
 GOPHER_MIN_STOP_HITS = 2
+# The remaining published App. A1 thresholds (VERDICT r4 item 7):
+# symbol-to-word ratio > 0.1 for either '#' or ellipsis rejects; more
+# than 90% of lines starting with a bullet or more than 30% ending
+# with an ellipsis rejects. The PASS flag evaluates these as exact
+# integer comparisons (10*count <= size etc.) so neither engine ever
+# rounds inside the predicate; the reported ratio columns round 4dp.
+GOPHER_MAX_SYMBOL_RATIO = 0.1   # per symbol kind ('#', ellipsis)
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+_ELLIPSIS_RE = "[.]{3}|…"   # '...' or the one-char ellipsis
+_BULLET_RE = "^[-*•]"       # line starts with -, *, or bullet
+_ELLIPSIS_END_RE = "([.]{3}|…)$"
 
 
 def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,11 +449,24 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_lines_sql() -> str:
+    """Spark SQL: the RAW pseudo-line array over a materialized token
+    column ``t`` (the gopher_repetition derivation — no C4 fixture
+    suffixes; the bullet/ellipsis line rules read real line content)."""
+    return (
+        f"transform({_line_starts_sql()}, i -> concat_ws(' ',"
+        f" slice(t, i * {LINE_TOKENS} + 1, {LINE_TOKENS})))"
+    )
+
+
 def _gopher_sig_sql() -> dict[str, str]:
-    """The four Gopher quality signals as Spark SQL over a token
-    array bound to the name ``t`` — the ONE definition
-    gopher_quality, gopher_pass_sql, and the admission composite all
-    derive from."""
+    """The Gopher quality signals (full App. A1 set) as Spark SQL over
+    ``text``, a token array bound to ``t``, and the pseudo-line array
+    bound to ``L`` (materialize ``_gopher_lines_sql()`` ONCE per row
+    before evaluating these — the lambda-inlining trap) — the ONE
+    definition gopher_quality, gopher_pass_sql, and the admission
+    composite all derive from. The count signals are exact integers;
+    ratio COLUMNS are derived (rounded) from them in gopher_quality."""
     words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     return {
         "n_words": "size(t)",
@@ -454,18 +479,36 @@ def _gopher_sig_sql() -> dict[str, str]:
             " / cast(size(t) as double), 4)"
         ),
         "n_stop_hits": f"size(filter(t, x -> x in ({words})))",
+        "n_hash": "size(regexp_extract_all(text, '#', 0))",
+        "n_ellipsis": (
+            f"size(regexp_extract_all(text, '{_ELLIPSIS_RE}', 0))"
+        ),
+        "n_lines": "size(L)",
+        "n_bullet_lines": (
+            f"size(filter(L, l -> l rlike '{_BULLET_RE}'))"
+        ),
+        "n_ellipsis_lines": (
+            f"size(filter(L, l -> l rlike '{_ELLIPSIS_END_RE}'))"
+        ),
     }
 
 
 def gopher_signal_cols() -> dict[str, F.Column]:
-    """Column form of the Gopher signals (over a materialized token
-    column ``t``)."""
+    """Column form of the Gopher signals (over materialized ``text``,
+    token column ``t``, and line column ``L``)."""
     return {n: F.expr(s) for n, s in _gopher_sig_sql().items()}
 
 
+# The pass rule over the NAMED count/signal columns. The new App. A1
+# rules compare exact integer counts (never a rounded division):
+#   10 * n_hash        <= n_words   <=>  hash ratio     <= 0.1
+#   10 * n_ellipsis    <= n_words   <=>  ellipsis ratio <= 0.1
+#   10 * n_bullet_lines   <= 9 * n_lines  <=>  bullet frac   <= 0.9
+#   10 * n_ellipsis_lines <= 3 * n_lines  <=>  ellipsis frac <= 0.3
 def gopher_pass_expr() -> F.Column:
-    """The published Gopher thresholds over the NAMED signal columns
-    (evaluated on the rounded values, as the oracle does)."""
+    """The published Gopher App. A1 thresholds over the NAMED signal
+    columns (legacy rules on the rounded values, as the oracle does;
+    the r5 symbol/bullet/ellipsis rules on exact integer counts)."""
     return (
         F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
         & F.col("mean_word_len").between(
@@ -473,14 +516,26 @@ def gopher_pass_expr() -> F.Column:
         )
         & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC)
         & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
+        & (10 * F.col("n_hash") <= F.col("n_words"))
+        & (10 * F.col("n_ellipsis") <= F.col("n_words"))
+        & (10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines"))
+        & (10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines"))
     )
 
 
 def gopher_pass_sql() -> str:
-    """The Gopher admission predicate as one SQL boolean over a token
-    array bound to ``t`` — composable inside a lambda scope (see
-    curate.admit_corpus's let-binding)."""
+    """The full Gopher admission predicate as one SQL boolean over
+    ``text`` plus a token array bound to ``t`` — composable inside a
+    lambda scope (curate.admit_corpus's let-binding). The line-level
+    rules get their OWN let-binding (``transform(array(<lines>),
+    L -> ...)[0]``) so the line array materializes exactly once even
+    inside a pushed-down Filter."""
     s = _gopher_sig_sql()
+    line_rules = (
+        f"transform(array({_gopher_lines_sql()}), L ->"
+        f" 10 * {s['n_bullet_lines']} <= 9 * {s['n_lines']}"
+        f" and 10 * {s['n_ellipsis_lines']} <= 3 * {s['n_lines']})[0]"
+    )
     return (
         f"{s['n_words']} between {GOPHER_MIN_WORDS} and"
         f" {GOPHER_MAX_WORDS}"
@@ -488,29 +543,46 @@ def gopher_pass_sql() -> str:
         f" {GOPHER_MAX_MEAN_WLEN}"
         f" and {s['alpha_word_frac']} >= {GOPHER_MIN_ALPHA_FRAC}"
         f" and {s['n_stop_hits']} >= {GOPHER_MIN_STOP_HITS}"
+        f" and 10 * {s['n_hash']} <= {s['n_words']}"
+        f" and 10 * {s['n_ellipsis']} <= {s['n_words']}"
+        f" and {line_rules}"
     )
 
 
 def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher quality rules per document (word-count bounds, mean word
-    length bounds, alphabetic-word fraction, minimum stopword hits)
-    with the published thresholds and a combined pass flag — the
-    standard pretraining admission gate. One scan, one projection per
-    signal, token array materialized once."""
+    """Gopher quality rules per document — the FULL published App. A1
+    set (word-count bounds, mean word length bounds, alphabetic-word
+    fraction, minimum stopword hits, '#'/ellipsis symbol-to-word
+    ratios, bullet-start and ellipsis-end line fractions) with a
+    combined pass flag — the standard pretraining admission gate.
+    One scan; the token array and pseudo-line array each materialize
+    once per row in their own projections; zero shuffles."""
     toks = _docs(spark, sf_dir).select(
-        "doc_id", F.expr(_TOKENS).alias("t")
-    )
+        "doc_id", "text", F.expr(_TOKENS).alias("t")
+    ).withColumn("L", F.expr(_gopher_lines_sql()))
     sig = toks.select(
         "doc_id",
         *[c.alias(n) for n, c in gopher_signal_cols().items()],
     )
     passes = gopher_pass_expr()
+    nl = F.nullif(F.col("n_lines").cast("double"), F.lit(0.0))
+    nw = F.nullif(F.col("n_words").cast("double"), F.lit(0.0))
     return sig.select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
         "mean_word_len",
         "alpha_word_frac",
         F.col("n_stop_hits").cast("long").alias("n_stop_hits"),
+        F.round(F.col("n_hash") / nw, 4).alias("hash_word_ratio"),
+        F.round(F.col("n_ellipsis") / nw, 4).alias(
+            "ellipsis_word_ratio"
+        ),
+        F.round(F.col("n_bullet_lines") / nl, 4).alias(
+            "bullet_line_frac"
+        ),
+        F.round(F.col("n_ellipsis_lines") / nl, 4).alias(
+            "ellipsis_line_frac"
+        ),
         passes.cast("long").alias("passes"),
     )
 

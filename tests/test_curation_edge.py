@@ -209,6 +209,48 @@ def test_admit_corpus_equals_gate_intersection(spark, sf_dir):
     assert len(admitted) > 0
 
 
+def test_gopher_a1_symbol_and_line_rules(spark, tmp_path):
+    """The r5 Gopher App. A1 completions must actually fire: docs that
+    clear every legacy gate but violate the '#' ratio, ellipsis ratio,
+    bullet-line fraction, or ellipsis-line fraction must fail the pass
+    flag in BOTH engines (the driver corpus never exercises these)."""
+    base_words = (
+        "the quick brown fox jumps over the lazy dog and then runs"
+        " far away with it for a while in the open field today"
+    ).split()  # 24 tokens, all legacy-gate friendly
+
+    def doc(extra=None, per_line_prefix=None, per_line_suffix=None):
+        toks = (base_words * 3)[:60]  # 60 tokens -> 6 pseudo-lines
+        if per_line_prefix is not None:
+            for i in range(0, 60, 10):
+                toks[i] = per_line_prefix + toks[i]
+        if per_line_suffix is not None:
+            for i in range(9, 60, 10):
+                toks[i] = toks[i] + per_line_suffix
+        return " ".join(toks) + (extra or "")
+
+    rows = [
+        (0, doc(), "en", "src0", 0),                        # clean: passes
+        (1, doc(extra=" " + "# " * 9), "en", "src1", 0),    # hash ratio
+        (2, doc(per_line_suffix="..."), "en", "src2", 0),   # ellipsis x2
+        (3, doc(per_line_prefix="-"), "en", "src3", 0),     # 6/6 bullets
+        (4, doc(per_line_suffix="…"), "en", "src4", 0),     # one-char …
+    ]
+    rows = [(i, t, lg, s, len(t)) for i, t, lg, s, _ in rows]
+    sf = _mini_docs(spark, tmp_path, rows)
+    from service1_text_extraction_spark.functions import textstats
+
+    got = {
+        r.doc_id: r for r in textstats.gopher_quality(spark, sf).collect()
+    }
+    assert got[0].passes == 1, got[0]
+    assert got[1].passes == 0 and got[1].hash_word_ratio > 0.1
+    assert got[2].passes == 0 and got[2].ellipsis_line_frac == 1.0
+    assert got[3].passes == 0 and got[3].bullet_line_frac == 1.0
+    assert got[4].passes == 0 and got[4].ellipsis_line_frac == 1.0
+    _assert_parity(spark, sf, "gopher_quality")
+
+
 def test_unigram_logprob_empty_corpus_and_laziness(spark, tmp_path):
     """ADVICE r4: unigram_logprob's totals must be lazy (no Spark job
     at plan-construction time) and an EMPTY corpus must yield an empty
@@ -312,6 +354,58 @@ def test_knn_join_zero_norm_parity(spark, tmp_path):
     assert got, "vacuous: no neighbor rows at all"
     assert 12 not in ids_touched, got  # zero-norm emits/receives none
     _assert_parity(spark, sf, "knn_join")
+
+
+def test_multiprobe_recall_improves(spark, sf_dir):
+    """VERDICT r4 item 3: probing more k-means lists must recover
+    recall lost to quantization boundaries. Ground truth is an exact
+    numpy brute-force top-k; probes=3 must strictly beat probes=1 on
+    the driver corpus, and probes=1 must reproduce single-probe
+    knn_join's pair set exactly."""
+    import numpy as np
+
+    from service1_text_extraction_spark.functions import similarity
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=float)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -np.inf)
+    k = similarity.KNN_K
+    true_nn = {}
+    for i, vid in enumerate(ids):
+        order = np.lexsort((ids, -S[i]))  # cos desc, then id asc
+        true_nn[int(vid)] = {int(ids[j]) for j in order[:k]}
+
+    def recall(df) -> float:
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r.vec_id, set()).add(r.nn_id)
+        hits = sum(
+            len(got.get(v, set()) & t) for v, t in true_nn.items()
+        )
+        return hits / (len(true_nn) * k)
+
+    r1 = recall(similarity.knn_join_multiprobe(spark, sf_dir, probes=1))
+    r3 = recall(similarity.knn_join_multiprobe(spark, sf_dir, probes=3))
+    assert r3 > r1, (r1, r3)
+
+    single = {
+        (r.vec_id, r.nn_id)
+        for r in similarity.knn_join(spark, sf_dir).collect()
+    }
+    mp1 = {
+        (r.vec_id, r.nn_id)
+        for r in similarity.knn_join_multiprobe(
+            spark, sf_dir, probes=1
+        ).collect()
+    }
+    assert mp1 == single
 
 
 def test_verified_pairs_non_ascii_and_empty(spark, tmp_path):
