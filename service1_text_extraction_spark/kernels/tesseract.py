@@ -1,0 +1,148 @@
+"""Tesseract-parity OCR wrapper (the production F5 hook).
+
+Ships the reference service's exact Tesseract configuration as a
+``payload.set_ocr_hook`` implementation for binary-equipped
+deployments. Reference constants, verbatim (cited so the parity is
+checkable):
+
+- 2x zoom raster: ``fitz.Matrix(2, 2)``
+  (core_pdf_processor.py:477) / ``zoom: float = 2.0``
+  (backend/core/pdf_service.py:126)
+- ``lang="eng"``, first pass ``--psm 6 --oem 3``
+  (core_pdf_processor.py:976-981)
+- retry with ``--psm 3 --oem 3`` when the first pass yields fewer
+  than 10 characters or garbage text (core_pdf_processor.py:986-994)
+- layout words below confidence 30 are skipped
+  (core_pdf_processor.py:521-523)
+- ``OCR_TIMEOUT_S`` bounds each binary invocation; the reference
+  bounds the surrounding HTTP request instead — a per-call bound is
+  the batch-job-safe equivalent (one stuck page must never pin an
+  executor core indefinitely).
+
+No OCR binary ships in this sandbox, so the wrapper composes from the
+in-tree pieces: page rasters come from the real image-XObject decode
+path (kernels/ocr.py — filter/decrypt chain included), travel to the
+binary as PNGs (kernels/png.py), and the quality retry applies the
+bit-exact in-tree garbage classifier (kernels/textnorm.is_garbage) —
+the same F4 gate the extraction pipeline itself uses, mirroring the
+reference's ``_is_garbage_text`` retry condition. The command-line
+contract is pinned by a stubbed-runner test; the real-binary test
+self-skips when ``tesseract`` is absent (tests/test_ocr.py).
+
+Cluster install (see payload.set_ocr_hook's worker-side note)::
+
+    run_extraction(..., ocr_hook=tesseract.HOOK_SPEC)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+
+from . import png as _png
+from .ocr import CELL_H, CELL_W  # noqa: F401  (raster geometry reuse)
+from .pdf import PdfDocument, Ref
+from .textnorm import is_garbage_text
+
+OCR_LANG = "eng"
+OCR_ZOOM = 2                      # 2x raster zoom (reference Matrix(2, 2))
+OCR_CONFIG_PRIMARY = "--psm 6 --oem 3"   # uniform block, default engine
+OCR_CONFIG_RETRY = "--psm 3 --oem 3"     # fully automatic segmentation
+OCR_MIN_TEXT_LEN = 10             # below this, the reference retries
+OCR_MIN_CONF = 30                 # layout words under this are skipped
+OCR_TIMEOUT_S = 300               # per-invocation binary bound
+
+HOOK_SPEC = "service1_text_extraction_spark.kernels.tesseract:tesseract_ocr"
+
+
+def tesseract_available() -> bool:
+    return shutil.which("tesseract") is not None
+
+
+def _run_binary(png_bytes: bytes, config: str) -> str:
+    """One ``tesseract <png> stdout -l eng <config>`` invocation."""
+    with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
+        f.write(png_bytes)
+        path = f.name
+    try:
+        out = subprocess.run(
+            ["tesseract", path, "stdout", "-l", OCR_LANG]
+            + config.split(),
+            capture_output=True,
+            timeout=OCR_TIMEOUT_S,
+            check=True,
+        )
+        return out.stdout.decode("utf-8", errors="replace")
+    finally:
+        os.unlink(path)
+
+
+def _zoom_raster(pixels: bytes, w: int, h: int, zoom: int) -> bytes:
+    """Nearest-neighbor upscale by an integer ``zoom`` — the batch
+    form of the reference's 2x render matrix (it re-renders vectors;
+    a decoded raster upscales)."""
+    if zoom == 1:
+        return pixels
+    out = bytearray(w * zoom * h * zoom)
+    ow = w * zoom
+    for y in range(h * zoom):
+        row = (y // zoom) * w
+        base = y * ow
+        for x in range(ow):
+            out[base + x] = pixels[row + x // zoom]
+    return bytes(out)
+
+
+def ocr_image(
+    pixels: bytes, w: int, h: int, runner=None
+) -> str:
+    """The reference's two-pass OCR over one grayscale raster:
+    2x zoom -> PSM 6 -> (short/garbage?) -> PSM 3 retry."""
+    run = runner or _run_binary
+    z = _zoom_raster(pixels, w, h, OCR_ZOOM)
+    png_bytes = _png.encode_png(w * OCR_ZOOM, h * OCR_ZOOM, z)
+    text = run(png_bytes, OCR_CONFIG_PRIMARY).strip()
+    if len(text) < OCR_MIN_TEXT_LEN or is_garbage_text(text):
+        text = run(png_bytes, OCR_CONFIG_RETRY).strip()
+    return text
+
+
+def tesseract_ocr(
+    pdf_bytes: bytes,
+    passwords: list[str] | None = None,
+    runner=None,
+) -> str:
+    """``payload.set_ocr_hook``-compatible entry point: locate every
+    8-bit gray /Image XObject (decoded through the document's real
+    filter/decrypt chain, candidate ``passwords`` included), run the
+    two-pass Tesseract config over each, concatenate page texts in
+    object order — the same document walk as kernels/ocr.glyph_ocr
+    with the glyph matcher swapped for the binary."""
+    if runner is None and not tesseract_available():
+        raise RuntimeError(
+            "tesseract binary not found; install it or use the"
+            " in-tree glyph OCR hook (kernels/ocr.py)"
+        )
+    doc = PdfDocument(pdf_bytes, passwords=passwords)
+    texts = []
+    for num in sorted(doc.objects):
+        obj = doc.objects[num]
+        if not isinstance(obj, dict) or obj.get("/Subtype") != "/Image":
+            continue
+        if obj.get("/ColorSpace") != "/DeviceGray":
+            continue
+        if doc.resolve(obj.get("/BitsPerComponent")) != 8:
+            continue
+        w = doc.resolve(obj.get("/Width"))
+        h = doc.resolve(obj.get("/Height"))
+        if not isinstance(w, int) or not isinstance(h, int):
+            continue
+        pixels = doc.stream_data(Ref(num, 0))
+        if len(pixels) != w * h:
+            continue
+        text = ocr_image(pixels, w, h, runner=runner)
+        if text:
+            texts.append(text)
+    return "\n".join(texts)

@@ -155,3 +155,78 @@ def test_ocr_skips_non_gray_images():
         resources_extra=" /XObject << /Im1 6 0 R >>",
     )
     assert ocr.glyph_ocr(data) == "\n".join(LINES[:3])
+
+
+# --------------------------------------------------------------------------
+# Tesseract-parity wrapper (kernels/tesseract.py, VERDICT r4 item 4):
+# the command-line contract is pinned with a stubbed runner (no binary
+# needed); the real-binary test self-skips when tesseract is absent.
+# --------------------------------------------------------------------------
+
+
+def test_tesseract_wrapper_contract_stubbed():
+    """The wrapper must issue the reference's exact two-pass config:
+    primary `--psm 6 --oem 3` at 2x zoom, lang eng; retry
+    `--psm 3 --oem 3` only when the primary result is short or
+    garbage (core_pdf_processor.py:976-994)."""
+    from service1_text_extraction_spark.kernels import png, tesseract
+
+    calls = []
+
+    def good_runner(png_bytes, config):
+        calls.append(config)
+        w, h, _ = png.decode_png(png_bytes)
+        # zoom contract: the PNG the binary sees is the 2x raster
+        assert (w, h) == (6 * tesseract.OCR_ZOOM, 5 * tesseract.OCR_ZOOM)
+        return "the quick brown fox jumps over it"
+
+    out = tesseract.ocr_image(bytes(30), 6, 5, runner=good_runner)
+    assert calls == [tesseract.OCR_CONFIG_PRIMARY]
+    assert out.startswith("the quick")
+
+    calls.clear()
+
+    def short_runner(png_bytes, config):
+        calls.append(config)
+        return "x" if config == tesseract.OCR_CONFIG_PRIMARY else "recovered text after retry"
+
+    out = tesseract.ocr_image(bytes(30), 6, 5, runner=short_runner)
+    assert calls == [
+        tesseract.OCR_CONFIG_PRIMARY,
+        tesseract.OCR_CONFIG_RETRY,
+    ]
+    assert out == "recovered text after retry"
+
+    # the cited constants themselves (parity check surface)
+    assert tesseract.OCR_LANG == "eng"
+    assert tesseract.OCR_ZOOM == 2
+    assert tesseract.OCR_MIN_CONF == 30
+    assert tesseract.OCR_MIN_TEXT_LEN == 10
+    assert tesseract.OCR_TIMEOUT_S == 300
+
+
+def test_tesseract_hook_walks_the_document_stubbed():
+    """tesseract_ocr must walk the same image-XObject/decrypt path as
+    glyph_ocr: a scanned PDF's raster reaches the runner and the
+    recovered text concatenates per image."""
+    from service1_text_extraction_spark.kernels import tesseract
+
+    data = pdfgen.build_scanned_pdf(LINES)
+
+    def runner(png_bytes, config):
+        return "PAGE TEXT FROM BINARY"
+
+    got = tesseract.tesseract_ocr(data, runner=runner)
+    assert got == "PAGE TEXT FROM BINARY"
+
+
+def test_tesseract_real_binary():
+    """End-to-end against an actual tesseract install (self-skips in
+    binary-less environments — the sandbox ships none)."""
+    from service1_text_extraction_spark.kernels import tesseract
+
+    if not tesseract.tesseract_available():
+        pytest.skip("tesseract binary not installed")
+    data = pdfgen.build_scanned_pdf(LINES)
+    got = tesseract.tesseract_ocr(data)
+    assert isinstance(got, str)

@@ -218,3 +218,52 @@ def test_stream_admit_matches_batch(spark, tmp_path, sf_dir):
     q2.awaitTermination(60)
     assert len(spark.read.parquet(out).collect()) == before
     shutil.rmtree(src)
+
+
+def test_compaction_matches_batch_admit(spark, tmp_path, sf_dir):
+    """VERDICT r4 item 6: stream_admit defers the GLOBAL exact-dedup
+    keeper decision; the compaction job over its batch_id= partitions
+    must close that gap — stream-then-compact over real multi-batch
+    output equals batch admit_corpus on the same corpus exactly."""
+    from service1_text_extraction_spark.functions import curate
+    from service1_text_extraction_spark.streaming.stream import (
+        compact_admitted,
+        stream_admit,
+    )
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "admitted")
+    ck = str(tmp_path / "ck")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    q = stream_admit(spark, src, out, ck, max_files_per_trigger=2)
+    q.awaitTermination(120)
+    assert (
+        spark.read.parquet(out).select("batch_id").distinct().count() >= 3
+    )
+
+    compacted = compact_admitted(
+        spark, out, sf_dir, str(tmp_path / "compacted")
+    )
+    assert "batch_id" not in compacted.columns
+    got = sorted(
+        (r.doc_id, r.split)
+        for r in compacted.select("doc_id", "split").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.split)
+        for r in curate.admit_corpus(spark, sf_dir).collect()
+    )
+    assert got == want and len(want) > 0
+
+    # compaction is idempotent: a rerun rewrites identical output
+    rerun = compact_admitted(
+        spark, out, sf_dir, str(tmp_path / "compacted")
+    )
+    assert (
+        sorted(
+            (r.doc_id, r.split)
+            for r in rerun.select("doc_id", "split").collect()
+        )
+        == got
+    )
