@@ -175,7 +175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": multimodal.png_decode,
         "multimodal_resize": multimodal.multimodal_resize,
         "wav_decode": multimodal.wav_decode,
-        "s3_uri_split": relational.s3_uri_split,
         "y4m_frames": multimodal.y4m_frames,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
@@ -205,14 +204,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": similarity.knn_join,
         "unigram_logprob": textstats.unigram_logprob,
         "dedup_verified_pairs": dedup.minhash_verified_pairs,
-        # --- round-5 additions (ann_cosine_topk, hash-green r1-r4,
-        #     rotated to the tail to keep these inside the 50-cap) ----
+        # --- round-5 additions (ann_cosine_topk + s3_uri_split, both
+        #     multi-round hash-green, rotated to the tail to keep
+        #     these inside the driver's 50-query cap) -----------------
         "knn_join_multiprobe": similarity.knn_join_multiprobe,
+        "ist_timestamp_format": relational.ist_timestamp_format,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "pending_filter": relational.pending_filter,
         "ann_cosine_topk": similarity.cosine_topk,
+        "s3_uri_split": relational.s3_uri_split,
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_candidates": dedup.minhash_band_candidates,
         "dedup_minhash_clusters": dedup.minhash_clusters,
@@ -1196,6 +1198,18 @@ def oracle_sql() -> dict[str, str]:
             " md5(repeat(chr(CAST(1 + (doc_id + i) % 127 AS INT)),"
             " CAST((w * h * 3) // 2 AS INT))) AS frame_md5,"
             " CAST((w * h * 3) // 2 AS BIGINT) AS n_bytes FROM f"
+        ),
+        # mirrors relational.ist_timestamp_format: the fixed +5:30
+        # interval shift and the three reference log formats
+        "ist_timestamp_format": (
+            "SELECT event_id,"
+            " strftime(ts + INTERVAL '330 minutes',"
+            " '%Y-%m-%d %H:%M:%S') || ' IST' AS ist_ts,"
+            " strftime(ts + INTERVAL '330 minutes',"
+            " '%Y-%m-%dT%H:%M:%S') || '+05:30' AS ist_iso,"
+            " '[' || strftime(ts + INTERVAL '330 minutes',"
+            " '%Y-%m-%d %H:%M:%S') || ' IST]' AS ist_compact"
+            " FROM events"
         ),
         # mirrors relational.s3_uri_split / reference _parse_s3_uri
         # (strip scheme, split on FIRST '/', strip '/' off the prefix)

@@ -138,6 +138,7 @@ def main() -> None:
         "vocab_oov": q(textstats.vocab_oov),
         "admit_corpus": q(curate.admit_corpus),
         "knn_join": q(similarity.knn_join),
+        "knn_join_multiprobe": q(similarity.knn_join_multiprobe),
         "unigram_logprob": q(textstats.unigram_logprob),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }

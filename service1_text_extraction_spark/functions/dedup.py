@@ -616,6 +616,7 @@ VERIFY_MAX_DIST_FRAC = 0.2  # verified near-dup: edit dist <= 20% of
 def minhash_verified_pairs(
     spark: SparkSession, sf_dir: str,
     max_dist_frac: float = VERIFY_MAX_DIST_FRAC,
+    banded: bool = False,
 ) -> DataFrame:
     """Candidate-then-VERIFY near-dup: the LSH band candidates
     (recall-oriented, approximate) verified by exact Levenshtein
@@ -631,6 +632,22 @@ def minhash_verified_pairs(
     exchange. The verify budget is |candidates| * O(len_a * len_b);
     MAX_BUCKET_DF is the knob that bounds it.
 
+    ``banded=True`` switches the DP to Spark 3.5+'s thresholded
+    levenshtein with the admitted boundary (plus slack) as the
+    per-pair band: a pair that cannot pass early-abandons with -1
+    instead of filling the full O(n*m) matrix. Results are
+    bit-identical (proven at 10x: 221,104 rows both ways; the slack
+    over-covers the 4dp round-boundary and any slack survivor fails
+    the exact filter). The band pays off only when most candidates
+    FAIL verification; on the near-dup-dense 10x replica corpus
+    ~99% of candidates pass, so banding measured no faster (339 s vs
+    281 s best-of — within this VM's drift) and the plain form stays
+    the default. BENCH/sf_scaling.json flags this query super-linear
+    at 10x because its work is Theta(candidates) and the replica
+    corpus carries 826x more near-dup candidates by construction —
+    a duplication-density property, not an algorithmic blowup;
+    MAX_BUCKET_DF is the knob that bounds it.
+
     Semantics notes: the distance is CHARACTER-based (Spark's
     levenshtein); DuckDB's levenshtein counts BYTES, so the oracle is
     value-exact on ASCII corpora (all driver corpora) and the Spark
@@ -642,7 +659,17 @@ def minhash_verified_pairs(
     d = _docs(spark, sf_dir).select("doc_id", "text")
     a = d.select(F.col("doc_id").alias("a_id"), F.col("text").alias("ta"))
     b = d.select(F.col("doc_id").alias("b_id"), F.col("text").alias("tb"))
-    lev = F.levenshtein("ta", "tb")
+    if banded:
+        # band = boundary + 1e-4*len + 2: the 4dp HALF_UP round
+        # admits lev/maxlen up to frac + 0.00005, so the slack term
+        # dominates the round-boundary at EVERY length; slack
+        # survivors fail the exact filter below
+        lev = F.expr(
+            f"levenshtein(ta, tb, cast(({max_dist_frac} + 1e-4) *"
+            " greatest(length(ta), length(tb), 1) + 2 as int))"
+        )
+    else:
+        lev = F.levenshtein("ta", "tb")
     frac = F.round(
         lev
         / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)),
@@ -657,5 +684,7 @@ def minhash_verified_pairs(
             lev.cast("long").alias("lev"),
             frac.alias("dist_frac"),
         )
-        .where(F.col("dist_frac") <= max_dist_frac)
+        .where(
+            (F.col("lev") >= 0) & (F.col("dist_frac") <= max_dist_frac)
+        )
     )

@@ -393,6 +393,31 @@ def rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ist_timestamp_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13 IST timestamp formatting (reference logging_utils.py:17-52):
+    the service stamps every log line in Indian Standard Time in three
+    formats — 'YYYY-MM-DD HH:MM:SS IST', ISO with '+05:30', and the
+    compact bracketed log prefix; here the same formats derive per
+    event row from its ``ts``. IST is a FIXED UTC+5:30 offset (no
+    DST), so the conversion is pure interval arithmetic — engine- and
+    tz-database-independent (a tz-aware deployment writes
+    ``from_utc_timestamp(ts, 'Asia/Kolkata')``, which is identical for
+    every instant since 1945). Scale shape: stateless per-row
+    projection, zero shuffle."""
+    ist = F.col("ts") + F.expr("INTERVAL 330 MINUTES")
+    stamp = F.concat(
+        F.date_format(ist, "yyyy-MM-dd HH:mm:ss"), F.lit(" IST")
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        stamp.alias("ist_ts"),
+        F.concat(
+            F.date_format(ist, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("+05:30")
+        ).alias("ist_iso"),
+        F.concat(F.lit("["), stamp, F.lit("]")).alias("ist_compact"),
+    )
+
+
 def s3_uri_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K11 full form: split ``s3://bucket/prefix`` URIs into bucket +
     prefix exactly as the reference's ``_parse_s3_uri``

@@ -430,6 +430,15 @@ def test_verified_pairs_non_ascii_and_empty(spark, tmp_path):
     }
     assert got.get((0, 1)) == (0, 0.0), got   # no NULL drop
     assert got.get((2, 3)) == (0, 0.0), got   # char-based, identical
+    # the banded (thresholded-DP) path is a pure execution knob:
+    # identical pairs and distances
+    banded = {
+        (r.a_id, r.b_id): (r.lev, r.dist_frac)
+        for r in dedup.minhash_verified_pairs(
+            spark, sf, banded=True
+        ).collect()
+    }
+    assert banded == got
     # char-based distance on genuinely different non-ASCII strings
     from pyspark.sql import functions as F
 
