@@ -621,10 +621,11 @@ def _probe_lists(
     centroids: list[list[float]],
     probes: int,
 ) -> DataFrame:
-    """``e`` (vec_id, embedding) -> (vec_id, list_id): each vector's
-    ``probes`` nearest centroids under the house dot + tie rule
-    (highest dot, then lowest list id — identical to ``_assigned``, so
-    probes=1 reproduces the primary assignment bit-for-bit).
+    """``e`` (vec_id, embedding) -> (vec_id, probe_rank, list_id):
+    each vector's ``probes`` nearest centroids under the house dot +
+    tie rule (highest dot, then lowest list id — identical to
+    ``_assigned``, so probe_rank 1 reproduces the primary assignment
+    bit-for-bit).
 
     Small k: a pure per-row projection — k scored structs, array_sort
     (nd = -dot ascending == dot descending, then list_id), slice P,
@@ -656,9 +657,9 @@ def _probe_lists(
         return (
             e.join(F.broadcast(cdf))
             .select("vec_id", "list_id", dot.alias("d"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= probes)
-            .select("vec_id", "list_id")
+            .withColumn("probe_rank", F.row_number().over(w))
+            .where(F.col("probe_rank") <= probes)
+            .select("vec_id", "probe_rank", "list_id")
         )
     structs = []
     for li, c in enumerate(centroids):
@@ -676,8 +677,12 @@ def _probe_lists(
         )
     probed = F.slice(F.array_sort(F.array(*structs)), 1, probes)
     return e.select(
-        "vec_id", F.explode(probed).alias("p")
-    ).select("vec_id", F.col("p.list_id").cast("int").alias("list_id"))
+        "vec_id", F.posexplode(probed).alias("pos", "p")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("probe_rank"),
+        F.col("p.list_id").cast("int").alias("list_id"),
+    )
 
 
 def knn_join_multiprobe(
@@ -704,10 +709,20 @@ def knn_join_multiprobe(
     (a, b) pair arises exactly once because b lives in exactly one
     primary bucket (no distinct needed). Per-query cost is
     probes x cluster_size, the IVF knob. Zero-norm embeddings drop
-    (NULL cosine; the oracle excludes them explicitly)."""
+    (NULL cosine; the oracle excludes them explicitly).
+
+    Cosine economy: the candidate set splits into PRIMARY pairs
+    (both sides share a primary cluster — symmetric by construction,
+    so each unordered pair's cosine computes ONCE and mirrors into
+    both directions, exactly knn_join's edge set) and FOREIGN probes
+    (rank >= 2 — inherently directed: a probing b's cluster does not
+    imply b probes a's). That removes a quarter of the cosine
+    evaluations at probes=2 vs scoring every directed candidate
+    (A/B in BENCH/BASELINE.md); results are bit-identical because
+    FP dot products commute elementwise."""
     from pyspark.sql import Window
 
-    from .dedup import _capped_buckets
+    from .dedup import _bucket_pairs, _capped_buckets
 
     cents = _kmeans_centroids(spark, sf_dir)
     e = _emb(spark, sf_dir).select(
@@ -715,16 +730,14 @@ def knn_join_multiprobe(
     )
     ev = e.select("vec_id", "embedding")
     probe = _probe_lists(spark, ev, cents, probes)
-    primary = _probe_lists(spark, ev, cents, 1)
+    primary = probe.where(F.col("probe_rank") == 1).select(
+        "vec_id", "list_id"
+    )
+    foreign = probe.where(F.col("probe_rank") >= 2).select(
+        "vec_id", "list_id"
+    )
     buckets = _capped_buckets(
         primary, ["list_id"], "vec_id", SEM_MAX_CLUSTER, n_min=1
-    )
-    cand = (
-        probe.join(buckets, "list_id")
-        .select(
-            F.col("vec_id").alias("a_id"), F.explode("ids").alias("b_id")
-        )
-        .where(F.col("a_id") != F.col("b_id"))
     )
     a = e.select(
         F.col("vec_id").alias("a_id"),
@@ -736,18 +749,35 @@ def knn_join_multiprobe(
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    scored = (
-        cand.join(a, "a_id")
-        .join(b, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.round(
-                _dot("ea", "eb") / (F.col("na") * F.col("nb")), 4
-            ).alias("cos"),
+
+    def _cos(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(a, "a_id")
+            .join(b, "b_id")
+            .select(
+                "a_id",
+                "b_id",
+                F.round(
+                    _dot("ea", "eb") / (F.col("na") * F.col("nb")), 4
+                ).alias("cos"),
+            )
+            .where(F.col("cos").isNotNull())
         )
-        .where(F.col("cos").isNotNull())
+
+    sym = _cos(_bucket_pairs(buckets, cap=SEM_MAX_CLUSTER))
+    sym_bidi = sym.unionByName(
+        sym.select(
+            F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"), "cos"
+        )
     )
+    asym = _cos(
+        foreign.join(buckets, "list_id")
+        .select(
+            F.col("vec_id").alias("a_id"), F.explode("ids").alias("b_id")
+        )
+        .where(F.col("a_id") != F.col("b_id"))
+    )
+    scored = sym_bidi.unionByName(asym)
     w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
