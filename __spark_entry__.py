@@ -171,7 +171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "multimodal_binary_meta": multimodal.binary_meta,
         "multimodal_features": multimodal.multimodal_features,
-        "multimodal_frames": multimodal.multimodal_frames,
         "png_decode": multimodal.png_decode,
         "multimodal_resize": multimodal.multimodal_resize,
         "wav_decode": multimodal.wav_decode,
@@ -209,12 +208,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     these inside the driver's 50-query cap) -----------------
         "knn_join_multiprobe": similarity.knn_join_multiprobe,
         "ist_timestamp_format": relational.ist_timestamp_format,
+        "sample_exact_quota": curate.sample_exact_quota,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "pending_filter": relational.pending_filter,
         "ann_cosine_topk": similarity.cosine_topk,
         "s3_uri_split": relational.s3_uri_split,
+        "multimodal_frames": multimodal.multimodal_frames,
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_candidates": dedup.minhash_band_candidates,
         "dedup_minhash_clusters": dedup.minhash_clusters,
@@ -1198,6 +1199,16 @@ def oracle_sql() -> dict[str, str]:
             " md5(repeat(chr(CAST(1 + (doc_id + i) % 127 AS INT)),"
             " CAST((w * h * 3) // 2 AS INT))) AS frame_md5,"
             " CAST((w * h * 3) // 2 AS BIGINT) AS n_bytes FROM f"
+        ),
+        # mirrors curate.sample_exact_quota: salted md5-order
+        # row_number per source under the exact quota
+        "sample_exact_quota": (
+            "SELECT doc_id, source, CAST(rn AS INT) AS sample_rank"
+            " FROM (SELECT doc_id, source, row_number() OVER"
+            " (PARTITION BY source ORDER BY"
+            " substring(md5('quota:' || doc_id::VARCHAR), 1, 16),"
+            " doc_id) AS rn FROM documents)"
+            f" WHERE rn <= {curate.SAMPLE_QUOTA}"
         ),
         # mirrors relational.ist_timestamp_format: the fixed +5:30
         # interval shift and the three reference log formats

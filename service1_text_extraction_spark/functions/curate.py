@@ -114,6 +114,49 @@ def sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_QUOTA = 20  # exact per-source keep count (production passes
+                   # its own source -> quota map the same shape)
+
+
+def sample_exact_quota(
+    spark: SparkSession, sf_dir: str, quota: int = SAMPLE_QUOTA
+) -> DataFrame:
+    """Exact-count stratified sampling: keep exactly
+    ``min(quota, n_source)`` documents per source, chosen by a salted
+    deterministic md5 order — the exact-budget companion to the
+    rate-based ``sample_by_source`` (corpus assemblies that promise
+    "N documents/tokens from source X" need exact counts, not
+    expected rates). Rerun-stable at any cluster size: only
+    md5('quota:'||doc_id) and doc_id feed the order, and the salt
+    makes the choice independent of both the mixture hash and the
+    train/test split hash.
+
+    Scale shape: one window ``row_number`` partitioned by source —
+    each source sorts ITS OWN partition in parallel and the sort key
+    is a 16-char hash prefix, not document payloads. A mega-source at
+    100 TB makes that a single-partition sort; the standard fix is
+    two-phase (salt the source into shards, take quota per shard,
+    re-rank the quota*shards survivors — survivors are quota-bounded,
+    so phase two is tiny); the one-phase form is kept here because it
+    is the shape DuckDB replays verbatim."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(
+        F.substring(h, 1, 16), F.col("doc_id")
+    )
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= quota)
+        .select(
+            "doc_id", "source",
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )
+
+
 def admit_pred_sql() -> str:
     """The stateless per-row admission predicate (Gopher pass + C4
     page keep) as ONE let-bound SQL boolean over the ``text`` column:

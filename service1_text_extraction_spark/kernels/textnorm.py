@@ -67,12 +67,28 @@ _HIGH_TO_SPACE_RE = re.compile(r"[^\x00-\xff€₩₪₫₹₽]")
 
 
 def clean_unicode(text: str) -> str:
-    """Reference-exact unicode cleanup (text_utils.py:16-75)."""
+    """Reference-exact unicode cleanup (text_utils.py:16-75).
+
+    ASCII fast path: every multi-char replacement source is non-ASCII,
+    every _CHAR_TABLE key is >= 128, and the high-codepoint sweep only
+    touches >= 256 (all asserted below at import) — so for a pure-ASCII
+    string (the overwhelmingly common case on real corpora) the whole
+    pipeline reduces to the control-char sweep. ``str.isascii`` is a
+    C-speed flag check; bit-equality with the full path is pinned by
+    the scalar<->numpy property test."""
+    if text.isascii():
+        return _CTRL_TO_SPACE_RE.sub(" ", text)
     for old, new in _MULTI_REPLACEMENTS:
         text = text.replace(old, new)
     text = text.translate(_CHAR_TABLE)
     text = _CTRL_TO_SPACE_RE.sub(" ", text)
     return _HIGH_TO_SPACE_RE.sub(" ", text)
+
+
+# the fast path above is sound ONLY under these invariants; fail the
+# import loudly if a future edit to the tables breaks them
+assert all(not o.isascii() for o, _ in _MULTI_REPLACEMENTS)
+assert all(k >= 128 for k in _CHAR_TABLE)
 
 
 def clean_unicode_series(s: pd.Series) -> pd.Series:
@@ -89,10 +105,16 @@ def clean_unicode_series(s: pd.Series) -> pd.Series:
 # --------------------------------------------------------------------------
 
 _WS_RUN_RE = re.compile(r"\s+")
+# any 2+ whitespace run, or any whitespace char that is not a plain
+# space: if ABSENT, the \s+ -> ' ' sub is the identity and only the
+# strip applies (single search beats rebuilding the whole string)
+_WS_NONTRIVIAL_RE = re.compile(r"\s\s|[^\S ]")
 
 
 def normalize_whitespace(text: str) -> str:
     """Collapse whitespace runs to single spaces and strip (text_utils.py:142-147)."""
+    if _WS_NONTRIVIAL_RE.search(text) is None:
+        return text.strip()
     return _WS_RUN_RE.sub(" ", text).strip()
 
 

@@ -128,6 +128,27 @@ def test_sample_by_source_unparseable_source(spark, tmp_path):
     _assert_parity(spark, sf, "sample_by_source")
 
 
+def test_sample_exact_quota_under_and_over(spark, tmp_path):
+    """Exact-count stratified sampling: a source with fewer docs than
+    the quota keeps ALL of them; a source with more keeps exactly the
+    quota, chosen by the salted md5 order in BOTH engines."""
+    rows = [
+        (i, f"doc {i} text", "en", "big", 10) for i in range(30)
+    ] + [
+        (100 + i, f"small {i}", "en", "tiny", 8) for i in range(3)
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    from service1_text_extraction_spark.functions import curate
+
+    got = curate.sample_exact_quota(spark, sf).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.source, []).append(r.sample_rank)
+    assert len(per["big"]) == curate.SAMPLE_QUOTA
+    assert sorted(per["tiny"]) == [1, 2, 3]
+    _assert_parity(spark, sf, "sample_exact_quota")
+
+
 def test_vocab_oov_small_corpus_parity(spark, tmp_path):
     """The vocab cut and OOV profile agree on a corpus smaller than
     VOCAB_SIZE (every word in-vocab) including an empty doc."""
