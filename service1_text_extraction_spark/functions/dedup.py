@@ -406,8 +406,57 @@ def simhash_neardup_pairs(
     )
 
 
+# Below this many edges, a connected-components closure runs as
+# driver-side union-find instead of iterative Spark rounds — the same
+# adaptive small-side strategy as a broadcast join: ONE bounded count
+# decides, the collect is bounded by the threshold, and the labels are
+# identical (component min == the min-label fixpoint; equality pinned
+# by tests). Each distributed round costs several fixed-overhead jobs,
+# so a tiny dup subgraph (the common case on a well-curated corpus)
+# would pay seconds of scheduling for milliseconds of actual work; a
+# 100 TB corpus whose dup graph exceeds the threshold takes the
+# distributed loop automatically.
+DRIVER_CC_MAX_EDGES = 100_000
+
+
+def _driver_cc(rows) -> dict:
+    """Union-find (path halving) over collected (a, b) edge tuples;
+    returns node -> component root (an arbitrary member — callers
+    derive their own labels, e.g. min over the label-bearing node
+    class, since bipartite graphs mix node types)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {node: find(node) for node in parent}
+
+
+def _driver_cc_min_labels(rows, label_nodes) -> dict:
+    """node -> min(label-bearing node of its component), for every
+    node in ``label_nodes``."""
+    roots = _driver_cc(rows)
+    comp_min: dict = {}
+    for node in label_nodes:
+        root = roots[node]
+        cur = comp_min.get(root)
+        if cur is None or node < cur:
+            comp_min[root] = node
+    return {node: comp_min[roots[node]] for node in label_nodes}
+
+
 def minhash_connected_components(
-    spark: SparkSession, sf_dir: str, max_iters: int = 20
+    spark: SparkSession, sf_dir: str, max_iters: int = 20,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Full transitive closure over MinHash band buckets — the fixpoint
     upgrade of ``minhash_clusters``' single propagation step.
@@ -421,6 +470,13 @@ def minhash_connected_components(
     diameter in the bucket graph (tiny for dup clusters); the
     convergence check is one bounded count per round and
     ``localCheckpoint`` cuts the growing lineage.
+
+    Small dup graphs (at most ``driver_max_edges`` (doc, bucket)
+    edges — one bounded count on the already-checkpointed edge list)
+    short-circuit to driver union-find over the bipartite graph,
+    labeling each doc with its component's min doc id — identical
+    output (pinned by test_cc_driver_and_distributed_agree), none of
+    the per-round scheduling overhead; see DRIVER_CC_MAX_EDGES.
     """
     sig = minhash_signatures(spark, sf_dir)
     edges = sig.select(
@@ -433,6 +489,20 @@ def minhash_connected_components(
             F.col("b.band_val"),
         ).alias("bucket"),
     ).localCheckpoint()
+
+    if (
+        driver_max_edges > 0
+        and edges.limit(driver_max_edges + 1).count() <= driver_max_edges
+    ):
+        rows = [
+            (("d", r.doc_id), ("b", r.bucket)) for r in edges.collect()
+        ]
+        doc_nodes = {a for a, _ in rows}
+        labels = _driver_cc_min_labels(rows, doc_nodes)
+        return spark.createDataFrame(
+            [(int(n[1]), int(lbl[1])) for n, lbl in labels.items()],
+            "doc_id long, cluster_rep long",
+        )
 
     labels = edges.select("doc_id").distinct().withColumn(
         "label", F.col("doc_id")

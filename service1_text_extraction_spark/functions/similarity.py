@@ -506,7 +506,8 @@ def semantic_dedup(
 
 
 def _cc_min_labels(
-    edges: DataFrame, max_iters: int = 20
+    edges: DataFrame, max_iters: int = 20,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list
     ``edges(a_id, b_id)`` by min-label propagation with pointer
@@ -518,7 +519,28 @@ def _cc_min_labels(
     recursive closures have no iteration cap to diverge from —
     review r4; convergence unit-tested on a 60-node path graph).
     Returns ``(vec_id, label)`` for every node that occurs in an
-    edge."""
+    edge.
+
+    When the edge list is at most ``driver_max_edges`` (one bounded
+    count — default dedup.DRIVER_CC_MAX_EDGES), the closure runs as
+    driver union-find instead: identical labels, none of the
+    per-round job overhead. Pass 0 to force the distributed loop."""
+    from .dedup import DRIVER_CC_MAX_EDGES, _driver_cc_min_labels
+
+    if driver_max_edges is None:
+        driver_max_edges = DRIVER_CC_MAX_EDGES
+    if (
+        driver_max_edges > 0
+        and edges.limit(driver_max_edges + 1).count() <= driver_max_edges
+    ):
+        rows = [(r[0], r[1]) for r in edges.collect()]
+        nodes = {a for a, _ in rows} | {b for _, b in rows}
+        labels = _driver_cc_min_labels(rows, nodes)
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [(int(n), int(lbl)) for n, lbl in labels.items()],
+            "vec_id long, label long",
+        )
     adj = edges.selectExpr("a_id AS src", "b_id AS dst").union(
         edges.selectExpr("b_id AS src", "a_id AS dst")
     )

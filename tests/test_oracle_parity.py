@@ -182,9 +182,13 @@ def test_cc_propagation_converges_on_deep_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(59)], "a_id long, b_id long"
     )
+    # driver_max_edges=0 forces the DISTRIBUTED loop — the r5 driver
+    # union-find shortcut would otherwise absorb this small graph
     labels = {
         r.vec_id: r.label
-        for r in similarity._cc_min_labels(edges, max_iters=20).collect()
+        for r in similarity._cc_min_labels(
+            edges, max_iters=20, driver_max_edges=0
+        ).collect()
     }
     assert len(labels) == 60 and set(labels.values()) == {0}
     # two components + an isolated pair keep distinct minima
@@ -196,6 +200,50 @@ def test_cc_propagation_converges_on_deep_chain(spark):
     )
     labels2 = {
         r.vec_id: r.label
-        for r in similarity._cc_min_labels(edges2).collect()
+        for r in similarity._cc_min_labels(
+            edges2, driver_max_edges=0
+        ).collect()
     }
     assert set(labels2.values()) == {0, 100, 500}
+
+
+def test_cc_driver_and_distributed_agree(spark, sf_dir):
+    """The r5 driver union-find shortcut is a pure execution knob:
+    labels must be identical to the distributed fixpoint on a
+    multi-component graph AND on the real minhash bucket graph."""
+    from service1_text_extraction_spark.functions import (
+        dedup,
+        similarity,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)]
+        + [(40, 41), (41, 42), (40, 42)]
+        + [(77, 99), (99, 55)],
+        "a_id long, b_id long",
+    )
+    drv = sorted(
+        map(tuple, similarity._cc_min_labels(edges).collect())
+    )
+    dst = sorted(
+        map(
+            tuple,
+            similarity._cc_min_labels(
+                edges, driver_max_edges=0
+            ).collect(),
+        )
+    )
+    assert drv == dst and drv
+
+    mh_drv = sorted(
+        map(tuple, dedup.minhash_connected_components(spark, sf_dir).collect())
+    )
+    mh_dst = sorted(
+        map(
+            tuple,
+            dedup.minhash_connected_components(
+                spark, sf_dir, driver_max_edges=0
+            ).collect(),
+        )
+    )
+    assert mh_drv == mh_dst and mh_drv
