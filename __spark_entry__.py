@@ -171,7 +171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "multimodal_binary_meta": multimodal.binary_meta,
         "multimodal_features": multimodal.multimodal_features,
-        "png_decode": multimodal.png_decode,
         "multimodal_resize": multimodal.multimodal_resize,
         "wav_decode": multimodal.wav_decode,
         "y4m_frames": multimodal.y4m_frames,
@@ -209,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_multiprobe": similarity.knn_join_multiprobe,
         "ist_timestamp_format": relational.ist_timestamp_format,
         "sample_exact_quota": curate.sample_exact_quota,
+        "bigram_logprob": textstats.bigram_logprob,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": similarity.cosine_topk,
         "s3_uri_split": relational.s3_uri_split,
         "multimodal_frames": multimodal.multimodal_frames,
+        "png_decode": multimodal.png_decode,
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_candidates": dedup.minhash_band_candidates,
         "dedup_minhash_clusters": dedup.minhash_clusters,
@@ -1199,6 +1200,27 @@ def oracle_sql() -> dict[str, str]:
             " md5(repeat(chr(CAST(1 + (doc_id + i) % 127 AS INT)),"
             " CAST((w * h * 3) // 2 AS INT))) AS frame_md5,"
             " CAST((w * h * 3) // 2 AS BIGINT) AS n_bytes FROM f"
+        ),
+        # mirrors textstats.bigram_logprob: adjacent-pair bigrams
+        # (docs with < 2 tokens contribute none), add-one-smoothed
+        # conditional log-probs, V = corpus unigram vocabulary
+        "bigram_logprob": (
+            "WITH tb AS (SELECT doc_id,"
+            " list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+            " x -> x <> '') AS t FROM documents),"
+            " bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM"
+            " (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1))"
+            " AS i FROM tb WHERE len(t) >= 2)),"
+            " c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg"
+            " GROUP BY 1, 2),"
+            " c1 AS (SELECT w1, sum(c12) AS c1 FROM c2 GROUP BY w1),"
+            " v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM"
+            " (SELECT unnest(t) AS w FROM tb)),"
+            " lp AS (SELECT c2.w1, c2.w2, ln((c12 + 1.0) /"
+            " (c1.c1 + v.v)) AS lp FROM c2 JOIN c1 USING (w1), v)"
+            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+            " round(-avg(lp), 4) AS mean_nll"
+            " FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id"
         ),
         # mirrors curate.sample_exact_quota: salted md5-order
         # row_number per source under the exact quota

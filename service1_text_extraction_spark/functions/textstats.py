@@ -954,6 +954,74 @@ def vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def bigram_logprob(
+    spark: SparkSession,
+    sf_dir: str,
+    persist: bool = False,
+) -> DataFrame:
+    """Per-document mean CONDITIONAL negative log-likelihood under the
+    corpus bigram model with add-one smoothing — one n-gram order up
+    from ``unigram_logprob``, toward the CCNet-style n-gram-LM quality
+    signal: nll(d) = -(1/|bigrams(d)|) * sum ln((c(w1,w2) + 1) /
+    (c1(w1) + V)), where c1 counts bigram LEFT contexts (positions
+    1..n-1) and V is the corpus unigram vocabulary size. Documents
+    with fewer than two tokens have no bigrams and are absent from
+    the output (both engines).
+
+    Scale shape: the bigram stream derives from the materialized
+    token array per row (adjacent pairs — no self-join, no window);
+    pass 1 hash-aggregates it into the bigram count table with
+    map-side combine (vocabulary-squared-bounded but corpus-sparse —
+    NOT broadcast at 100 TB, the tfidf df-join reasoning); context
+    counts c1 reduce FROM the bigram table (tiny second agg, never a
+    corpus re-scan); V and the totals ride a broadcast one-row
+    aggregate (lazy, empty-safe — the unigram_logprob r5 form); the
+    scoring join is a plain shuffle join on (w1, w2). ``persist=True``
+    caches the bigram stream so the corpus scans once."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    )
+    # CASE guard: sequence(1, size-1) is DESCENDING for size < 2 (the
+    # phantom-pseudo-line trap) — a short doc must yield NO bigrams
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 2 THEN"
+                " array()::array<struct<w1:string,w2:string>> ELSE"
+                " transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2)) END"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    if persist:
+        big = big.persist()
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").cast("double").alias("v")
+    )
+    lp = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        big.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(-F.avg("lp"), 4).alias("mean_nll"),
+        )
+    )
+
+
 def unigram_logprob(
     spark: SparkSession,
     sf_dir: str,

@@ -128,6 +128,29 @@ def test_sample_by_source_unparseable_source(spark, tmp_path):
     _assert_parity(spark, sf, "sample_by_source")
 
 
+def test_bigram_logprob_short_docs_and_persist(spark, tmp_path):
+    """A doc with < 2 tokens has no bigrams and must be ABSENT in both
+    engines (the descending-sequence trap); persist=True is a pure
+    execution knob."""
+    rows = EDGE_DOCS + [(9, "solo", "en", "src9", 4)]
+    sf = _mini_docs(spark, tmp_path, rows)
+    from service1_text_extraction_spark.functions import textstats
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_nll)
+        for r in textstats.bigram_logprob(spark, sf).collect()
+    }
+    assert set(got) == {2, 3}  # empty/ws/one-token docs absent
+    assert got[2][0] == 7 and got[3][0] == 11
+    pers = {
+        r.doc_id: (r.n_bigrams, r.mean_nll)
+        for r in textstats.bigram_logprob(spark, sf, persist=True).collect()
+    }
+    assert pers == got
+    spark.catalog.clearCache()
+    _assert_parity(spark, sf, "bigram_logprob")
+
+
 def test_sample_exact_quota_under_and_over(spark, tmp_path):
     """Exact-count stratified sampling: a source with fewer docs than
     the quota keeps ALL of them; a source with more keeps exactly the
