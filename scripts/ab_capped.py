@@ -73,7 +73,7 @@ def main() -> None:
                     f"r{rnd} {strat:8s} {name:22s} {dt:7.3f}s  rows={n}",
                     flush=True,
                 )
-    dedup.CAP_STRATEGY = "semijoin"
+    dedup.CAP_STRATEGY = "window"  # restore the module default
 
     # result parity: both strategies must produce identical row counts
     mismatch = {

@@ -126,10 +126,15 @@ def _capped_buckets(
     SEMI join back, then collect. Zero sorts — but materializing the
     full exploded stream to cache costs more than the window's sort at
     every measured scale unless the exploded input is already tiny.
+    Its cache entry has no unpersist hook (the caller executes the
+    plan later) and lives until eviction/clearCache — sessions running
+    MANY distinct semijoin pipelines should clear between them.
     Both shapes enforce the cap BEFORE any array materializes and
     produce identical results (plan- and A/B-pinned)."""
     if strategy is None:
         strategy = CAP_STRATEGY
+    if strategy not in ("window", "semijoin"):
+        raise ValueError(f"unknown cap strategy: {strategy!r}")
     if strategy == "window":
         w = Window.partitionBy(*keys)
         return (
@@ -490,19 +495,17 @@ def minhash_connected_components(
         ).alias("bucket"),
     ).localCheckpoint()
 
-    if (
-        driver_max_edges > 0
-        and edges.limit(driver_max_edges + 1).count() <= driver_max_edges
-    ):
-        rows = [
-            (("d", r.doc_id), ("b", r.bucket)) for r in edges.collect()
-        ]
-        doc_nodes = {a for a, _ in rows}
-        labels = _driver_cc_min_labels(rows, doc_nodes)
-        return spark.createDataFrame(
-            [(int(n[1]), int(lbl[1])) for n, lbl in labels.items()],
-            "doc_id long, cluster_rep long",
-        )
+    if driver_max_edges > 0:
+        # ONE action decides the branch and delivers the rows
+        head = edges.take(driver_max_edges + 1)
+        if len(head) <= driver_max_edges:
+            rows = [(("d", r.doc_id), ("b", r.bucket)) for r in head]
+            doc_nodes = {a for a, _ in rows}
+            labels = _driver_cc_min_labels(rows, doc_nodes)
+            return spark.createDataFrame(
+                [(int(n[1]), int(lbl[1])) for n, lbl in labels.items()],
+                "doc_id long, cluster_rep long",
+            )
 
     labels = edges.select("doc_id").distinct().withColumn(
         "label", F.col("doc_id")

@@ -403,17 +403,46 @@ def ist_timestamp_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     tz-database-independent (a tz-aware deployment writes
     ``from_utc_timestamp(ts, 'Asia/Kolkata')``, which is identical for
     every instant since 1945). Scale shape: stateless per-row
-    projection, zero shuffle."""
-    ist = F.col("ts") + F.expr("INTERVAL 330 MINUTES")
-    stamp = F.concat(
-        F.date_format(ist, "yyyy-MM-dd HH:mm:ss"), F.lit(" IST")
-    )
-    return _t(spark, sf_dir, "events").select(
+    projection, zero shuffle.
+
+    Rendering is SESSION-TIMEZONE-FREE for BOTH timestamp types
+    (review r5): a TIMESTAMP_NTZ column (the driver parquet) is a
+    wall-clock value, so interval shift + ``date_format`` never
+    consults ``spark.sql.session.timeZone``; an instant TIMESTAMP
+    column would render in the session zone (double-shifting on a
+    cluster already configured to Asia/Kolkata), so that branch
+    reduces the instant to epoch seconds (tz-free) and derives the
+    date by DATE arithmetic and the time of day by integer math."""
+    t = _t(spark, sf_dir, "events")
+    if dict(t.dtypes).get("ts") == "timestamp_ntz":
+        ist = F.col("ts") + F.expr("INTERVAL 330 MINUTES")
+        date_s = F.date_format(ist, "yyyy-MM-dd")
+        hms = F.date_format(ist, "HH:mm:ss")
+    else:
+        secs = (
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(1_000_000))
+            + 330 * 60
+        )
+        days = F.floor(secs / 86400)
+        tod = secs - days * 86400
+        date_s = F.date_add(
+            F.to_date(F.lit("1970-01-01")), days.cast("int")
+        ).cast("string")
+        two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+        hms = F.concat(
+            two(F.floor(tod / 3600)),
+            F.lit(":"),
+            two(F.floor(tod / 60) % 60),
+            F.lit(":"),
+            two(tod % 60),
+        )
+    stamp = F.concat(date_s, F.lit(" "), hms, F.lit(" IST"))
+    return t.select(
         "event_id",
         stamp.alias("ist_ts"),
-        F.concat(
-            F.date_format(ist, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("+05:30")
-        ).alias("ist_iso"),
+        F.concat(date_s, F.lit("T"), hms, F.lit("+05:30")).alias(
+            "ist_iso"
+        ),
         F.concat(F.lit("["), stamp, F.lit("]")).alias("ist_compact"),
     )
 

@@ -529,18 +529,20 @@ def _cc_min_labels(
 
     if driver_max_edges is None:
         driver_max_edges = DRIVER_CC_MAX_EDGES
-    if (
-        driver_max_edges > 0
-        and edges.limit(driver_max_edges + 1).count() <= driver_max_edges
-    ):
-        rows = [(r[0], r[1]) for r in edges.collect()]
-        nodes = {a for a, _ in rows} | {b for _, b in rows}
-        labels = _driver_cc_min_labels(rows, nodes)
-        spark = edges.sparkSession
-        return spark.createDataFrame(
-            [(int(n), int(lbl)) for n, lbl in labels.items()],
-            "vec_id long, label long",
-        )
+    if driver_max_edges > 0:
+        # ONE action both decides the branch and delivers the rows
+        # (review r5): an oversized graph returns threshold+1 rows and
+        # falls through to the distributed loop
+        head = edges.take(driver_max_edges + 1)
+        if len(head) <= driver_max_edges:
+            rows = [(r[0], r[1]) for r in head]
+            nodes = {a for a, _ in rows} | {b for _, b in rows}
+            labels = _driver_cc_min_labels(rows, nodes)
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                [(int(n), int(lbl)) for n, lbl in labels.items()],
+                "vec_id long, label long",
+            )
     adj = edges.selectExpr("a_id AS src", "b_id AS dst").union(
         edges.selectExpr("b_id AS src", "a_id AS dst")
     )

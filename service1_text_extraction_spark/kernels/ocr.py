@@ -120,20 +120,17 @@ def ocr_raster(pixels: bytes, width: int, height: int) -> str:
     return "\n".join(lines).strip()
 
 
-def glyph_ocr(pdf_bytes: bytes, passwords: list[str] | None = None) -> str:
-    """F5 hook implementation: find every 8-bit /DeviceGray /Image
-    XObject in the document (decoded through the real filter/decrypt
-    chain — ``passwords`` reach that chain so encrypted scanned
-    documents compose with the password-list feature) and OCR it;
-    page images concatenate in object order.
+def iter_gray_images(doc: PdfDocument):
+    """Yield ``(pixels, w, h)`` for every decodable 8-bit /DeviceGray
+    /Image XObject in object order — the ONE document walk both the
+    glyph OCR and the Tesseract wrapper drive (review r5: the filter
+    chain must never drift between the two).
 
-    Only exact 8-bit gray rasters are attempted: an RGB or 16-bit
-    image segmented as 8-bit gray would emit '?' noise that pollutes
-    (or garbage-gates) the recovered text. Generation numbers are
-    assumed 0 — the object scan keys on number only, matching the
-    rest of the parser."""
-    doc = PdfDocument(pdf_bytes, passwords=passwords)
-    texts = []
+    Only exact 8-bit gray rasters are yielded: an RGB or 16-bit image
+    segmented as 8-bit gray would emit noise that pollutes (or
+    garbage-gates) the recovered text. Generation numbers are assumed
+    0 — the object scan keys on number only, matching the rest of the
+    parser."""
     for num in sorted(doc.objects):
         obj = doc.objects[num]
         if not isinstance(obj, dict) or obj.get("/Subtype") != "/Image":
@@ -149,6 +146,17 @@ def glyph_ocr(pdf_bytes: bytes, passwords: list[str] | None = None) -> str:
         pixels = doc.stream_data(Ref(num, 0))
         if len(pixels) != w * h:
             continue
+        yield pixels, w, h
+
+
+def glyph_ocr(pdf_bytes: bytes, passwords: list[str] | None = None) -> str:
+    """F5 hook implementation: OCR every gray page raster
+    (``iter_gray_images`` — decoded through the real filter/decrypt
+    chain, so ``passwords`` compose with the password-list feature);
+    page images concatenate in object order."""
+    doc = PdfDocument(pdf_bytes, passwords=passwords)
+    texts = []
+    for pixels, w, h in iter_gray_images(doc):
         text = ocr_raster(pixels, w, h)
         if text:
             texts.append(text)

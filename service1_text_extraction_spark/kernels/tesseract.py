@@ -42,8 +42,8 @@ import subprocess
 import tempfile
 
 from . import png as _png
-from .ocr import CELL_H, CELL_W  # noqa: F401  (raster geometry reuse)
-from .pdf import PdfDocument, Ref
+from .ocr import iter_gray_images
+from .pdf import PdfDocument
 from .textnorm import is_garbage_text
 
 OCR_LANG = "eng"
@@ -82,17 +82,27 @@ def _run_binary(png_bytes: bytes, config: str) -> str:
 def _zoom_raster(pixels: bytes, w: int, h: int, zoom: int) -> bytes:
     """Nearest-neighbor upscale by an integer ``zoom`` — the batch
     form of the reference's 2x render matrix (it re-renders vectors;
-    a decoded raster upscales)."""
+    a decoded raster upscales). Vectorized: a real scanned page is
+    megapixels, where a per-pixel Python loop costs seconds per page
+    (review r5); each zoomed source row is built once and duplicated
+    ``zoom`` times in the bytes fallback."""
     if zoom == 1:
         return pixels
-    out = bytearray(w * zoom * h * zoom)
-    ow = w * zoom
-    for y in range(h * zoom):
-        row = (y // zoom) * w
-        base = y * ow
-        for x in range(ow):
-            out[base + x] = pixels[row + x // zoom]
-    return bytes(out)
+    try:
+        import numpy as np
+
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+        return (
+            np.repeat(np.repeat(arr, zoom, axis=0), zoom, axis=1)
+            .tobytes()
+        )
+    except ImportError:
+        rows = []
+        for y in range(h):
+            src = pixels[y * w : (y + 1) * w]
+            zr = b"".join(src[x : x + 1] * zoom for x in range(w))
+            rows.extend([zr] * zoom)
+        return b"".join(rows)
 
 
 def ocr_image(
@@ -127,21 +137,7 @@ def tesseract_ocr(
         )
     doc = PdfDocument(pdf_bytes, passwords=passwords)
     texts = []
-    for num in sorted(doc.objects):
-        obj = doc.objects[num]
-        if not isinstance(obj, dict) or obj.get("/Subtype") != "/Image":
-            continue
-        if obj.get("/ColorSpace") != "/DeviceGray":
-            continue
-        if doc.resolve(obj.get("/BitsPerComponent")) != 8:
-            continue
-        w = doc.resolve(obj.get("/Width"))
-        h = doc.resolve(obj.get("/Height"))
-        if not isinstance(w, int) or not isinstance(h, int):
-            continue
-        pixels = doc.stream_data(Ref(num, 0))
-        if len(pixels) != w * h:
-            continue
+    for pixels, w, h in iter_gray_images(doc):
         text = ocr_image(pixels, w, h, runner=runner)
         if text:
             texts.append(text)

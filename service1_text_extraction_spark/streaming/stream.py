@@ -298,13 +298,14 @@ def compact_admitted(
     keepers = dedup.exact_dedup(spark, docs_dir).select(
         F.col("keeper_id").alias("doc_id")
     )
-    (
-        admitted.join(keepers, "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("split")
-        .parquet(out_dir)
+    compacted = admitted.join(keepers, "doc_id")
+    compacted.write.mode("overwrite").partitionBy("split").parquet(
+        out_dir
     )
-    return spark.read.parquet(out_dir)
+    # explicit schema: an all-rejected corpus writes only _SUCCESS and
+    # schema inference would fail — an empty compaction is a valid
+    # result, not an error (review r5)
+    return spark.read.schema(compacted.schema).parquet(out_dir)
 
 
 def stream_admit(

@@ -128,6 +128,39 @@ def test_sample_by_source_unparseable_source(spark, tmp_path):
     _assert_parity(spark, sf, "sample_by_source")
 
 
+def test_ist_format_session_tz_free(spark, tmp_path):
+    """Review r5: ist_timestamp_format must render identically under
+    ANY spark.sql.session.timeZone — an instant TIMESTAMP column would
+    double-shift on a cluster already configured to Asia/Kolkata if
+    rendering went through date_format's session zone."""
+    import datetime
+
+    # instant created under the default (UTC) session zone
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2026, 8, 17, 23, 45, 7))],
+        "event_id long, ts timestamp",
+    )
+    out = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    from service1_text_extraction_spark.functions import relational
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        got_kolkata = tuple(
+            relational.ist_timestamp_format(spark, out).collect()[0]
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        got_utc = tuple(
+            relational.ist_timestamp_format(spark, out).collect()[0]
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got_kolkata == got_utc
+    assert got_utc[1] == "2026-08-18 05:15:07 IST"  # +5:30 over UTC
+    assert got_utc[2] == "2026-08-18T05:15:07+05:30"
+
+
 def test_bigram_logprob_short_docs_and_persist(spark, tmp_path):
     """A doc with < 2 tokens has no bigrams and must be ABSENT in both
     engines (the descending-sequence trap); persist=True is a pure
