@@ -64,6 +64,8 @@ _RAWTEXT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CDATA_RE = re.compile(r"<!\[CDATA\[.*?\]\]>", re.DOTALL)
+# cheap presence probe for the rawtext sweep (case-insensitive opener)
+_RAWTEXT_HINT_RE = re.compile(r"<(?:script|style|textarea)\b", re.IGNORECASE)
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>")
 _DOCTYPE_RE = re.compile(r"<![^>]*>")
 
@@ -130,10 +132,15 @@ def extract_html(payload: str) -> HtmlResult:
     char spans into that text, and the boilerplate ratio
     (dropped raw text chars / total raw text chars; 0.0 if no text).
     """
-    src = _COMMENT_RE.sub(" ", payload)
-    src = _RAWTEXT_RE.sub(" ", src)
-    src = _CDATA_RE.sub(" ", src)  # before DOCTYPE: <![CDATA[ ... ]]>
-    src = _DOCTYPE_RE.sub(" ", src)
+    # marker pre-checks: each sub is a full scan even on no match, and
+    # most real fragments carry none of these constructs
+    src = _COMMENT_RE.sub(" ", payload) if "<!--" in payload else payload
+    if _RAWTEXT_HINT_RE.search(src) is not None:
+        src = _RAWTEXT_RE.sub(" ", src)
+    if "<![CDATA[" in src:
+        src = _CDATA_RE.sub(" ", src)  # before DOCTYPE
+    if "<!" in src:
+        src = _DOCTYPE_RE.sub(" ", src)
 
     blocks: list[Block] = []
     dropped_raw: list[str] = []
@@ -161,7 +168,8 @@ def extract_html(payload: str) -> HtmlResult:
                     dropped_raw.append(text)
         pos = m.end()
 
-        closing, tag = m.group(1) == "/", m.group(2).lower()
+        slash, tag = m.group(1, 2)
+        closing, tag = slash == "/", tag.lower()
         if tag in DROP_CONTAINERS:
             flush()
             if closing:
