@@ -419,10 +419,10 @@ def ist_timestamp_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_s = F.date_format(ist, "yyyy-MM-dd")
         hms = F.date_format(ist, "HH:mm:ss")
     else:
-        secs = (
-            F.floor(F.unix_micros(F.col("ts")) / F.lit(1_000_000))
-            + 330 * 60
-        )
+        # cast(timestamp -> long) is exact floorDiv(micros, 1e6);
+        # a double division would misplace the second for instants
+        # beyond 2^53 micros (e.g. 9999-12-31 sentinels — review r5)
+        secs = F.col("ts").cast("long") + 330 * 60
         days = F.floor(secs / 86400)
         tod = secs - days * 86400
         date_s = F.date_add(

@@ -977,10 +977,16 @@ def bigram_logprob(
     corpus re-scan); V and the totals ride a broadcast one-row
     aggregate (lazy, empty-safe — the unigram_logprob r5 form); the
     scoring join is a plain shuffle join on (w1, w2). ``persist=True``
-    caches the bigram stream so the corpus scans once."""
+    caches the TOKENIZED frame — the shared parent of the bigram
+    stream, the scoring join's re-derivation, AND the vocabulary
+    aggregate — so the corpus parquet is scanned and tokenized once
+    (review r5: caching only the bigram stream would leave the
+    vocabulary scan paying a second full read)."""
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_TOKENS).alias("t")
     )
+    if persist:
+        toks = toks.persist()
     # CASE guard: sequence(1, size-1) is DESCENDING for size < 2 (the
     # phantom-pseudo-line trap) — a short doc must yield NO bigrams
     big = toks.select(
@@ -994,8 +1000,6 @@ def bigram_logprob(
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-    if persist:
-        big = big.persist()
     c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = toks.select(F.explode("t").alias("w")).agg(

@@ -135,17 +135,19 @@ def test_ist_format_session_tz_free(spark, tmp_path):
     rendering went through date_format's session zone."""
     import datetime
 
-    # instant created under the default (UTC) session zone
-    df = spark.createDataFrame(
-        [(1, datetime.datetime(2026, 8, 17, 23, 45, 7))],
-        "event_id long, ts timestamp",
-    )
-    out = str(tmp_path)
-    df.write.mode("overwrite").parquet(f"{out}/events.parquet")
     from service1_text_extraction_spark.functions import relational
 
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
+        # pin UTC for the WRITE so the naive datetime below denotes a
+        # known instant on any host (conftest does not pin the zone)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(2026, 8, 17, 23, 45, 7))],
+            "event_id long, ts timestamp",
+        )
+        out = str(tmp_path)
+        df.write.mode("overwrite").parquet(f"{out}/events.parquet")
         spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
         got_kolkata = tuple(
             relational.ist_timestamp_format(spark, out).collect()[0]
