@@ -292,7 +292,11 @@ def test_twice_scanned_pipelines_persist_knob(spark, sf_dir):
     so the corpus aggregation executes once at scale."""
     from service1_text_extraction_spark.functions import textstats
 
-    for q in (textstats.unigram_logprob, textstats.dsir_weights):
+    for q in (
+        textstats.unigram_logprob,
+        textstats.dsir_weights,
+        textstats.bigram_logprob,
+    ):
         plan = _plan(q(spark, sf_dir, persist=True))
         assert (
             "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
