@@ -95,6 +95,23 @@ MAX_BUCKET_DF = 100
 #       is already tiny (semantic_dedup's (vec_id, list_id)).
 CAP_STRATEGY = "window"
 
+# Every DataFrame the semijoin strategy persists (the plan executes
+# after this module returns, so unpersist can't happen in-function).
+_SEMIJOIN_CACHES: list[DataFrame] = []
+
+
+def release_semijoin_caches(blocking: bool = False) -> int:
+    """Unpersist every exploded stream the semijoin cap strategy has
+    cached so far and return how many were released (ADVICE r5: the
+    registry replaces wait-for-LRU-eviction in long-lived sessions
+    that run many distinct semijoin pipelines). Safe to call at any
+    time — a plan still executing just recomputes its source."""
+    n = 0
+    while _SEMIJOIN_CACHES:
+        _SEMIJOIN_CACHES.pop().unpersist(blocking)
+        n += 1
+    return n
+
 
 def _capped_buckets(
     exploded: DataFrame,
@@ -126,9 +143,12 @@ def _capped_buckets(
     SEMI join back, then collect. Zero sorts — but materializing the
     full exploded stream to cache costs more than the window's sort at
     every measured scale unless the exploded input is already tiny.
-    Its cache entry has no unpersist hook (the caller executes the
-    plan later) and lives until eviction/clearCache — sessions running
-    MANY distinct semijoin pipelines should clear between them.
+    The cache entry cannot unpersist inside this function (the caller
+    executes the plan later), so it is registered in
+    ``_SEMIJOIN_CACHES``; long-lived sessions call
+    ``release_semijoin_caches()`` after their actions complete to
+    release the MEMORY_AND_DISK entries deterministically (ADVICE r5)
+    instead of waiting for LRU eviction.
     Both shapes enforce the cap BEFORE any array materializes and
     produce identical results (plan- and A/B-pinned)."""
     if strategy is None:
@@ -146,6 +166,7 @@ def _capped_buckets(
     from pyspark import StorageLevel
 
     src = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    _SEMIJOIN_CACHES.append(src)
     admitted = (
         src.groupBy(*keys)
         .agg(F.count("*").alias("n_members"))

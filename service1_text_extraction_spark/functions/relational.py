@@ -412,7 +412,21 @@ def ist_timestamp_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     column would render in the session zone (double-shifting on a
     cluster already configured to Asia/Kolkata), so that branch
     reduces the instant to epoch seconds (tz-free) and derives the
-    date by DATE arithmetic and the time of day by integer math."""
+    date by DATE arithmetic and the time of day by integer math.
+
+    Precision divergence (ADVICE r5, documented deliberately):
+    ``ist_iso`` renders WHOLE seconds. The reference's
+    ``get_ist_timestamp_iso`` returns ``datetime.isoformat()``, which
+    appends ``.%f`` microseconds whenever the instant has a fractional
+    second — so for sub-second instants the reference emits
+    '...:SS.123456+05:30' where this column emits '...:SS+05:30'.
+    The driver's events table carries whole-second timestamps, where
+    the two are byte-identical (the reference's own docstring also
+    shows the whole-second form). A deployment that needs the
+    fractional tail appends
+    ``date_format(ist, '.SSSSSS')``-style rendering to this
+    projection; it is kept off here so the column matches the
+    documented format string for the dominant whole-second case."""
     t = _t(spark, sf_dir, "events")
     if dict(t.dtypes).get("ts") == "timestamp_ntz":
         ist = F.col("ts") + F.expr("INTERVAL 330 MINUTES")

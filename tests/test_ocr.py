@@ -220,6 +220,170 @@ def test_tesseract_hook_walks_the_document_stubbed():
     assert got == "PAGE TEXT FROM BINARY"
 
 
+def _reference_layout_walk(data: dict, width: int, height: int) -> dict:
+    """Independent reimplementation of the reference's
+    ``_extract_tesseract_layout`` DICT loop (core_pdf_processor.py:
+    505-575), coded from the cited source in this test so the
+    wrapper's tsv parser is checked against reference SEMANTICS, not
+    against itself: skip empty words, skip int(conf) < 30, new block
+    at |dy| > 20, new line at |dy| > 5, spans with font='tesseract',
+    size=height, flags=0."""
+    layout = {"width": width, "height": height, "blocks": []}
+    current_block = None
+    current_line = None
+    for i in range(len(data["text"])):
+        text = data["text"][i].strip()
+        if not text:
+            continue
+        conf = int(data["conf"][i])
+        if conf < 30:
+            continue
+        bbox = {
+            "x": data["left"][i],
+            "y": data["top"][i],
+            "width": data["width"][i],
+            "height": data["height"][i],
+        }
+        if current_block is None or abs(bbox["y"] - current_block["y"]) > 20:
+            current_block = {
+                "bbox": [bbox["x"], bbox["y"],
+                         bbox["x"] + bbox["width"],
+                         bbox["y"] + bbox["height"]],
+                "lines": [],
+                "y": bbox["y"],
+            }
+            layout["blocks"].append(current_block)
+            current_line = None
+        if current_line is None or abs(bbox["y"] - current_line["y"]) > 5:
+            current_line = {
+                "bbox": [bbox["x"], bbox["y"],
+                         bbox["x"] + bbox["width"],
+                         bbox["y"] + bbox["height"]],
+                "spans": [],
+                "y": bbox["y"],
+            }
+            current_block["lines"].append(current_line)
+        current_line["spans"].append({
+            "text": text,
+            "bbox": [bbox["x"], bbox["y"],
+                     bbox["x"] + bbox["width"],
+                     bbox["y"] + bbox["height"]],
+            "font": "tesseract",
+            "size": bbox["height"],
+            "flags": 0,
+        })
+    return layout
+
+
+# A realistic tesseract-4 tsv page: structural rows (level<5) with
+# conf -1 and empty text, float confs, a conf-29 word (dropped), a
+# conf-30 word (kept, boundary), same-line words (dy<=5), a second
+# line (5<dy<=20), and a far block (dy>20).
+_TSV_WORDS = [
+    # (level, left, top, width, height, conf, text)
+    (1, 0, 0, 1200, 800, "-1", ""),
+    (2, 70, 100, 900, 60, "-1", ""),
+    (5, 72, 100, 80, 22, "96.268", "Quarterly"),
+    (5, 160, 103, 90, 20, "91.0", "report"),
+    (5, 258, 99, 40, 21, "29.99", "n0ise"),      # conf 29 -> dropped
+    (5, 304, 101, 55, 20, "30.0", "(final)"),    # conf 30 -> kept
+    (5, 74, 112, 120, 22, "88.4", "continued"),  # dy 12 -> new line
+    (5, 76, 140, 100, 21, "85.2", "appendix"),   # dy 40 -> new block
+    (5, 180, 141, 60, 20, "77.7", "rows"),
+    (5, 250, 143, 30, 18, "-1", ""),             # empty text -> skipped
+]
+
+
+def _tsv_text() -> str:
+    header = ("level\tpage_num\tblock_num\tpar_num\tline_num\t"
+              "word_num\tleft\ttop\twidth\theight\tconf\ttext")
+    rows = [header]
+    for lvl, x, y, w, h, conf, text in _TSV_WORDS:
+        rows.append(
+            f"{lvl}\t1\t1\t1\t1\t0\t{x}\t{y}\t{w}\t{h}\t{conf}\t{text}"
+        )
+    return "\n".join(rows)
+
+
+def test_tesseract_tsv_layout_matches_reference_walk():
+    """parse_tsv_layout == the reference's image_to_data DICT walk on
+    the same words: conf<30 filter applied (ADVICE r5: the constant
+    was previously declared but unused), y-delta block/line regroup,
+    span fields verbatim."""
+    from service1_text_extraction_spark.kernels import tesseract
+
+    got = tesseract.parse_tsv_layout(_tsv_text(), 1200, 800)
+
+    data = {
+        "text": [t for *_, t in _TSV_WORDS],
+        "conf": [int(float(c)) for *_, c, _ in _TSV_WORDS],
+        "left": [x for _, x, *_ in _TSV_WORDS],
+        "top": [y for _, _, y, *_ in _TSV_WORDS],
+        "width": [w for _, _, _, w, *_ in _TSV_WORDS],
+        "height": [h for _, _, _, _, h, *_ in _TSV_WORDS],
+    }
+    want = _reference_layout_walk(data, 1200, 800)
+    assert got == want
+
+    # structure spot-checks so the fixture actually exercises the rules
+    assert len(got["blocks"]) == 2
+    b0, b1 = got["blocks"]
+    assert len(b0["lines"]) == 2                    # dy 12 split a line
+    words0 = [s["text"] for ln in b0["lines"] for s in ln["spans"]]
+    assert words0 == ["Quarterly", "report", "(final)", "continued"]
+    assert "n0ise" not in words0                    # conf 29 dropped
+    assert [s["text"] for s in b1["lines"][0]["spans"]] == [
+        "appendix", "rows"
+    ]
+    assert b0["lines"][0]["spans"][0] == {
+        "text": "Quarterly", "bbox": [72, 100, 152, 122],
+        "font": "tesseract", "size": 22, "flags": 0,
+    }
+
+
+def test_tesseract_layout_and_failures_degrade():
+    """A failed or timed-out binary invocation yields empty page text
+    (ocr_image) / an empty layout (tesseract_layout), and the document
+    walk continues — the reference's per-page except->'' contract
+    (core_pdf_processor.py:999-1001)."""
+    import subprocess
+
+    from service1_text_extraction_spark.kernels import tesseract
+
+    def boom(png_bytes, config):
+        raise subprocess.CalledProcessError(1, ["tesseract"])
+
+    def slow(png_bytes, config):
+        raise subprocess.TimeoutExpired(["tesseract"], 300)
+
+    assert tesseract.ocr_image(bytes(30), 6, 5, runner=boom) == ""
+    assert tesseract.ocr_image(bytes(30), 6, 5, runner=slow) == ""
+    assert tesseract.tesseract_layout(bytes(30), 6, 5, runner=boom) == {
+        "width": 12, "height": 10, "blocks": [],
+    }
+
+    # document level: one failing image must not abort the others
+    data = pdfgen.build_scanned_pdf(LINES)
+    calls = []
+
+    def flaky(png_bytes, config):
+        calls.append(config)
+        if len(calls) == 1:
+            raise subprocess.TimeoutExpired(["tesseract"], 300)
+        return "RECOVERED PAGE TEXT"
+
+    got = tesseract.tesseract_ocr(data, runner=flaky)
+    assert isinstance(got, str)  # no exception escaped the walk
+
+    # retry pass failing after a short primary also degrades to ""
+    def short_then_boom(png_bytes, config):
+        if config == tesseract.OCR_CONFIG_PRIMARY:
+            return "x"
+        raise subprocess.CalledProcessError(1, ["tesseract"])
+
+    assert tesseract.ocr_image(bytes(30), 6, 5, runner=short_then_boom) == ""
+
+
 def test_tesseract_real_binary():
     """End-to-end against an actual tesseract install (self-skips in
     binary-less environments — the sandbox ships none)."""

@@ -270,6 +270,16 @@ def test_capped_buckets_semijoin_strategy(spark):
     out = {r.shingle: r.ids for r in capped.collect()}
     assert out == {"ok": [1, 2]}
 
+    # ADVICE r5: the strategy's MEMORY_AND_DISK entry is registered
+    # and releasable — after the action completes, one call frees it
+    assert len(dedup._SEMIJOIN_CACHES) >= 1
+    cached = dedup._SEMIJOIN_CACHES[-1]
+    assert cached.storageLevel.useMemory  # actually persisted
+    released = dedup.release_semijoin_caches(blocking=True)
+    assert released >= 1
+    assert dedup._SEMIJOIN_CACHES == []
+    assert not cached.storageLevel.useMemory  # unpersisted for real
+
 
 def test_capped_buckets_in_neardup_pipelines(spark, sf_dir):
     """Every bucket-pair pipeline routes through the pre-collect cap:
