@@ -102,7 +102,11 @@ def main() -> None:
 
     queries = {
         "extract_turns": bench_extract,
-        "dedup_minhash": q(dedup.minhash_band_candidates),
+        # keys match __spark_entry__.queries() names exactly (VERDICT
+        # r5 item 7) so BENCH_r*.json and CORRECTNESS_r*.json join on
+        # the query key without a hand-maintained mapping; r<=5 BENCH
+        # files used dedup_minhash / neardup_cosine for the first two
+        "dedup_minhash_candidates": q(dedup.minhash_band_candidates),
         "dedup_simhash": q(dedup.simhash_fingerprints),
         "dedup_exact": q(dedup.exact_dedup),
         "dedup_minhash_clusters": q(dedup.minhash_clusters),
@@ -116,7 +120,7 @@ def main() -> None:
         "ann_ivf_topk": q(similarity.ivf_ann_topk),
         "ann_lsh_topk": q(similarity.lsh_ann_topk),
         "json_sanitize": q(jsonfuncs.json_sanitize),
-        "neardup_cosine": q(similarity.cosine_neardup_pairs),
+        "neardup_cosine_pairs": q(similarity.cosine_neardup_pairs),
         "pricing_summary": q(relational.pricing_summary),
         "broadcast_dim_rollup": q(relational.broadcast_dim_rollup),
         "sessionize": q(relational.sessionize),

@@ -135,6 +135,24 @@ def test_driver_cap_discipline():
     )
 
 
+def test_bench_keys_are_query_keys():
+    """VERDICT r5 item 7: every timed key bench.py emits must be the
+    exact queries() key of the function it times, so BENCH_r*.json
+    rows join to CORRECTNESS_r*.json rows without a hand-kept map."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "bench.py")) as f:
+        src = f.read()
+    bench_keys = re.findall(
+        r'^\s{8}"([a-z0-9_]+)": (?:q\(|bench_extract)', src, re.M
+    )
+    assert len(bench_keys) >= 40  # the headline suite, not a subset
+    unmatched = [k for k in bench_keys if k not in entry_mod.queries()]
+    assert not unmatched, unmatched
+
+
 def test_assign_paths_agree(spark, sf_dir):
     """The literal-projection and broadcast-join centroid assignment
     paths must be bit-equal (same quantized dots, same tie-break) —
