@@ -165,7 +165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine_pairs": similarity.cosine_neardup_pairs,
         "ann_lsh_topk": similarity.lsh_ann_topk,
         "ann_ivf_topk": similarity.ivf_ann_topk,
-        "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
         "token_counts": textstats.token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
@@ -209,9 +208,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ist_timestamp_format": relational.ist_timestamp_format,
         "sample_exact_quota": curate.sample_exact_quota,
         "bigram_logprob": textstats.bigram_logprob,
+        # --- round-6 additions (lang_id, 5-round hash-green, rotated
+        #     to the tail to make room under the 50-query cap) --------
+        "trigram_logprob": textstats.trigram_logprob,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
+        "lang_id": textstats.lang_id,
         "pending_filter": relational.pending_filter,
         "ann_cosine_topk": similarity.cosine_topk,
         "s3_uri_split": relational.s3_uri_split,
@@ -1221,6 +1224,47 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
             " round(-avg(lp), 4) AS mean_nll"
             " FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id"
+        ),
+        # mirrors textstats.trigram_logprob: interpolated trigram
+        # score l3*p3 + l2*p2 + l1*p1, add-one smoothed at each order,
+        # V = corpus unigram vocabulary, T = total tokens; docs with
+        # < 3 tokens contribute no trigrams
+        "trigram_logprob": (
+            "WITH tb AS (SELECT doc_id,"
+            " list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+            " x -> x <> '') AS t FROM documents),"
+            " tg AS (SELECT doc_id, t[i-2] AS w1, t[i-1] AS w2,"
+            " t[i] AS w3 FROM (SELECT doc_id, t,"
+            " unnest(generate_series(3, len(t))) AS i FROM tb"
+            " WHERE len(t) >= 3)),"
+            " bg AS (SELECT t[i] AS b1, t[i+1] AS b2 FROM"
+            " (SELECT t, unnest(generate_series(1, len(t) - 1))"
+            " AS i FROM tb WHERE len(t) >= 2)),"
+            " c3t AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg"
+            " GROUP BY 1, 2, 3),"
+            " c12 AS (SELECT w1, w2, sum(c123) AS c12 FROM c3t"
+            " GROUP BY 1, 2),"
+            " c2t AS (SELECT b1, b2, count(*) AS c23 FROM bg"
+            " GROUP BY 1, 2),"
+            " c2c AS (SELECT b1, sum(c23) AS c2 FROM c2t GROUP BY 1),"
+            " cu AS (SELECT w, count(*) AS c3 FROM"
+            " (SELECT unnest(t) AS w FROM tb) GROUP BY 1),"
+            " tv AS (SELECT sum(c3)::DOUBLE AS t_tot,"
+            " count(*)::DOUBLE AS v FROM cu),"
+            " lp AS (SELECT c3t.w1, c3t.w2, c3t.w3,"
+            f" ln({textstats.TRIGRAM_LAMBDAS[0]} * (c123 + 1.0) /"
+            " (c12 + v)"
+            f" + {textstats.TRIGRAM_LAMBDAS[1]} * (c23 + 1.0) /"
+            " (c2 + v)"
+            f" + {textstats.TRIGRAM_LAMBDAS[2]} * (c3 + 1.0) /"
+            " (t_tot + v)) AS lp"
+            " FROM c3t JOIN c12 USING (w1, w2)"
+            " JOIN c2t ON c3t.w2 = c2t.b1 AND c3t.w3 = c2t.b2"
+            " JOIN c2c ON c3t.w2 = c2c.b1"
+            " JOIN cu ON c3t.w3 = cu.w, tv)"
+            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,"
+            " round(-avg(lp), 4) AS mean_nll"
+            " FROM tg JOIN lp USING (w1, w2, w3) GROUP BY doc_id"
         ),
         # mirrors curate.sample_exact_quota: salted md5-order
         # row_number per source under the exact quota

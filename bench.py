@@ -145,6 +145,7 @@ def main() -> None:
         "knn_join_multiprobe": q(similarity.knn_join_multiprobe),
         "unigram_logprob": q(textstats.unigram_logprob),
         "bigram_logprob": q(textstats.bigram_logprob),
+        "trigram_logprob": q(textstats.trigram_logprob),
         "sample_exact_quota": q(curate.sample_exact_quota),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }

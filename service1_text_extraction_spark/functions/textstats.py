@@ -1026,6 +1026,116 @@ def bigram_logprob(
     )
 
 
+TRIGRAM_LAMBDAS = (0.7, 0.2, 0.1)  # interpolation: trigram/bigram/unigram
+
+
+def trigram_logprob(
+    spark: SparkSession,
+    sf_dir: str,
+    persist: bool = False,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus
+    JELINEK-MERCER-INTERPOLATED trigram model — the top rung of the
+    CCNet-style n-gram quality ladder (unigram -> bigram -> trigram):
+    score(w3 | w1 w2) = l3*(c123+1)/(c12+V) + l2*(c23+1)/(c2+V)
+    + l1*(c3+1)/(T+V) with (l3, l2, l1) = ``TRIGRAM_LAMBDAS`` and
+    add-one smoothing at every order, so the score is defined for any
+    trigram over the corpus vocabulary and every order contributes
+    even when the corpus is the scoring target (a pure-backoff rule
+    would never leave the top order on self-scoring, leaving the
+    lower-order machinery untested). nll(d) = -avg ln(score) over
+    d's trigrams; documents with fewer than three tokens have no
+    trigrams and are absent from the output (both engines).
+
+    Scale shape (the bigram_logprob recipe, one order up): trigram
+    and bigram streams both derive from the materialized token array
+    per row (adjacent triples/pairs — no self-join, no window); the
+    count tables hash-aggregate with map-side combine and are gram-
+    type-sized, NOT broadcast at 100 TB (the tfidf df-join
+    reasoning); the trigram CONTEXT counts c12 reduce FROM the
+    trigram table and the bigram contexts c2 FROM the bigram table
+    (tiny second aggs, never corpus re-scans); T and V ride one
+    broadcast one-row aggregate (lazy, empty-safe); scoring happens
+    per trigram TYPE (4 type-table joins) and only then joins back
+    to the per-document stream. All joins are inner and total: every
+    document trigram exists in c123, its (w1,w2) in c12, its
+    (w2,w3)/(w2) in the bigram tables, its w3 in the unigram table.
+    ``persist=True`` caches the TOKENIZED frame — the shared parent
+    of all three gram streams (plan-pinned like bigram's)."""
+    l3, l2, l1 = TRIGRAM_LAMBDAS
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    )
+    if persist:
+        toks = toks.persist()
+    # CASE guard: sequence(2, size-1) is DESCENDING for size < 3
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 3 THEN"
+                " array()::array<struct<w1:string,w2:string,w3:string>>"
+                " ELSE transform(sequence(2, size(t) - 1), i ->"
+                " struct(t[i-2] AS w1, t[i-1] AS w2, t[i] AS w3)) END"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2", "g.w3")
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 2 THEN"
+                " array()::array<struct<b1:string,b2:string>> ELSE"
+                " transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS b1, t[i] AS b2)) END"
+            )
+        ).alias("g"),
+    ).select("g.b1", "g.b2")
+    c3t = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    c12 = c3t.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    c2t = big.groupBy("b1", "b2").agg(F.count("*").alias("c23"))
+    c2c = c2t.groupBy("b1").agg(F.sum("c23").alias("c2"))
+    cu = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c3")
+    )
+    tot = cu.agg(
+        F.sum("c3").cast("double").alias("t_tot"),
+        F.count("*").cast("double").alias("v"),
+    )
+    lp = (
+        c3t.join(c12, ["w1", "w2"])
+        .join(
+            c2t.select(
+                F.col("b1").alias("w2"), F.col("b2").alias("w3"), "c23"
+            ),
+            ["w2", "w3"],
+        )
+        .join(c2c.select(F.col("b1").alias("w2"), "c2"), "w2")
+        .join(cu.select(F.col("w").alias("w3"), "c3"), "w3")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.log(
+                F.lit(l3) * (F.col("c123") + 1.0)
+                / (F.col("c12") + F.col("v"))
+                + F.lit(l2) * (F.col("c23") + 1.0)
+                / (F.col("c2") + F.col("v"))
+                + F.lit(l1) * (F.col("c3") + 1.0)
+                / (F.col("t_tot") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        tri.join(lp, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.round(-F.avg("lp"), 4).alias("mean_nll"),
+        )
+    )
+
+
 def unigram_logprob(
     spark: SparkSession,
     sf_dir: str,

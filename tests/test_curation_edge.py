@@ -186,6 +186,36 @@ def test_bigram_logprob_short_docs_and_persist(spark, tmp_path):
     _assert_parity(spark, sf, "bigram_logprob")
 
 
+def test_trigram_logprob_short_docs_and_persist(spark, tmp_path):
+    """Docs with < 3 tokens have no trigrams and must be ABSENT in
+    both engines (empty, whitespace, one- and two-token docs — the
+    descending sequence(2, size-1) trap); persist=True is a pure
+    execution knob; interpolation weights sum to 1 so mean_nll is a
+    proper NLL (> 0 for any non-degenerate corpus)."""
+    rows = EDGE_DOCS + [
+        (9, "solo", "en", "src9", 4),
+        (10, "just two", "en", "src10", 8),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    from service1_text_extraction_spark.functions import textstats
+
+    assert abs(sum(textstats.TRIGRAM_LAMBDAS) - 1.0) < 1e-12
+    got = {
+        r.doc_id: (r.n_trigrams, r.mean_nll)
+        for r in textstats.trigram_logprob(spark, sf).collect()
+    }
+    assert set(got) == {2, 3}  # <3-token docs absent
+    assert got[2][0] == 6 and got[3][0] == 10  # n_tokens - 2
+    assert all(nll > 0 for _, nll in got.values())
+    pers = {
+        r.doc_id: (r.n_trigrams, r.mean_nll)
+        for r in textstats.trigram_logprob(spark, sf, persist=True).collect()
+    }
+    assert pers == got
+    spark.catalog.clearCache()
+    _assert_parity(spark, sf, "trigram_logprob")
+
+
 def test_sample_exact_quota_under_and_over(spark, tmp_path):
     """Exact-count stratified sampling: a source with fewer docs than
     the quota keeps ALL of them; a source with more keeps exactly the

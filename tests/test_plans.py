@@ -306,6 +306,7 @@ def test_twice_scanned_pipelines_persist_knob(spark, sf_dir):
         textstats.unigram_logprob,
         textstats.dsir_weights,
         textstats.bigram_logprob,
+        textstats.trigram_logprob,
     ):
         plan = _plan(q(spark, sf_dir, persist=True))
         assert (
