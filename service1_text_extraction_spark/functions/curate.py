@@ -116,10 +116,12 @@ def sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_QUOTA = 20  # exact per-source keep count (production passes
                    # its own source -> quota map the same shape)
+SAMPLE_SHARDS = 8  # phase-1 salt fan-out (production: ~cluster cores)
 
 
 def sample_exact_quota(
-    spark: SparkSession, sf_dir: str, quota: int = SAMPLE_QUOTA
+    spark: SparkSession, sf_dir: str, quota: int = SAMPLE_QUOTA,
+    shards: int = SAMPLE_SHARDS,
 ) -> DataFrame:
     """Exact-count stratified sampling: keep exactly
     ``min(quota, n_source)`` documents per source, chosen by a salted
@@ -131,24 +133,49 @@ def sample_exact_quota(
     makes the choice independent of both the mixture hash and the
     train/test split hash.
 
-    Scale shape: one window ``row_number`` partitioned by source —
-    each source sorts ITS OWN partition in parallel and the sort key
-    is a 16-char hash prefix, not document payloads. A mega-source at
-    100 TB makes that a single-partition sort; the standard fix is
-    two-phase (salt the source into shards, take quota per shard,
-    re-rank the quota*shards survivors — survivors are quota-bounded,
-    so phase two is tiny); the one-phase form is kept here because it
-    is the shape DuckDB replays verbatim."""
+    Scale shape (two-phase, VERDICT r5 item 2 — the one-phase
+    ``Window.partitionBy(source)`` funneled a 100 TB mega-source
+    through ONE task): phase 1 salts each source into ``shards``
+    shards by an independent slice of the same md5 (hex chars 17-20 —
+    bits disjoint from the 16-char order prefix) and takes the
+    per-(source, shard) top ``quota`` — a mega-source now sorts as
+    ``shards`` parallel spill-backed partitions. Phase 2 re-ranks
+    ONLY the survivors (at most quota x shards rows per source, a
+    few KB) with the per-source window the one-phase form ran over
+    the whole corpus. The output is PROVABLY identical to one-phase:
+    any global top-``quota`` element is preceded by fewer than
+    ``quota`` source rows, hence by fewer than ``quota`` rows of its
+    own shard, so it survives phase 1; phase 2 then reproduces the
+    global order exactly — which is why the DuckDB oracle can stay
+    the verbatim one-phase window (it replays the same selection),
+    and why ``shards=1`` is pinned bit-equal to ``shards=8`` in
+    tests. Production sizes ``shards`` toward cluster parallelism;
+    the default 8 already removes the single-task funnel."""
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("source").orderBy(
-        F.substring(h, 1, 16), F.col("doc_id")
-    )
-    return (
+    base = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", "source")
-        .withColumn("sample_rank", F.row_number().over(w))
+        .select(
+            "doc_id", "source", F.substring(h, 1, 16).alias("hk")
+        )
+    )
+    if shards > 1:
+        shard = F.pmod(
+            F.conv(F.substring(h, 17, 4), 16, 10).cast("long"),
+            F.lit(shards),
+        )
+        w1 = Window.partitionBy("source", "shard").orderBy(
+            "hk", "doc_id"
+        )
+        base = (
+            base.withColumn("shard", shard)
+            .withColumn("shard_rank", F.row_number().over(w1))
+            .where(F.col("shard_rank") <= quota)
+        )
+    w2 = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        base.withColumn("sample_rank", F.row_number().over(w2))
         .where(F.col("sample_rank") <= quota)
         .select(
             "doc_id", "source",

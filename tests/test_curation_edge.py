@@ -236,6 +236,17 @@ def test_sample_exact_quota_under_and_over(spark, tmp_path):
     assert sorted(per["tiny"]) == [1, 2, 3]
     _assert_parity(spark, sf, "sample_exact_quota")
 
+    # VERDICT r5 item 2: the sharded two-phase selection is bit-equal
+    # to the one-phase window the oracle replays — at shards=1 (the
+    # degenerate pin), the default, and an uneven shard count
+    one = sorted(tuple(r) for r in
+                 curate.sample_exact_quota(spark, sf, shards=1).collect())
+    assert sorted(tuple(r) for r in got) == one
+    for s in (3, curate.SAMPLE_SHARDS * 4):
+        two = sorted(tuple(r) for r in
+                     curate.sample_exact_quota(spark, sf, shards=s).collect())
+        assert two == one, s
+
 
 def test_vocab_oov_small_corpus_parity(spark, tmp_path):
     """The vocab cut and OOV profile agree on a corpus smaller than

@@ -436,3 +436,31 @@ def test_admit_corpus_one_signal_scan_one_join(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) \w*HashJoin", plan)) == 1, plan
     exec_plan = df._jdf.queryExecution().executedPlan().toString()
     assert exec_plan.count("split(") <= 2, exec_plan
+
+
+def test_sample_exact_quota_two_phase_plan(spark, sf_dir):
+    """VERDICT r5 item 2: the full corpus scan must never feed a
+    window partitioned by source alone (the mega-source single-task
+    funnel). Phase 1 windows over (source, shard) with the
+    WindowGroupLimit rank pushdown running map-side BEFORE the first
+    exchange; the per-source phase-2 window sees only the
+    quota x shards survivors."""
+    from service1_text_extraction_spark.functions import curate
+
+    plan = _plan(curate.sample_exact_quota(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    # the scan-side exchange hashes on (source, shard), not source
+    m = re.search(r"hashpartitioning\(source#\d+, shard#\d+L?", plan)
+    assert m, plan
+    # phase 1's rank limit runs Partial (map-side, pre-shuffle)
+    assert re.search(
+        r"\[source#\d+, shard#\d+L?\], .*row_number\(\), \d+, Partial", plan
+    ), plan
+    # exactly the two intended windows
+    assert len(re.findall(r"\(\d+\) Window\b", final)) == 2, final
+    # shards=1 degenerates to the single per-source window (the
+    # oracle's verbatim shape)
+    plan1 = _plan(curate.sample_exact_quota(spark, sf_dir, shards=1))
+    final1 = plan1.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"\(\d+\) Window\b", final1)) == 1, final1
+    assert "shard" not in plan1
