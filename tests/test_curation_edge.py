@@ -528,6 +528,31 @@ def test_multiprobe_recall_improves(spark, sf_dir):
     assert mp1 == single
 
 
+def test_auto_k_grid_and_driver_equivalence(spark, sf_dir):
+    """VERDICT r5 item 1: the semantic/kNN family's quantizer grows
+    with the corpus on the deterministic doubling grid — and resolves
+    to EXACTLY the oracle's k=10 at every driver-checked scale, so
+    the unrolled k=10 SQL oracles replay the auto path verbatim."""
+    from service1_text_extraction_spark.functions import similarity
+
+    assert similarity._auto_k(1) == 10
+    assert similarity._auto_k(500) == 10        # sf0.001/sf0.01 tables
+    assert similarity._auto_k(501) == 20
+    assert similarity._auto_k(2000) == 40       # sf0.1 table
+    assert similarity._auto_k(20000) == 640     # 10x replica
+    assert similarity._auto_k(10**10) == 40960  # grid-capped
+    assert similarity._auto_k(10**10) <= similarity.AUTO_K_MAX
+
+    # the driver corpus resolves to the fixed oracle k...
+    assert (
+        similarity._resolve_k(spark, sf_dir, "auto") == similarity.K_LISTS
+    )
+    # ...and trains the identical quantizer (same memo entry or not)
+    auto = similarity._kmeans_centroids(spark, sf_dir, "auto")
+    fixed = similarity._kmeans_centroids(spark, sf_dir, similarity.K_LISTS)
+    assert auto == fixed
+
+
 def test_verified_pairs_non_ascii_and_empty(spark, tmp_path):
     """Pins the authoritative Spark semantics the oracle cannot mirror
     beyond ASCII: levenshtein is CHARACTER-based ('ééé' vs 'xyz' is 3
