@@ -118,16 +118,22 @@ def _skip_ws(data: bytes, pos: int) -> int:
 
 
 def _parse_value(data: bytes, pos: int):
+    # dispatch on the first byte — values are overwhelmingly numbers/
+    # refs and names, so the common paths must not pay startswith
+    # probes for dict/bool/null openers (hot path: ~60 values per
+    # fixture object, profiled at ~30% of extract_pdf)
     pos = _skip_ws(data, pos)
     if pos >= len(data):
         raise PdfError("unexpected end of data")
     c = data[pos]
 
-    if data.startswith(b"<<", pos):
-        return _parse_dict(data, pos)
-    if c == 0x3C:  # '<' hex string
+    if c == 0x3C:  # '<<' dict or '<' hex string
+        if pos + 1 < len(data) and data[pos + 1] == 0x3C:
+            return _parse_dict(data, pos)
         end = data.index(b">", pos + 1)
-        hx = re.sub(rb"\s", b"", data[pos + 1 : end])
+        hx = data[pos + 1 : end]
+        if not hx.isalnum():
+            hx = re.sub(rb"\s", b"", hx)
         if len(hx) % 2:
             hx += b"0"
         return bytes.fromhex(hx.decode("ascii")), end + 1
@@ -145,11 +151,11 @@ def _parse_value(data: bytes, pos: int):
                 return items, pos + 1
             v, pos = _parse_value(data, pos)
             items.append(v)
-    if data.startswith(b"true", pos):
+    if c == 0x74 and data.startswith(b"true", pos):
         return True, pos + 4
-    if data.startswith(b"false", pos):
+    if c == 0x66 and data.startswith(b"false", pos):
         return False, pos + 5
-    if data.startswith(b"null", pos):
+    if c == 0x6E and data.startswith(b"null", pos):
         return None, pos + 4
     # number or reference
     m = _NUM_RE.match(data, pos)
@@ -172,7 +178,13 @@ def _parse_dict(data: bytes, pos: int):
         pos = _skip_ws(data, pos)
         if data.startswith(b">>", pos):
             return out, pos + 2
-        key, pos = _parse_value(data, pos)
+        # keys are names by spec — skip the generic dispatch
+        if data[pos] == 0x2F:
+            m = _NAME_RE.match(data, pos)
+            key = "/" + m.group(1).decode("latin-1")
+            pos = m.end()
+        else:
+            key, pos = _parse_value(data, pos)
         val, pos = _parse_value(data, pos)
         out[key] = val
 
@@ -1187,6 +1199,8 @@ class Font:
             s = "".join(self._simple_byte(b) for b in raw)
         else:
             return _decode_pdf_text(raw)
+        if s.isascii():
+            return s
         return s.translate(_LIGATURES)
 
 
@@ -1223,6 +1237,10 @@ def _decode_pdf_text(raw: bytes) -> str:
         s = raw[2:].decode("utf-16-be", errors="replace")
     else:
         s = raw.decode("latin-1")
+    # every ligature key is U+FB00..FB06: pure-ASCII strings (the
+    # overwhelming show-op case) skip the per-char translate walk
+    if s.isascii():
+        return s
     return s.translate(_LIGATURES)
 
 
@@ -1298,7 +1316,9 @@ def interpret_content(
             stack.append(raw)
             continue
         if kind == "hex":
-            hx = re.sub(rb"\s", b"", m.group("hex"))
+            hx = m.group("hex")
+            if not hx.isalnum():
+                hx = re.sub(rb"\s", b"", hx)
             if len(hx) % 2:
                 hx += b"0"
             stack.append(bytes.fromhex(hx.decode("ascii")))
