@@ -4,15 +4,26 @@ Brute-force cosine top-k is the correctness baseline; LSH-bucketed
 ANN (deterministic md5-seeded hyperplanes) is the scale path — at
 10^12 rows the cross product is impossible, but hyperplane buckets
 cut candidates by ~2^n_planes while staying pure DataFrame ops.
-Dot products run JVM-side via ``zip_with``/``aggregate``; no UDFs.
+Pairwise dot products run JVM-side via ``zip_with``/``aggregate``
+with one deliberate exception: the dense n x k centroid scoring at
+large auto-k runs as an Arrow-batched numpy fold (``_fold_dots``) —
+``zip_with``/``aggregate`` are interpreted (CodegenFallback) per row,
+so expanding every vector to k>64 scored rows pays interpreted
+expression eval AND an exchange, while the numpy fold is vectorized
+over rows yet bit-equal to the JVM fold by construction (sequential
+per-dimension accumulation — see ``_fold_dots``).
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 N_PLANES = 16
 EMB_DIM = 64  # fixed test-table dimensionality (TESTDATA.md)
@@ -286,9 +297,72 @@ def kmeans_assign(
 
 # Above this k, centroid-literal expression trees stop scaling: a 10^4
 # x 768 literal plan is megabytes of expression tree and Catalyst
-# analysis blows up long before data does (VERDICT r3). The join path
-# broadcasts the centroids as DATA instead.
+# analysis blows up long before data does (VERDICT r3). The arrow path
+# scores the k x dim centroid matrix in one numpy fold per Arrow
+# batch; the join path (broadcast centroids as DATA) is kept as the
+# UDF-free fallback and stays bit-equality-pinned against both.
 ASSIGN_BROADCAST_K = 64
+
+
+def _fold_dots(emb: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, d) float32 x (k, d) float64 -> (n, k) float64 dot matrix,
+    bit-equal to the JVM ``aggregate(zip_with(...))`` fold.
+
+    The JVM fold computes ``((0.0 + x0*w0) + x1*w1) + ...`` — one IEEE
+    double multiply-then-add per dimension, strictly in order. Looping
+    the DIMENSION sequentially here while vectorizing over rows x
+    centroids performs the identical operation sequence on every
+    element (float32 -> double is exact; ``acc += X[:,j,None] *
+    W[None,:,j]`` is one mul + one add per element), so every dot is
+    bit-identical to the literal/join paths — no BLAS matmul, whose
+    blocked/pairwise summation would differ in the last ulp and could
+    flip argmax on near-ties."""
+    acc = np.zeros((emb.shape[0], cents.shape[0]), dtype=np.float64)
+    x = emb.astype(np.float64, copy=False)
+    for j in range(x.shape[1]):
+        acc += x[:, j, None] * cents[None, :, j]
+    return acc
+
+
+def _stack_emb(emb: pd.Series) -> np.ndarray:
+    # keep the source dtype: float32 input widens exactly to double in
+    # _fold_dots (mirroring the JVM's cast), while an already-double
+    # embedding column must NOT round-trip through float32
+    return np.stack([np.asarray(v) for v in emb])
+
+
+def _assign_arrow_udf(centroids: list[list[float]]):
+    """pandas_udf: embedding -> primary list_id (argmax dot, ties ->
+    lowest list id — ``np.argmax`` returns the FIRST max index, which
+    is exactly the house tie rule)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        d = _fold_dots(_stack_emb(emb), cents)
+        return pd.Series(np.argmax(d, axis=1).astype("int32"))
+
+    return assign
+
+
+def _probe_arrow_udf(centroids: list[list[float]], probes: int):
+    """pandas_udf: embedding -> the ``probes`` nearest list_ids in
+    probe order. Ordering is dot desc then list_id asc: ``-d`` is an
+    exact IEEE sign flip and the STABLE argsort keeps ties in
+    ascending-index order — identical to the JVM struct sort."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def probe(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        d = _fold_dots(_stack_emb(emb), cents)
+        idx = np.argsort(-d, axis=1, kind="stable")[:, :probes]
+        return pd.Series(list(idx.astype("int32")))
+
+    return probe
 
 
 def _assigned(
@@ -300,16 +374,24 @@ def _assigned(
     """``e`` (vec_id, embedding, ...) -> same columns + ``list_id``.
 
     Small k (the default/oracle regime): centroid-literal
-    greatest-struct projection — zero shuffle, zero join. Large k:
-    broadcast the centroid table as data (k x dim doubles), expand each
-    vector to k scored rows JVM-side, and take the per-vector struct-max
-    — partial aggregation collapses the k rows map-side, so the single
-    exchange carries one row per vector, never k. Both paths compute
-    the identical quantized dot with the identical tie-break (highest
-    dot, then lowest list id), so results are bit-equal (pinned by
-    tests/test_oracle_parity.py::test_assign_paths_agree)."""
+    greatest-struct projection — zero shuffle, zero join. Large k
+    (default): Arrow-batched numpy fold over the k x dim centroid
+    matrix — still a pure per-row map (zero shuffle, no exchange) and
+    bit-equal to the JVM fold by construction (``_fold_dots``).
+    ``use_join=True`` selects the UDF-free fallback: broadcast the
+    centroid table as data, expand each vector to k scored rows
+    JVM-side, per-vector struct-max (partial agg collapses the k rows
+    map-side; one exchange of one row per vector). All three paths
+    compute the identical quantized dot with the identical tie-break
+    (highest dot, then lowest list id), so results are bit-equal
+    (pinned by tests/test_oracle_parity.py::test_assign_paths_agree
+    and test_assign_arrow_large_k)."""
     if use_join is None:
-        use_join = len(centroids) > ASSIGN_BROADCAST_K
+        if len(centroids) > ASSIGN_BROADCAST_K:
+            return e.withColumn(
+                "list_id", _assign_arrow_udf(centroids)(F.col("embedding"))
+            )
+        use_join = False
     if not use_join:
         return e.withColumn(
             "list_id", _assign_col(centroids).cast("int")
@@ -692,6 +774,7 @@ def _probe_lists(
     e: DataFrame,
     centroids: list[list[float]],
     probes: int,
+    use_join: bool | None = None,
 ) -> DataFrame:
     """``e`` (vec_id, embedding) -> (vec_id, probe_rank, list_id):
     each vector's ``probes`` nearest centroids under the house dot +
@@ -701,11 +784,25 @@ def _probe_lists(
 
     Small k: a pure per-row projection — k scored structs, array_sort
     (nd = -dot ascending == dot descending, then list_id), slice P,
-    explode. Zero shuffle, zero join. Large k (> ASSIGN_BROADCAST_K):
-    broadcast the centroid TABLE and take row_number <= P over the
-    per-vector scored rows — one bounded window per vector, the same
-    Catalyst-blowup guard as ``_assigned``."""
-    if len(centroids) > ASSIGN_BROADCAST_K:
+    explode. Zero shuffle, zero join. Large k (> ASSIGN_BROADCAST_K,
+    default): the Arrow fold ranks all k centroids per batch and
+    returns the top-P array — still a per-row map + posexplode, zero
+    exchange, bit-equal by construction (``_probe_arrow_udf``).
+    ``use_join=True`` keeps the UDF-free fallback: broadcast the
+    centroid TABLE and take row_number <= P over the per-vector
+    scored rows — that path pays a full n x k exchange into the
+    window, which is exactly why arrow is the default
+    (test_probe_paths_agree pins all three bit-equal)."""
+    if use_join is None and len(centroids) > ASSIGN_BROADCAST_K:
+        probed = _probe_arrow_udf(centroids, probes)(F.col("embedding"))
+        return e.select(
+            "vec_id", F.posexplode(probed).alias("pos", "list_id")
+        ).select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("probe_rank"),
+            F.col("list_id").cast("int").alias("list_id"),
+        )
+    if use_join:
         from pyspark.sql import Window
 
         cdf = spark.createDataFrame(

@@ -265,3 +265,78 @@ def test_cc_driver_and_distributed_agree(spark, sf_dir):
         )
     )
     assert mh_drv == mh_dst and mh_drv
+
+
+def _mock_centroids(spark, sf_dir, k):
+    """k>ASSIGN_BROADCAST_K fake centroids shaped like real ones
+    (6-dp-rounded doubles), so the large-k paths engage on the small
+    test corpus."""
+    from service1_text_extraction_spark.functions import similarity
+
+    rows = (
+        similarity._emb(spark, sf_dir)
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    return [[round(float(x), 6) for x in r.embedding] for r in rows]
+
+
+def test_assign_arrow_large_k(spark, sf_dir):
+    """At k > ASSIGN_BROADCAST_K the default assignment path is the
+    Arrow numpy fold; it must be bit-equal to BOTH the centroid-literal
+    projection and the broadcast-join struct-max (the fold performs
+    the identical IEEE op sequence per element — _fold_dots)."""
+    from service1_text_extraction_spark.functions import similarity
+
+    e = similarity._emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = _mock_centroids(spark, sf_dir, similarity.ASSIGN_BROADCAST_K + 6)
+    arrow = {
+        r.vec_id: r.list_id
+        for r in similarity._assigned(spark, e, cents).collect()
+    }
+    lit = {
+        r.vec_id: r.list_id
+        for r in similarity._assigned(
+            spark, e, cents, use_join=False
+        ).collect()
+    }
+    join = {
+        r.vec_id: r.list_id
+        for r in similarity._assigned(
+            spark, e, cents, use_join=True
+        ).collect()
+    }
+    assert arrow == lit == join and arrow
+
+
+def test_probe_paths_agree(spark, sf_dir):
+    """_probe_lists' three strategies (literal structs, broadcast-join
+    window, Arrow top-P) must produce the identical ranked probe table
+    at k > ASSIGN_BROADCAST_K, and probe_rank 1 must reproduce the
+    primary assignment."""
+    from service1_text_extraction_spark.functions import similarity
+
+    e = similarity._emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = _mock_centroids(spark, sf_dir, similarity.ASSIGN_BROADCAST_K + 6)
+    probes = 3
+
+    def key(df):
+        return sorted(
+            (r.vec_id, r.probe_rank, r.list_id) for r in df.collect()
+        )
+
+    arrow = key(similarity._probe_lists(spark, e, cents, probes))
+    small = key(
+        similarity._probe_lists(spark, e, cents, probes, use_join=False)
+    )
+    join = key(
+        similarity._probe_lists(spark, e, cents, probes, use_join=True)
+    )
+    assert arrow == small == join and arrow
+    primary = {
+        r.vec_id: r.list_id
+        for r in similarity._assigned(spark, e, cents).collect()
+    }
+    rank1 = {v: li for (v, pr, li) in arrow if pr == 1}
+    assert rank1 == primary

@@ -316,10 +316,13 @@ def test_twice_scanned_pipelines_persist_knob(spark, sf_dir):
 
 
 def test_large_k_assignment_broadcasts_centroids(spark):
-    """At k > ASSIGN_BROADCAST_K the assignment must broadcast the
-    centroid TABLE (bounded plan, BroadcastNestedLoopJoin + one
-    partial-aggregated exchange) instead of inlining a k x dim literal
-    expression tree."""
+    """At k > ASSIGN_BROADCAST_K the default assignment is the Arrow
+    fold (map-only, bounded plan); the UDF-free fallback
+    (use_join=True) must broadcast the centroid TABLE
+    (BroadcastNestedLoopJoin + one partial-aggregated exchange).
+    Neither may inline a k x dim literal expression tree. Exercises
+    an array<double> embedding column — the arrow fold must not
+    round-trip doubles through float32."""
     import numpy as np
 
     rng = np.random.default_rng(7)
@@ -328,15 +331,23 @@ def test_large_k_assignment_broadcasts_centroids(spark):
         "vec_id long, embedding array<double>",
     )
     cents = [[float(x) for x in rng.standard_normal(8)] for _ in range(100)]
-    df = similarity._assigned(spark, e, cents)  # auto-selects join path
+    df = similarity._assigned(spark, e, cents)  # auto-selects arrow path
     plan = _plan(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    # bounded expression tree: no 100-way greatest() literal chain
-    assert "greatest" not in plan
-    assert len(plan) < 100_000, len(plan)
-    # argmax semantics hold on the join path
+    assert "ArrowEvalPython" in plan, plan
+    join_df = similarity._assigned(spark, e, cents, use_join=True)
+    join_plan = _plan(join_df)
+    assert (
+        "BroadcastNestedLoopJoin" in join_plan
+        or "BroadcastHashJoin" in join_plan
+    )
+    # bounded expression trees: no 100-way greatest() literal chain
+    for p in (plan, join_plan):
+        assert "greatest" not in p
+        assert len(p) < 100_000, len(p)
+    # argmax semantics hold and both paths agree bit-for-bit
     arr = np.array(cents)
     rows = {r.vec_id: r.list_id for r in df.collect()}
+    assert rows == {r.vec_id: r.list_id for r in join_df.collect()}
     for r in e.collect():
         dots = arr @ np.array(r.embedding)
         assert rows[r.vec_id] == int(np.argmax(dots)), r.vec_id
@@ -464,3 +475,25 @@ def test_sample_exact_quota_two_phase_plan(spark, sf_dir):
     final1 = plan1.split("== Initial Plan ==")[0]
     assert len(re.findall(r"\(\d+\) Window\b", final1)) == 1, final1
     assert "shard" not in plan1
+
+
+def test_large_k_assign_and_probe_are_maponly_arrow(spark, sf_dir):
+    """At k > ASSIGN_BROADCAST_K the default assign/probe paths must be
+    Arrow-vectorized per-row maps: ArrowEvalPython in the plan and NO
+    Exchange — the join fallback's n x k expansion (exchange into a
+    groupBy/window) is exactly what the arrow path exists to avoid."""
+    from service1_text_extraction_spark.functions import similarity
+
+    e = similarity._emb(spark, sf_dir).select("vec_id", "embedding")
+    rows = e.orderBy("vec_id").limit(
+        similarity.ASSIGN_BROADCAST_K + 6
+    ).collect()
+    cents = [[round(float(x), 6) for x in r.embedding] for r in rows]
+
+    assign_plan = _plan(similarity._assigned(spark, e, cents))
+    assert "ArrowEvalPython" in assign_plan, assign_plan
+    assert "Exchange" not in assign_plan, assign_plan
+
+    probe_plan = _plan(similarity._probe_lists(spark, e, cents, 3))
+    assert "ArrowEvalPython" in probe_plan, probe_plan
+    assert "Exchange" not in probe_plan, probe_plan
