@@ -302,6 +302,15 @@ def kmeans_assign(
 # batch; the join path (broadcast centroids as DATA) is kept as the
 # UDF-free fallback and stays bit-equality-pinned against both.
 ASSIGN_BROADCAST_K = 64
+# Above this k, the Arrow fold beats the centroid-literal projection:
+# the literal path's aggregate(zip_with(...)) chain is interpreted
+# (CodegenFallback), so its per-row cost is k x dim interpreted lambda
+# steps, while the fold is one vectorized numpy pass per batch.
+# Interleaved A/B at k=40/dim=64 (sf0.1, BENCH/BASELINE.md):
+# semantic_keepers 11.2 -> 2.5 s, ivf 9.1 -> 1.3 s, multiprobe
+# 11.6 -> 3.4 s. k <= 16 keeps the literal projection — the
+# K_LISTS=10 oracle regime stays UDF-free and plan-identical.
+ASSIGN_ARROW_K = 16
 
 
 def _fold_dots(emb: np.ndarray, cents: np.ndarray) -> np.ndarray:
@@ -387,7 +396,7 @@ def _assigned(
     (pinned by tests/test_oracle_parity.py::test_assign_paths_agree
     and test_assign_arrow_large_k)."""
     if use_join is None:
-        if len(centroids) > ASSIGN_BROADCAST_K:
+        if len(centroids) > ASSIGN_ARROW_K:
             return e.withColumn(
                 "list_id", _assign_arrow_udf(centroids)(F.col("embedding"))
             )
@@ -432,7 +441,7 @@ def _assigned(
 def _assign_col(cents: list[list[float]]) -> Column:
     """argmax over k centroid dots via greatest-struct (pure per-row
     projection, zero shuffle); ties -> lowest list id. Small-k path of
-    ``_assigned`` — see ASSIGN_BROADCAST_K for the large-k switch."""
+    ``_assigned`` — see ASSIGN_ARROW_K for the large-k switch."""
     structs = []
     for li, c in enumerate(cents):
         arr = F.array(*[F.lit(x) for x in c])
@@ -784,7 +793,7 @@ def _probe_lists(
 
     Small k: a pure per-row projection — k scored structs, array_sort
     (nd = -dot ascending == dot descending, then list_id), slice P,
-    explode. Zero shuffle, zero join. Large k (> ASSIGN_BROADCAST_K,
+    explode. Zero shuffle, zero join. Large k (> ASSIGN_ARROW_K,
     default): the Arrow fold ranks all k centroids per batch and
     returns the top-P array — still a per-row map + posexplode, zero
     exchange, bit-equal by construction (``_probe_arrow_udf``).
@@ -793,7 +802,7 @@ def _probe_lists(
     scored rows — that path pays a full n x k exchange into the
     window, which is exactly why arrow is the default
     (test_probe_paths_agree pins all three bit-equal)."""
-    if use_join is None and len(centroids) > ASSIGN_BROADCAST_K:
+    if use_join is None and len(centroids) > ASSIGN_ARROW_K:
         probed = _probe_arrow_udf(centroids, probes)(F.col("embedding"))
         return e.select(
             "vec_id", F.posexplode(probed).alias("pos", "list_id")

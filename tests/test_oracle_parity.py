@@ -268,7 +268,7 @@ def test_cc_driver_and_distributed_agree(spark, sf_dir):
 
 
 def _mock_centroids(spark, sf_dir, k):
-    """k>ASSIGN_BROADCAST_K fake centroids shaped like real ones
+    """k > join/arrow thresholds: fake centroids shaped like real ones
     (6-dp-rounded doubles), so the large-k paths engage on the small
     test corpus."""
     from service1_text_extraction_spark.functions import similarity
@@ -283,7 +283,7 @@ def _mock_centroids(spark, sf_dir, k):
 
 
 def test_assign_arrow_large_k(spark, sf_dir):
-    """At k > ASSIGN_BROADCAST_K the default assignment path is the
+    """At k > ASSIGN_ARROW_K the default assignment path is the
     Arrow numpy fold; it must be bit-equal to BOTH the centroid-literal
     projection and the broadcast-join struct-max (the fold performs
     the identical IEEE op sequence per element — _fold_dots)."""
@@ -313,7 +313,7 @@ def test_assign_arrow_large_k(spark, sf_dir):
 def test_probe_paths_agree(spark, sf_dir):
     """_probe_lists' three strategies (literal structs, broadcast-join
     window, Arrow top-P) must produce the identical ranked probe table
-    at k > ASSIGN_BROADCAST_K, and probe_rank 1 must reproduce the
+    at large k, and probe_rank 1 must reproduce the
     primary assignment."""
     from service1_text_extraction_spark.functions import similarity
 

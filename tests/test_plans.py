@@ -316,7 +316,7 @@ def test_twice_scanned_pipelines_persist_knob(spark, sf_dir):
 
 
 def test_large_k_assignment_broadcasts_centroids(spark):
-    """At k > ASSIGN_BROADCAST_K the default assignment is the Arrow
+    """At k > ASSIGN_ARROW_K the default assignment is the Arrow
     fold (map-only, bounded plan); the UDF-free fallback
     (use_join=True) must broadcast the centroid TABLE
     (BroadcastNestedLoopJoin + one partial-aggregated exchange).
@@ -478,7 +478,7 @@ def test_sample_exact_quota_two_phase_plan(spark, sf_dir):
 
 
 def test_large_k_assign_and_probe_are_maponly_arrow(spark, sf_dir):
-    """At k > ASSIGN_BROADCAST_K the default assign/probe paths must be
+    """At k > ASSIGN_ARROW_K the default assign/probe paths must be
     Arrow-vectorized per-row maps: ArrowEvalPython in the plan and NO
     Exchange — the join fallback's n x k expansion (exchange into a
     groupBy/window) is exactly what the arrow path exists to avoid."""
