@@ -15,8 +15,15 @@ hash-aggregate; SimHash is one explode + re-aggregate.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 N_MINHASH = 8
 BAND_SIZE = 4  # 2 bands of 4 -> candidates need one identical half-signature
@@ -316,18 +323,124 @@ def _simhash_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("doc_id").agg(*aggs)
 
 
+# SimHash strategy: "arrow" (default) computes each document's 4 x
+# 16-bit fingerprint segments in ONE Arrow-batched map — per-doc
+# SimHash is embarrassingly parallel, so the SQL shape's two exchanges
+# (the (doc_id, token) DISTINCT shuffle, which carries the full token
+# stream, then the 64-sum re-aggregation) buy nothing at any scale.
+# "sql" keeps the explode+distinct+groupBy form the DuckDB oracle
+# mirrors; both are exact integer math over the same md5 nibbles, so
+# equality is structural (pinned by test_simhash_paths_agree).
+SIMHASH_STRATEGY = "arrow"
+
+# Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python re's \s is
+# Unicode-wide. The arrow tokenizer must replicate Spark's split(...,
+# '\\s+') exactly, so the class is spelled out.
+_JAVA_WS_RE = "[ \\t\\n\\x0b\\f\\r]+"
+
+# token -> per-bit ±1 vote row (np.int8[64]), shared across Arrow
+# batches on each worker: natural-language vocabulary repeats heavily
+# (Zipf), so most tokens hash once per worker, not once per document.
+_SIMHASH_VOTE_MEMO: dict = {}
+_SIMHASH_MEMO_CAP = 1_000_000
+
+
+def _simhash_vote_row(tok: str):
+    row = _SIMHASH_VOTE_MEMO.get(tok)
+    if row is None:
+        raw = tok.encode("utf-8")
+        buf = (
+            hashlib.md5(b"0:" + raw).digest()
+            + hashlib.md5(b"1:" + raw).digest()
+        )
+        a = np.frombuffer(buf, dtype=np.uint8)
+        nibs = np.empty(64, dtype=np.uint8)
+        nibs[0::2] = a >> 4  # hex char 2i = high nibble of byte i
+        nibs[1::2] = a & 15
+        row = np.where(nibs >= 8, 1, -1).astype(np.int8)
+        if len(_SIMHASH_VOTE_MEMO) < _SIMHASH_MEMO_CAP:
+            _SIMHASH_VOTE_MEMO[tok] = row
+    return row
+
+
+def _simhash_segments_udf():
+    """pandas_udf: text -> array of 4 x 16-bit fingerprint segments
+    (NULL for null/token-less text — the SQL shape's explode emits no
+    row for those docs, so callers filter NULLs to match).
+
+    Bit j of the fingerprint is 1 iff the ±1 votes over the document's
+    DISTINCT tokens sum positive, where token votes come from md5 hex
+    nibbles — integer-exact arithmetic, identical to the SQL form by
+    construction. Segment b packs bits b*16..b*16+15 MSB-first,
+    matching ``simhash_neardup_pairs``'s ``1 << (15 - k)`` weights."""
+    ws = re.compile(_JAVA_WS_RE)
+    weights = (1 << np.arange(15, -1, -1, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def segs(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            toks = {x for x in ws.split(t.lower()) if x}
+            if not toks:
+                out.append(None)
+                continue
+            votes = np.sum(
+                [_simhash_vote_row(tok) for tok in toks],
+                axis=0,
+                dtype=np.int64,
+            )
+            bits = (votes > 0).astype(np.int64).reshape(4, 16)
+            out.append((bits * weights).sum(axis=1))
+        return pd.Series(out)
+
+    return segs
+
+
+def _simhash_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, f0..f3) 16-bit fingerprint segments, strategy-routed."""
+    n_bands = N_SIMHASH_BITS // SIMHASH_BAND_BITS
+    if SIMHASH_STRATEGY == "arrow":
+        segged = _docs(spark, sf_dir).select(
+            "doc_id", _simhash_segments_udf()(F.col("text")).alias("fs")
+        ).where(F.col("fs").isNotNull())
+        return segged.select(
+            "doc_id",
+            *[F.col("fs").getItem(b).alias(f"f{b}") for b in range(n_bands)],
+        )
+    sums = _simhash_sums(spark, sf_dir)
+    segs = []
+    for b in range(n_bands):
+        seg = None
+        for k in range(SIMHASH_BAND_BITS):
+            bit = F.when(
+                F.col(f"s{b * SIMHASH_BAND_BITS + k}") > 0,
+                F.lit(1 << (SIMHASH_BAND_BITS - 1 - k)),
+            ).otherwise(F.lit(0))
+            seg = bit if seg is None else seg + bit
+        segs.append(seg.cast("long").alias(f"f{b}"))
+    return sums.select("doc_id", *segs)
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over distinct word tokens; fingerprint is the
     sign vector rendered as a bit string. 64 bits (vs 16 in round 1)
     keeps 16-bit band buckets sparse at scale — a 16-bit fingerprint
-    has only 2^4 values per band, which makes banding near-quadratic."""
-    per_doc = _simhash_sums(spark, sf_dir)
-    bits = [
-        F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for j in range(N_SIMHASH_BITS)
-    ]
+    has only 2^4 values per band, which makes banding near-quadratic.
+    The bit string renders from the 16-bit segments (MSB-first), so
+    both strategies produce the identical string."""
+    per_doc = _simhash_segments(spark, sf_dir)
+    n_bands = N_SIMHASH_BITS // SIMHASH_BAND_BITS
     return per_doc.select(
-        "doc_id", F.concat(*bits).alias("simhash")
+        "doc_id",
+        F.concat(
+            *[
+                F.lpad(F.bin(F.col(f"f{b}")), SIMHASH_BAND_BITS, "0")
+                for b in range(n_bands)
+            ]
+        ).alias("simhash"),
     )
 
 
@@ -371,18 +484,7 @@ def simhash_neardup_pairs(
     per-character comparisons — both a smaller shuffle payload and a
     far smaller codegen unit."""
     n_bands = N_SIMHASH_BITS // SIMHASH_BAND_BITS
-    sums = _simhash_sums(spark, sf_dir)
-    segs = []
-    for b in range(n_bands):
-        seg = None
-        for k in range(SIMHASH_BAND_BITS):
-            bit = F.when(
-                F.col(f"s{b * SIMHASH_BAND_BITS + k}") > 0,
-                F.lit(1 << (SIMHASH_BAND_BITS - 1 - k)),
-            ).otherwise(F.lit(0))
-            seg = bit if seg is None else seg + bit
-        segs.append(seg.cast("long").alias(f"f{b}"))
-    fp = sums.select("doc_id", *segs)
+    fp = _simhash_segments(spark, sf_dir)
 
     bands = [
         F.struct(

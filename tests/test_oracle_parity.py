@@ -340,3 +340,64 @@ def test_probe_paths_agree(spark, sf_dir):
     }
     rank1 = {v: li for (v, pr, li) in arrow if pr == 1}
     assert rank1 == primary
+
+
+def test_simhash_paths_agree(spark, sf_dir):
+    """The Arrow per-doc SimHash (default) and the SQL
+    explode+distinct+groupBy shape must produce identical fingerprints
+    and identical near-dup pairs — both are exact integer math over
+    the same md5 nibbles, including Java-\\s-only tokenization and
+    absent-row semantics for token-less documents."""
+    from service1_text_extraction_spark.functions import dedup
+
+    def both(fn):
+        prev = dedup.SIMHASH_STRATEGY
+        try:
+            dedup.SIMHASH_STRATEGY = "arrow"
+            a = sorted(map(tuple, fn().collect()))
+            dedup.SIMHASH_STRATEGY = "sql"
+            b = sorted(map(tuple, fn().collect()))
+        finally:
+            dedup.SIMHASH_STRATEGY = prev
+        return a, b
+
+    fa, fb = both(lambda: dedup.simhash_fingerprints(spark, sf_dir))
+    assert fa == fb and fa
+    pa, pb = both(lambda: dedup.simhash_neardup_pairs(spark, sf_dir))
+    assert pa == pb
+
+
+def test_simhash_arrow_tokenizer_edges(spark):
+    """Arrow SimHash must replicate Spark's split semantics exactly:
+    Java \\s is ASCII-only (a non-breaking space is NOT a separator),
+    and null/whitespace-only docs are ABSENT (as the SQL explode emits
+    no row), not null-fingerprinted."""
+    from service1_text_extraction_spark.functions import dedup
+
+    rows = [
+        (1, "Hello\tWorld\nhello  world"),
+        (2, "nbsp joined stays one-token"),
+        (3, "   \t  "),
+        (4, None),
+        (5, "x"),
+    ]
+    import os
+    import tempfile
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "d")
+        df.write.parquet(os.path.join(path, "documents.parquet"))
+        prev = dedup.SIMHASH_STRATEGY
+        try:
+            dedup.SIMHASH_STRATEGY = "arrow"
+            a = {r.doc_id: r.simhash
+                 for r in dedup.simhash_fingerprints(spark, path).collect()}
+            dedup.SIMHASH_STRATEGY = "sql"
+            b = {r.doc_id: r.simhash
+                 for r in dedup.simhash_fingerprints(spark, path).collect()}
+        finally:
+            dedup.SIMHASH_STRATEGY = prev
+    assert a == b
+    assert set(a) == {1, 2, 5}  # 3 (ws-only) and 4 (null) absent
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in a.values())
