@@ -237,6 +237,75 @@ def ngram_jaccard_pairs(
 
 _H_MOD = 4294967296  # 2^32
 
+# MinHash strategy: "arrow" (default) computes each document's
+# signature in ONE Arrow-batched map — like SimHash, per-doc MinHash
+# is embarrassingly parallel, and min() is idempotent under
+# duplicates, so neither the (doc_id, shingle) DISTINCT shuffle (which
+# carries every ~3-word shingle string — the heaviest stream in the
+# family) nor the groupBy re-aggregation buys anything at any scale.
+# "sql" keeps the explode+distinct+groupBy form the DuckDB oracle
+# mirrors; both are exact integer math over the same md5 halves, so
+# equality is structural (pinned by test_minhash_paths_agree).
+MINHASH_STRATEGY = "arrow"
+
+# shingle -> np.int64[N_MINHASH] of (a + i*b) mod 2^32, shared across
+# Arrow batches on each worker: 3-gram shingles repeat across
+# documents (boilerplate, near-dups — exactly what this family
+# exists to find), so hot shingles hash once per worker.
+_MINHASH_H_MEMO: dict = {}
+_MINHASH_MEMO_CAP = 1_000_000
+_MINHASH_I = np.arange(N_MINHASH, dtype=np.int64)
+
+
+def _minhash_h_row(shingle: str):
+    row = _MINHASH_H_MEMO.get(shingle)
+    if row is None:
+        d = hashlib.md5(shingle.encode("utf-8")).digest()
+        a = int.from_bytes(d[:4], "big")   # hex chars 1..8
+        b = int.from_bytes(d[4:8], "big")  # hex chars 9..16
+        row = (a + _MINHASH_I * b) % _H_MOD
+        if len(_MINHASH_H_MEMO) < _MINHASH_MEMO_CAP:
+            _MINHASH_H_MEMO[shingle] = row
+    return row
+
+
+def _minhash_sig_udf():
+    """pandas_udf: text -> array of N_MINHASH signature mins.
+
+    Replicates the SQL shape bit-for-bit: Java-\\s-only tokenization
+    (``_JAVA_WS_RE``), word-3-gram shingles, and the short-document
+    fallback of ``SHINGLES_OF_T``'s ``concat_ws`` over
+    ``try_element_at`` — <3 tokens collapse to ONE shingle joining
+    whatever tokens exist ('' for token-less/null docs, which the SQL
+    explode also emits, so every document row gets a signature)."""
+    ws = re.compile(_JAVA_WS_RE)
+
+    @pandas_udf("array<bigint>")
+    def sig(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks = (
+                [x for x in ws.split(t.lower()) if x]
+                if t is not None
+                else []
+            )
+            if len(toks) >= 3:
+                shingles = {
+                    " ".join(toks[i:i + 3])
+                    for i in range(len(toks) - 2)
+                }
+            else:
+                shingles = {" ".join(toks)}
+            out.append(
+                np.min(
+                    np.stack([_minhash_h_row(s) for s in shingles]),
+                    axis=0,
+                )
+            )
+        return pd.Series(out)
+
+    return sig
+
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N_MINHASH min-hashes per doc via Kirsch-Mitzenmacher double
@@ -244,7 +313,20 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves of one md5(shingle) — one digest per shingle occurrence
     instead of N_MINHASH (the md5s were the dominant CPU cost of the
     MinHash family at sf0.1). Integer mins stay portable to DuckDB
-    ('0x'-prefixed hex casts)."""
+    ('0x'-prefixed hex casts). Strategy-routed (MINHASH_STRATEGY):
+    the default Arrow map emits the identical integers with zero
+    exchanges."""
+    if MINHASH_STRATEGY == "arrow":
+        sigged = _docs(spark, sf_dir).select(
+            "doc_id", _minhash_sig_udf()(F.col("text")).alias("hs")
+        )
+        return sigged.select(
+            "doc_id",
+            *[
+                F.col("hs").getItem(i).alias(f"h{i}")
+                for i in range(N_MINHASH)
+            ],
+        )
     sh = _shingled(spark, sf_dir).select(
         "doc_id",
         F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)

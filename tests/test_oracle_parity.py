@@ -401,3 +401,72 @@ def test_simhash_arrow_tokenizer_edges(spark):
     assert a == b
     assert set(a) == {1, 2, 5}  # 3 (ws-only) and 4 (null) absent
     assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in a.values())
+
+
+def test_minhash_paths_agree(spark, sf_dir):
+    """The Arrow per-doc MinHash (default) and the SQL
+    explode+distinct+groupBy shape must produce identical signatures
+    and identical band candidates — both are the same (a + i*b) mod
+    2^32 integer math over the same md5 halves, and min() makes the
+    SQL path's shingle dedup semantically inert."""
+    from service1_text_extraction_spark.functions import dedup
+
+    def both(fn):
+        prev = dedup.MINHASH_STRATEGY
+        try:
+            dedup.MINHASH_STRATEGY = "arrow"
+            a = sorted(map(tuple, fn().collect()))
+            dedup.MINHASH_STRATEGY = "sql"
+            b = sorted(map(tuple, fn().collect()))
+        finally:
+            dedup.MINHASH_STRATEGY = prev
+        return a, b
+
+    sa, sb = both(lambda: dedup.minhash_signatures(spark, sf_dir))
+    assert sa == sb and sa
+    ca, cb = both(lambda: dedup.minhash_band_candidates(spark, sf_dir))
+    assert ca == cb
+
+
+def test_minhash_arrow_shingle_edges(spark):
+    """Arrow MinHash must replicate SHINGLES_OF_T's short-document
+    fallback exactly: <3 tokens collapse to ONE concat_ws shingle —
+    '' for null/whitespace-only docs (which therefore DO get a
+    signature, unlike SimHash's absent rows), the bare token for
+    1-token docs, 'a b' for 2-token docs — and Java-\\s-only splitting
+    (NBSP and U+2028 do NOT separate tokens)."""
+    from service1_text_extraction_spark.functions import dedup
+
+    rows = [
+        (1, "one two three four"),     # 2 shingles
+        (2, "one two"),                # single joined shingle
+        (3, "solo"),                   # bare-token shingle
+        (4, "   \t  "),                # token-less -> '' shingle
+        (5, None),                     # null -> '' shingle
+        (6, "nbsp pair stays one token"),
+        (7, "line sep also one token"),
+    ]
+    import os
+    import tempfile
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "d")
+        df.write.parquet(os.path.join(path, "documents.parquet"))
+
+        prev = dedup.MINHASH_STRATEGY
+        try:
+            dedup.MINHASH_STRATEGY = "arrow"
+            a = sorted(
+                map(tuple, dedup.minhash_signatures(spark, path).collect())
+            )
+            dedup.MINHASH_STRATEGY = "sql"
+            b = sorted(
+                map(tuple, dedup.minhash_signatures(spark, path).collect())
+            )
+        finally:
+            dedup.MINHASH_STRATEGY = prev
+    assert a == b
+    assert [r[0] for r in a] == [1, 2, 3, 4, 5, 6, 7]
+    # 4 and 5 share the '' shingle, hence identical signatures
+    assert a[3][1:] == a[4][1:]

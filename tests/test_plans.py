@@ -111,17 +111,23 @@ def test_ivf_assignment_is_sort_free(spark, sf_dir):
 
 
 def test_shingles_tokenize_once(spark, sf_dir):
-    """The shingle path must materialize the token array before the
+    """The SQL shingle path must materialize the token array before the
     per-element transform — inlining the tokenizer into the lambda
     re-tokenizes the document per shingle (measured O(n^2): 9.6 s for a
-    260k-row explode at sf0.1; ~1 s materialized)."""
-    plan = (
-        dedup.minhash_band_candidates(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert plan.count("split(") == 1, plan
+    260k-row explode at sf0.1; ~1 s materialized). Pinned on the SQL
+    strategy (the oracle mirror and the shape `_shingled`'s Jaccard
+    consumers still use); the default Arrow path tokenizes in-worker,
+    once per doc by construction, and must show NO plan-side split."""
+    prev = dedup.MINHASH_STRATEGY
+    try:
+        dedup.MINHASH_STRATEGY = "sql"
+        plan = _plan(dedup.minhash_band_candidates(spark, sf_dir))
+        assert plan.count("split(") == 1, plan
+        dedup.MINHASH_STRATEGY = "arrow"
+        plan = _plan(dedup.minhash_band_candidates(spark, sf_dir))
+        assert plan.count("split(") == 0, plan
+    finally:
+        dedup.MINHASH_STRATEGY = prev
 
 
 def test_textstats_tokenize_once(spark, sf_dir):
