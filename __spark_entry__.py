@@ -195,8 +195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": textstats.pii_redact,
         "dsir_weights": textstats.dsir_weights,
         "sample_by_source": curate.sample_by_source,
-        "vocab_top_terms": textstats.vocab_top_terms,
-        "vocab_oov": textstats.vocab_oov,
         "admit_corpus": curate.admit_corpus,
         "knn_join": similarity.knn_join,
         "unigram_logprob": textstats.unigram_logprob,
@@ -208,13 +206,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ist_timestamp_format": relational.ist_timestamp_format,
         "sample_exact_quota": curate.sample_exact_quota,
         "bigram_logprob": textstats.bigram_logprob,
-        # --- round-6 additions (lang_id, 5-round hash-green, rotated
-        #     to the tail to make room under the 50-query cap) --------
+        # --- round-6 additions (lang_id + vocab_top_terms + vocab_oov,
+        #     multi-round hash-green, rotated to the tail to make room
+        #     under the 50-query cap) --------------------------------
         "trigram_logprob": textstats.trigram_logprob,
+        "ccnet_ppl_buckets": textstats.ccnet_ppl_buckets,
+        "contamination_fraction": dedup.contamination_fraction,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "lang_id": textstats.lang_id,
+        "vocab_top_terms": textstats.vocab_top_terms,
+        "vocab_oov": textstats.vocab_oov,
         "pending_filter": relational.pending_filter,
         "ann_cosine_topk": similarity.cosine_topk,
         "s3_uri_split": relational.s3_uri_split,
@@ -1228,9 +1231,11 @@ def oracle_sql() -> dict[str, str]:
         # mirrors textstats.trigram_logprob: interpolated trigram
         # score l3*p3 + l2*p2 + l1*p1, add-one smoothed at each order,
         # V = corpus unigram vocabulary, T = total tokens; docs with
-        # < 3 tokens contribute no trigrams
+        # < 3 tokens contribute no trigrams. The walrus hoists the
+        # full query so ccnet_ppl_buckets (below) can nest it as its
+        # base CTE — the two oracles can never drift apart.
         "trigram_logprob": (
-            "WITH tb AS (SELECT doc_id,"
+            tri_sql := "WITH tb AS (SELECT doc_id,"
             " list_filter(regexp_split_to_array(lower(text), '\\s+'),"
             " x -> x <> '') AS t FROM documents),"
             " tg AS (SELECT doc_id, t[i-2] AS w1, t[i-1] AS w2,"
@@ -1265,6 +1270,26 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,"
             " round(-avg(lp), 4) AS mean_nll"
             " FROM tg JOIN lp USING (w1, w2, w3) GROUP BY doc_id"
+        ),
+        # mirrors textstats.ccnet_ppl_buckets: exact histogram
+        # terciles over the (4dp-quantized) trigram NLL — cumulative
+        # counts per distinct score, thresholds t_k = min{v : 3*cum(v)
+        # >= k*n}, buckets by comparison. ROWS framing matches Spark's
+        # rowsBetween (no peers exist: mean_nll is the GROUP BY key)
+        "ccnet_ppl_buckets": (
+            f"WITH base AS ({tri_sql}),"
+            " hist AS (SELECT mean_nll, count(*) AS n FROM base"
+            " GROUP BY mean_nll),"
+            " cum AS (SELECT mean_nll, sum(n) OVER (ORDER BY mean_nll"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS cum, sum(n) OVER () AS n_tot FROM hist),"
+            " thr AS (SELECT min(CASE WHEN cum * 3 >= n_tot THEN"
+            " mean_nll END) AS t1, min(CASE WHEN cum * 3 >= 2 * n_tot"
+            " THEN mean_nll END) AS t2 FROM cum)"
+            " SELECT doc_id, n_trigrams, mean_nll,"
+            " CASE WHEN mean_nll <= t1 THEN 'head'"
+            " WHEN mean_nll <= t2 THEN 'middle' ELSE 'tail' END"
+            " AS ppl_bucket FROM base, thr"
         ),
         # mirrors curate.sample_exact_quota: salted md5-order
         # row_number per source under the exact quota
@@ -1418,6 +1443,21 @@ def oracle_sql() -> dict[str, str]:
             " FROM g c"
             " JOIN (SELECT DISTINCT g FROM g WHERE doc_id < 20) b"
             " USING (g) GROUP BY c.doc_id"
+        ),
+        # mirrors dedup.contamination_fraction: decontaminate's LEFT
+        # join form — every doc appears, zero-hit docs score 0.0
+        "contamination_fraction": (
+            f"WITH {_TOKS_CTE},"
+            " g AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i],"
+            " t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6],"
+            " t[i+7]) AS g"
+            " FROM (SELECT doc_id, t, unnest(generate_series(1,"
+            " greatest(len(t)-7, 1))) AS i FROM toks)),"
+            " b AS (SELECT DISTINCT g FROM g WHERE doc_id < 20)"
+            " SELECT c.doc_id, count(*)::BIGINT AS n_grams,"
+            " count(b.g)::BIGINT AS n_hits,"
+            " round(count(b.g)::DOUBLE / count(*), 6) AS contam_frac"
+            " FROM g c LEFT JOIN b ON c.g = b.g GROUP BY c.doc_id"
         ),
         # mirrors textstats.pack_sequences: shard-local running token
         # sums; pack = floor(start_offset / budget)

@@ -146,6 +146,8 @@ def main() -> None:
         "unigram_logprob": q(textstats.unigram_logprob),
         "bigram_logprob": q(textstats.bigram_logprob),
         "trigram_logprob": q(textstats.trigram_logprob),
+        "ccnet_ppl_buckets": q(textstats.ccnet_ppl_buckets),
+        "contamination_fraction": q(dedup.contamination_fraction),
         "sample_exact_quota": q(curate.sample_exact_quota),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }

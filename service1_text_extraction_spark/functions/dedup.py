@@ -887,6 +887,59 @@ def decontaminate(
     )
 
 
+def contamination_fraction(
+    spark: SparkSession,
+    sf_dir: str,
+    benchmark: DataFrame | None = None,
+    gram_len: int = DECON_GRAM,
+) -> DataFrame:
+    """Per-document contamination SCORE — ``decontaminate`` upgraded
+    from a flag to a measurement: for every corpus document, the
+    fraction of its distinct token ``gram_len``-grams that appear in
+    the held-out ``benchmark`` table. Pipelines threshold this
+    (e.g. drop > 0.1, GPT-3 App. C removes matched SPANS) instead of
+    dropping on any single shared gram; EVERY document appears in the
+    output (zero-hit docs score 0.0), unlike ``decontaminate``'s
+    hits-only rows. Same stand-in benchmark derivation
+    (``BENCH_DOC_MAX`` lowest doc_ids) when none is supplied.
+
+    Scale shape: identical to ``decontaminate`` — benchmark gram sets
+    broadcast (benchmarks are MBs at any corpus size), ONE corpus
+    gram explode LEFT-joined against them, one per-doc count/count
+    aggregate; the text never shuffles and zero-hit docs cost no
+    extra pass (the left join keeps their gram rows)."""
+    docs = _docs(spark, sf_dir)
+    if benchmark is None:
+        benchmark = docs.where(F.col("doc_id") < BENCH_DOC_MAX).select("text")
+    gram_expr = _grams_of_t(gram_len)
+    corpus = (
+        docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+        .select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+    )
+    bench = (
+        benchmark.select(F.expr(_TOKENS).alias("t"))
+        .select(F.explode(F.expr(gram_expr)).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        corpus.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.col("n_grams"), 6
+            ).alias("contam_frac"),
+        )
+    )
+
+
 VERIFY_MAX_DIST_FRAC = 0.2  # verified near-dup: edit dist <= 20% of
                             # the longer side
 

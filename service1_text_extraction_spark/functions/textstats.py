@@ -1136,6 +1136,78 @@ def trigram_logprob(
     )
 
 
+def ccnet_ppl_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    persist: bool = False,
+) -> DataFrame:
+    """CCNet-style perplexity terciles (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document with the corpus trigram LM
+    (``trigram_logprob``) and label the best-scoring third 'head',
+    the next 'middle', and the worst 'tail' — the standard
+    quality-stratified sampling key for web-crawl pretraining data.
+
+    The tercile cut is EXACT but never globally sorts the corpus —
+    the scale trap of a naive ``ntile(3) OVER (ORDER BY nll)``, which
+    funnels every row through one task. ``mean_nll`` is already
+    quantized to 4 decimals, so exact quantiles come from a
+    HISTOGRAM: hash-aggregate doc counts per distinct score
+    (value-bounded — at most ~10^4 distinct cells per unit of NLL
+    range, independent of corpus rows), one cumulative window over
+    that tiny table, and thresholds t_k = min{v : 3*cum(v) >= k*n}.
+    Buckets then assign by broadcast comparison. Ties share a value
+    and therefore a bucket, so boundary buckets can exceed n/3 by
+    construction (exactly how any exact value-quantile behaves).
+
+    ``persist=True`` caches the SCORED table (doc-count-sized rows,
+    never corpus text) — the shared parent of the histogram pass and
+    the final projection; without it the whole trigram-LM pipeline
+    runs twice."""
+    from pyspark.sql import Window
+
+    base = trigram_logprob(spark, sf_dir, persist=persist)
+    if persist:
+        base = base.persist()
+    hist = base.groupBy("mean_nll").agg(F.count("*").alias("n"))
+    w_cum = (
+        Window.orderBy("mean_nll")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "mean_nll",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("n_tot"),
+    )
+    thr = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum") * 3 >= F.col("n_tot"), F.col("mean_nll")
+            )
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("cum") * 3 >= 2 * F.col("n_tot"), F.col("mean_nll")
+            )
+        ).alias("t2"),
+    )
+    return (
+        base.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "mean_nll",
+            F.when(F.col("mean_nll") <= F.col("t1"), "head")
+            .when(F.col("mean_nll") <= F.col("t2"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )
+
+
 def unigram_logprob(
     spark: SparkSession,
     sf_dir: str,

@@ -591,3 +591,90 @@ def test_verified_pairs_non_ascii_and_empty(spark, tmp_path):
         F.levenshtein(F.lit("ééé"), F.lit("xyz")).alias("d")
     ).collect()[0]
     assert row.d == 3  # characters, not UTF-8 bytes
+
+
+def test_ccnet_ppl_buckets_terciles_and_ties(spark, tmp_path):
+    """Exact histogram terciles over the trigram NLL: <3-token docs
+    are absent (no trigrams to score), buckets respect the NLL order
+    (every head score <= every middle score <= every tail score), and
+    TIED scores share a bucket — five identical docs spanning the n/3
+    boundary all land in one bucket, which therefore overflows n/3
+    (exactly how an exact value-quantile must behave)."""
+    clone = "the cat sat on the mat and purred at the cat"
+    rows = [
+        (0, "", "en", "src0", 0),          # absent: token-less
+        (1, "one two", "en", "src1", 7),   # absent: < 3 tokens
+    ] + [
+        (10 + i, clone, "en", "src2", len(clone)) for i in range(5)
+    ] + [
+        (20, "alpha beta gamma delta epsilon zeta", "en", "src3", 35),
+        (21, "red green blue yellow purple orange pink", "en",
+         "src4", 41),
+        (22, "numbers count one two three four five six seven", "en",
+         "src5", 48),
+        (23, "a completely different sentence about ships and sails",
+         "en", "src6", 53),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    from service1_text_extraction_spark.functions import textstats
+
+    got = {
+        r.doc_id: (r.mean_nll, r.ppl_bucket)
+        for r in textstats.ccnet_ppl_buckets(spark, sf).collect()
+    }
+    assert set(got) == {10, 11, 12, 13, 14, 20, 21, 22, 23}
+    # the five clones tie exactly -> one shared bucket
+    clone_buckets = {got[10 + i][1] for i in range(5)}
+    assert len(clone_buckets) == 1
+    # buckets are ordered by score
+    by_bucket = {}
+    for nll, bucket in got.values():
+        by_bucket.setdefault(bucket, []).append(nll)
+    order = [b for b in ("head", "middle", "tail") if b in by_bucket]
+    for lo, hi in zip(order, order[1:]):
+        assert max(by_bucket[lo]) <= min(by_bucket[hi]), by_bucket
+    # persist knob is a pure execution hint
+    pers = {
+        r.doc_id: (r.mean_nll, r.ppl_bucket)
+        for r in textstats.ccnet_ppl_buckets(
+            spark, sf, persist=True
+        ).collect()
+    }
+    assert pers == got
+    spark.catalog.clearCache()
+    _assert_parity(spark, sf, "ccnet_ppl_buckets")
+
+
+def test_contamination_fraction_zero_hit_docs_present(spark, tmp_path):
+    """Every corpus document must appear: zero-overlap docs at
+    contam_frac 0.0 (decontaminate's inner join drops them), a
+    verbatim benchmark copy at 1.0, and a SHORT doc (< gram_len
+    tokens) scored through its single truncated gram."""
+    bench_text = (
+        "held out benchmark question about the capital of france"
+    )
+    rows = [
+        (0, bench_text, "en", "src0", len(bench_text)),  # benchmark
+        (1, "unrelated benchmark prompt listing prime numbers two"
+            " three five seven", "en", "src1", 70),      # benchmark
+        # corpus side (doc_id >= BENCH_DOC_MAX):
+        (20, bench_text, "en", "src2", len(bench_text)),  # full copy
+        (21, "totally disjoint document about gardening and soil"
+             " acidity levels", "en", "src3", 66),        # zero hits
+        (22, "held out benchmark", "en", "src4", 18),     # short doc
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    from service1_text_extraction_spark.functions import dedup
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contam_frac)
+        for r in dedup.contamination_fraction(spark, sf).collect()
+    }
+    assert set(got) == {0, 1, 20, 21, 22}  # every doc scored
+    assert got[20][2] == 1.0               # verbatim copy
+    assert got[21] == (got[21][0], 0, 0.0)  # zero hits, present
+    assert got[0][2] == 1.0                # benchmark self-hit
+    # the short doc has exactly ONE truncated gram, and it does not
+    # match any full 8-gram of the benchmark
+    assert got[22][0] == 1 and got[22][2] == 0.0
+    _assert_parity(spark, sf, "contamination_fraction")

@@ -186,6 +186,27 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_contamination_fraction_broadcasts_benchmark(spark, sf_dir):
+    """Same contract as decontaminate: the benchmark gram set
+    broadcasts to a (left) hash join; the corpus gram stream must
+    never sort-merge against it."""
+    plan = _plan(dedup.contamination_fraction(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ccnet_buckets_never_sort_the_corpus(spark, sf_dir):
+    """The tercile cut must come from the score HISTOGRAM — a
+    value-bounded table — never a global ntile/rank over document
+    rows (one task at 100 TB); the two scalar thresholds then reach
+    the docs via broadcast."""
+    from service1_text_extraction_spark.functions import textstats
+
+    plan = _plan(textstats.ccnet_ppl_buckets(spark, sf_dir))
+    assert "ntile" not in plan.lower(), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
 def test_pack_sequences_window_is_sharded(spark, sf_dir):
     """Sequence packing must never serialize into one global running
     sum: the window partitions by shard (parallel), so no
