@@ -148,6 +148,8 @@ def main() -> None:
         "trigram_logprob": q(textstats.trigram_logprob),
         "ccnet_ppl_buckets": q(textstats.ccnet_ppl_buckets),
         "contamination_fraction": q(dedup.contamination_fraction),
+        "dup_passage_fraction": q(dedup.dup_passage_fraction),
+        "c4_span_dedup": q(dedup.c4_span_dedup),
         "sample_exact_quota": q(curate.sample_exact_quota),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }

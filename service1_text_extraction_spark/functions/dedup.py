@@ -779,6 +779,46 @@ GRAM_STRIDE = 16  # stride between gram starts
 GRAM_HASH_FN = "md5"
 
 
+def _passage_grams(
+    spark: SparkSession, sf_dir: str, hash_fn: str
+) -> DataFrame:
+    """Strided ``GRAM_LEN``-char gram hashes per document — (doc_id,
+    n_chars, off, h), one row per gram start. ``n_chars`` rides along
+    as one long per row for consumers that need coverage math
+    (``dup_passage_fraction``); Catalyst prunes it everywhere it is
+    unused, so ``duplicate_passages``'s plan is unchanged."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(cast(floor((length(text) -"
+                f" {GRAM_LEN}) / {GRAM_STRIDE}) as int), 0)), i -> struct("
+                f"i * {GRAM_STRIDE} as off, {hash_fn}(substring(text,"
+                f" i * {GRAM_STRIDE} + 1, {GRAM_LEN})) as h))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.col("g.off").alias("off"),
+        F.col("g.h").alias("h"),
+    )
+
+
+def _multi_doc_grams(grams: DataFrame) -> DataFrame:
+    """Gram hashes occurring in >= 2 documents (and <= MAX_BUCKET_DF
+    occurrences — the shared pathological-gram cap)."""
+    return (
+        grams.groupBy("h")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where((F.col("n_docs") >= 2) & (F.col("n_occ") <= MAX_BUCKET_DF))
+    )
+
+
 def duplicate_passages(
     spark: SparkSession, sf_dir: str, hash_fn: str = GRAM_HASH_FN
 ) -> DataFrame:
@@ -796,28 +836,139 @@ def duplicate_passages(
     list, not 10^12 pairs (MAX_BUCKET_DF caps pathological grams the
     same way the shingle paths do).
     """
-    grams = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, greatest(cast(floor((length(text) -"
-                f" {GRAM_LEN}) / {GRAM_STRIDE}) as int), 0)), i -> struct("
-                f"i * {GRAM_STRIDE} as off, {hash_fn}(substring(text,"
-                f" i * {GRAM_STRIDE} + 1, {GRAM_LEN})) as h))"
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.off").alias("off"), F.col("g.h").alias("h"))
-    multi = grams.groupBy("h").agg(
-        F.count("*").alias("n_occ"),
-        F.countDistinct("doc_id").alias("n_docs"),
-    ).where((F.col("n_docs") >= 2) & (F.col("n_occ") <= MAX_BUCKET_DF))
+    grams = _passage_grams(spark, sf_dir, hash_fn)
     return (
-        grams.join(multi, "h")
+        grams.join(_multi_doc_grams(grams), "h")
         .select(
             "doc_id",
             F.col("off").cast("long").alias("off"),
             "h",
             F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def dup_passage_fraction(
+    spark: SparkSession, sf_dir: str, hash_fn: str = GRAM_HASH_FN
+) -> DataFrame:
+    """Per-document duplicated-text fraction — the removal METRIC of
+    exact-substring dedup (Lee et al. 2022 report corpora by "fraction
+    of tokens in a duplicate substring"; RefinedWeb/FineWeb gate docs
+    on the same score). Extends ``duplicate_passages`` from positions
+    to coverage: the strided duplicated grams of a doc are merged into
+    intervals and the covered character count / doc length is the
+    score.
+
+    Exact interval union without materializing intervals: with the
+    doc's duplicated gram offsets sorted ascending, each gram covers
+    ``min(next_off - off, GRAM_LEN)`` NEW characters (overlap with the
+    next gram is exactly the gap complement; the final gram is clipped
+    at the doc end, which also handles docs shorter than one gram).
+    Summing that per doc is the merged-union length — a window ``lead``
+    plus one aggregate, no interval array ever built.
+
+    Scale shape: the ``duplicate_passages`` plan (explode -> hash-agg
+    -> join, 16-byte hashes only) plus ONE extra exchange: the lead
+    window hash-partitions by doc_id and the following groupBy reuses
+    that partitioning (plan-pinned). Output rows only for docs with at
+    least one duplicated gram — the score is 0 for absent docs.
+    Zero-length docs are excluded before the coverage math (two empty
+    docs share the md5('') gram, and 0-covered / 0-length divides to
+    NULL in Spark but NaN in DuckDB — the guard pins both engines to
+    "empty doc -> absent", matching its 0-duplicated-chars meaning)."""
+    grams = _passage_grams(spark, sf_dir, hash_fn)
+    dup = grams.where(F.col("n_chars") > 0).join(
+        _multi_doc_grams(grams), "h"
+    )
+    w = Window.partitionBy("doc_id").orderBy("off")
+    cov = F.least(
+        F.coalesce(
+            F.lead("off").over(w) - F.col("off"), F.lit(GRAM_LEN)
+        ),
+        F.lit(GRAM_LEN),
+        F.col("n_chars") - F.col("off"),
+    )
+    return (
+        dup.select("doc_id", "n_chars", "off")
+        .withColumn("cov", cov)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_grams"),
+            F.sum("cov").cast("long").alias("dup_chars"),
+            F.round(F.sum("cov") / F.min("n_chars"), 4).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+def c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global keep-first span dedup — C4's "discard all but one
+    of any three-sentence span occurring more than once" rule (Raffel
+    et al. 2020 §2.2), over the repo's deterministic pseudo-line spans
+    (``LINE_TOKENS``-token windows; the test docs carry no newlines —
+    same derivation as gopher_repetition / c4_line_stats). The FIRST
+    occurrence in (doc_id, span index) order survives; every later
+    occurrence anywhere in the corpus is dropped, and each doc's
+    surviving text is reassembled in original span order.
+
+    Scale shape: span TEXT never shuffles. The global first-occurrence
+    table is ``min(struct(doc_id, idx))`` per span hash — a map-side
+    combinable hash-aggregate, so a boilerplate span occurring 10^9
+    times reduces to one row per map task instead of skewing a window
+    sort (the window form would funnel every occurrence of a hot span
+    through one partition). The join back is keyed on the same 16-byte
+    hash; kept span INDICES (ints, bounded by doc length /
+    LINE_TOKENS) aggregate per doc, and the final projection re-derives
+    span text from the documents table itself. Three scan branches
+    total (the span-hash stream feeds BOTH sides of the
+    first-occurrence join, plus the reassembly scan), each tokenizing
+    exactly once into a materialized ``t`` (the lambda-inlining trap;
+    plan-pinned) — re-scanning beats persisting the exploded span
+    stream at every scale measured (BENCH/BASELINE.md cache-write
+    economics). Docs
+    whose every span first occurred elsewhere have nothing to keep and
+    are absent, like the other dedup outputs."""
+    from .textstats import LINE_TOKENS, _TOKENS as _T, _line_starts_sql
+
+    span_of = (
+        f"i -> concat_ws(' ', slice(t, i * {LINE_TOKENS} + 1,"
+        f" {LINE_TOKENS}))"
+    )
+    toks = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").rlike(r"\S"))
+        .select("doc_id", F.expr(_T).alias("t"))
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform({_line_starts_sql()}, {span_of})")
+        ).alias("idx", "span"),
+    ).select("doc_id", "idx", F.md5("span").alias("h"))
+    firsts = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("f")
+    )
+    kept = (
+        hashed.join(firsts, "h")
+        .where(F.struct("doc_id", "idx") == F.col("f"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("idx")).alias("keep"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        toks.join(kept, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(f"size({_line_starts_sql()})")
+            .cast("long")
+            .alias("n_spans"),
+            "n_kept",
+            F.expr(
+                f"concat_ws(' ', transform(keep, {span_of}))"
+            ).alias("dedup_text"),
         )
     )
 

@@ -678,3 +678,71 @@ def test_contamination_fraction_zero_hit_docs_present(spark, tmp_path):
     # match any full 8-gram of the benchmark
     assert got[22][0] == 1 and got[22][2] == 0.0
     _assert_parity(spark, sf, "contamination_fraction")
+
+
+def test_dup_passage_fraction_edges(spark, tmp_path):
+    """Fully-duplicated docs score dup_frac 1.0 (coverage clips at the
+    doc end, so overlapping strided grams never overshoot); docs with
+    no duplicated gram are absent; two ZERO-length docs — which share
+    the md5('') gram — are absent instead of dividing 0/0 (NULL in
+    Spark, NaN in DuckDB)."""
+    from service1_text_extraction_spark.functions import dedup
+
+    shared_long = " ".join(f"tok{i % 13}" for i in range(60))  # > GRAM_LEN
+    docs = [
+        (0, "", "en", "src0", 0),                   # empty (dup of 1!)
+        (1, "", "en", "src1", 0),                   # empty -> absent
+        (2, "x" * 40, "en", "src2", 40),            # short dup pair...
+        (3, "x" * 40, "en", "src3", 40),            # ...-> frac 1.0
+        (4, shared_long, "en", "src4", len(shared_long)),
+        (5, shared_long, "en", "src5", len(shared_long)),
+        (6, "totally unique text that no other document shares at"
+            " all, padded well past the gram width to get grams xyzzy",
+         "en", "src6", 110),                        # no dup -> absent
+    ]
+    sf = _mini_docs(spark, tmp_path, docs)
+    got = {
+        r.doc_id: r for r in dedup.dup_passage_fraction(spark, sf).collect()
+    }
+    assert set(got) == {2, 3, 4, 5}, sorted(got)
+    assert got[2].dup_frac == 1.0 and got[2].dup_chars == 40
+    # the strided scheme's last gram starts at floor((len-64)/16)*16,
+    # so coverage of a fully-duplicated doc is last_off + 64 (the
+    # final (len-64) % 16 chars have no gram — duplicate_passages has
+    # the same deliberate tail stride-remainder blindness); the UNION
+    # is still far below the 16-gram * 64-char raw sum
+    last_off = (len(shared_long) - 64) // 16 * 16
+    assert got[4].dup_chars == last_off + 64
+    assert got[4].dup_chars < got[4].n_dup_grams * 64  # merged, not summed
+    _assert_parity(spark, sf, "dup_passage_fraction")
+
+
+def test_c4_span_dedup_keep_first(spark, tmp_path):
+    """Global keep-first semantics: an exact-copy doc loses every span
+    (absent); a doc sharing its head spans keeps only its novel tail;
+    WITHIN-doc repeats collapse to the first occurrence; token-less
+    docs are absent."""
+    from service1_text_extraction_spark.functions import dedup
+
+    base = " ".join(f"w{i}" for i in range(20))       # 2 spans
+    tail = " ".join(f"u{i}" for i in range(10))       # 1 novel span
+    docs = [
+        (0, "", "en", "src0", 0),                     # absent
+        (1, "   \t ", "en", "src1", 5),               # absent
+        (2, base, "en", "src2", len(base)),           # keeps both
+        (3, base, "en", "src3", len(base)),           # copy -> absent
+        (4, base + " " + tail, "en", "src4", 0),      # keeps the tail
+        (5, " ".join(["rep"] * 30), "en", "src5", 0), # 3 same spans
+    ]
+    sf = _mini_docs(spark, tmp_path, docs)
+    got = {
+        r.doc_id: r for r in dedup.c4_span_dedup(spark, sf).collect()
+    }
+    assert set(got) == {2, 4, 5}, sorted(got)
+    assert (got[2].n_spans, got[2].n_kept) == (2, 2)
+    assert got[2].dedup_text == base
+    assert (got[4].n_spans, got[4].n_kept) == (3, 1)
+    assert got[4].dedup_text == tail
+    assert (got[5].n_spans, got[5].n_kept) == (3, 1)
+    assert got[5].dedup_text == " ".join(["rep"] * 10)
+    _assert_parity(spark, sf, "c4_span_dedup")

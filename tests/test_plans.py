@@ -524,3 +524,29 @@ def test_large_k_assign_and_probe_are_maponly_arrow(spark, sf_dir):
     probe_plan = _plan(similarity._probe_lists(spark, e, cents, 3))
     assert "ArrowEvalPython" in probe_plan, probe_plan
     assert "Exchange" not in probe_plan, probe_plan
+
+
+def test_dup_passage_fraction_single_doc_exchange(spark, sf_dir):
+    """The coverage window partitions by doc_id and the per-doc
+    aggregate reuses that partitioning — no SinglePartition exchange,
+    no global rank, and the gram stream reaches the window as 16-byte
+    hashes (the text column never survives past the scan
+    projections)."""
+    plan = _plan(dedup.dup_passage_fraction(spark, sf_dir))
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "row_number" not in plan.lower(), plan
+
+
+def test_c4_span_dedup_min_struct_not_window(spark, sf_dir):
+    """Global keep-first must be the map-side-combinable
+    min(struct(doc_id, idx)) hash-aggregate, NEVER a row_number window
+    over the span hash (a boilerplate span occurring 10^9 times would
+    funnel through one window partition). Exactly one tokenizer copy
+    per scan branch (three branches: both sides of the
+    first-occurrence join + the reassembly scan)."""
+    plan = _plan(dedup.c4_span_dedup(spark, sf_dir))
+    assert "row_number" not in plan.lower(), plan
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("split(lower") == 3, plan.count("split(lower")
