@@ -164,7 +164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
         "ann_lsh_topk": similarity.lsh_ann_topk,
         "ann_ivf_topk": similarity.ivf_ann_topk,
-        "doc_fingerprint": textstats.doc_fingerprint,
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_resize": multimodal.multimodal_resize,
         "wav_decode": multimodal.wav_decode,
@@ -217,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # neardup_cosine_pairs)
         "dedup_minhash_candidates": dedup.minhash_band_candidates,
         "dedup_minhash_clusters": dedup.minhash_clusters,
+        "hll_distinct_shingles": dedup.hll_distinct_shingles,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine_pairs": similarity.cosine_neardup_pairs,
         "quality_score": textstats.quality_score,
         "token_counts": textstats.token_counts,
+        "doc_fingerprint": textstats.doc_fingerprint,
         "multimodal_binary_meta": multimodal.binary_meta,
         "header_footer_line_filter": relational.header_footer_line_filter,
         "turn_ordering": relational.turn_ordering,
@@ -725,6 +726,43 @@ def oracle_sql() -> dict[str, str]:
             f" round(sum(least(coalesce(nxt - off, {dedup.GRAM_LEN}),"
             f" {dedup.GRAM_LEN}, n_chars - off))::DOUBLE / min(n_chars), 4)"
             " AS dup_frac FROM cov GROUP BY doc_id"
+        ),
+        # mirrors dedup.hll_distinct_shingles bit-for-bit: same 60-bit
+        # md5-prefix hash, same 1024 registers, same EXACT integer
+        # harmonic sum in 2^-51 units (a float sum would be
+        # addition-order-dependent), same literal alpha expression so
+        # the one double division sees identical operands
+        "hll_distinct_shingles": (
+            "WITH hb AS (SELECT doc_id, source,"
+            " list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+            " x -> x <> '') AS t FROM documents),"
+            " hsh AS (SELECT DISTINCT doc_id, source, concat_ws(' ',"
+            " t[i], t[i+1], t[i+2]) AS s FROM (SELECT doc_id, source,"
+            " t, unnest(generate_series(1, greatest(len(t)-2, 1)))"
+            " AS i FROM hb)),"
+            " hh AS (SELECT source, ('0x' || substring(md5(s), 1,"
+            f" {dedup.HLL_HASH_HEX}))::BIGINT AS h FROM hsh),"
+            f" bw AS (SELECT source, h % {dedup.HLL_BUCKETS} AS bucket,"
+            f" h // {dedup.HLL_BUCKETS} AS w FROM hh),"
+            " regs AS (SELECT source, bucket, max(CASE WHEN w = 0"
+            " THEN 51 ELSE 51 - length(bin(w)) END) AS r,"
+            " count(*) AS n FROM bw GROUP BY source, bucket),"
+            " agg AS (SELECT source, CAST(sum(n) AS BIGINT)"
+            " AS n_shingles, count(*) AS n_obs,"
+            f" sum((1::BIGINT << (51 - r))) + ({dedup.HLL_BUCKETS}"
+            f" - count(*)) * {1 << 51} AS si FROM regs"
+            " GROUP BY source)"
+            " SELECT source, n_shingles, CAST(n_obs AS BIGINT)"
+            " AS n_buckets, round(CASE WHEN"
+            f" {dedup._HLL_ALPHA} * {dedup.HLL_BUCKETS} *"
+            f" {dedup.HLL_BUCKETS} * {1 << 51} / si <="
+            f" 2.5e0 * {dedup.HLL_BUCKETS} AND n_obs <"
+            f" {dedup.HLL_BUCKETS} THEN {dedup.HLL_BUCKETS} *"
+            f" ln({dedup.HLL_BUCKETS} / CAST({dedup.HLL_BUCKETS}"
+            " - n_obs AS DOUBLE)) ELSE"
+            f" {dedup._HLL_ALPHA} * {dedup.HLL_BUCKETS} *"
+            f" {dedup.HLL_BUCKETS} * {1 << 51} / si END, 4)"
+            " AS est_distinct FROM agg"
         ),
         # mirrors dedup.c4_span_dedup: same pseudo-line spans, global
         # keep-first by (doc_id, idx) per span hash (the oracle may use

@@ -150,6 +150,7 @@ def main() -> None:
         "contamination_fraction": q(dedup.contamination_fraction),
         "dup_passage_fraction": q(dedup.dup_passage_fraction),
         "c4_span_dedup": q(dedup.c4_span_dedup),
+        "hll_distinct_shingles": q(dedup.hll_distinct_shingles),
         "sample_exact_quota": q(curate.sample_exact_quota),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }

@@ -49,6 +49,7 @@ DOC_QUERIES = [
     "sample_by_source", "vocab_top_terms", "vocab_oov", "admit_corpus",
     "unigram_logprob", "chunk_counts", "clean_unicode_sql",
     "normalize_ws_sql", "s3_uri_split",
+    "dup_passage_fraction", "c4_span_dedup", "hll_distinct_shingles",
 ]
 EMB_QUERIES = [
     "kmeans_assign", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
@@ -85,6 +86,16 @@ def main() -> None:
 
     qs = entry.queries()
     names = DOC_QUERIES + EMB_QUERIES
+    # SCALE_ONLY=a,b,c: time just those queries and MERGE their rows
+    # into the existing BENCH/sf_scaling.json (so adding one operator
+    # does not force re-running the 400 s+ full suite); the extraction
+    # phase is skipped in that mode.
+    only = [n for n in os.environ.get("SCALE_ONLY", "").split(",") if n]
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            sys.exit(f"SCALE_ONLY names not in queries(): {unknown}")
+        names = only
     for d in (SMALL, BIG):  # warm page cache + JVM
         spark.read.parquet(f"{d}/documents.parquet").count()
         spark.read.parquet(f"{d}/embeddings.parquet").count()
@@ -121,7 +132,7 @@ def main() -> None:
     )
 
     extract = {}
-    for label, target in (
+    for label, target in () if only else (
         ("sf0.1", EXTRACT_TURNS_SMALL), ("sf1", EXTRACT_TURNS_BIG)
     ):
         cache = os.path.join(REPO, ".bench_cache", f"transcripts_x{target}")
@@ -157,21 +168,35 @@ def main() -> None:
         }
         if ratio > SUPERLINEAR_RATIO and name not in CAPPED_AT_10X:
             flagged.append(name)
-    ex_ratio = round(extract["sf1"]["sec"] / extract["sf0.1"]["sec"], 2)
-    out = {
-        "cpus": CPUS, "rounds": ROUNDS,
-        "small": SMALL, "big": BIG, "scale_factor": 10,
-        "superlinear_ratio_threshold": SUPERLINEAR_RATIO,
-        "queries": report,
-        "extract_turns": {**extract, "ratio": ex_ratio,
-                          "exponent": round(
-                              math.log(ex_ratio) / math.log(10.0), 3)},
-        "flagged_superlinear": flagged,
-    }
+    path = os.path.join(REPO, "BENCH", "sf_scaling.json")
+    if only:
+        with open(path) as f:
+            out = json.load(f)
+        out["queries"].update(report)
+        out["flagged_superlinear"] = sorted(
+            set(out.get("flagged_superlinear", [])) - set(names)
+            | set(flagged)
+        )
+        ex_ratio = out["extract_turns"]["ratio"]
+    else:
+        ex_ratio = round(
+            extract["sf1"]["sec"] / extract["sf0.1"]["sec"], 2
+        )
+        out = {
+            "cpus": CPUS, "rounds": ROUNDS,
+            "small": SMALL, "big": BIG, "scale_factor": 10,
+            "superlinear_ratio_threshold": SUPERLINEAR_RATIO,
+            "queries": report,
+            "extract_turns": {**extract, "ratio": ex_ratio,
+                              "exponent": round(
+                                  math.log(ex_ratio) / math.log(10.0),
+                                  3)},
+            "flagged_superlinear": flagged,
+        }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "sf_scaling.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps({"flagged_superlinear": flagged,
+    print(json.dumps({"flagged_superlinear": out["flagged_superlinear"],
                       "extract_ratio": ex_ratio}))
     spark.stop()
 

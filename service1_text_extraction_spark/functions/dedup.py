@@ -1170,3 +1170,102 @@ def minhash_verified_pairs(
             (F.col("lev") >= 0) & (F.col("dist_frac") <= max_dist_frac)
         )
     )
+
+
+# --------------------------------------------------------------------------
+# distinct-shingle cardinality (deterministic HyperLogLog)
+# --------------------------------------------------------------------------
+
+HLL_BUCKETS = 1024  # 2^10 registers; standard error 1.04/sqrt(m) ~ 3.2%
+HLL_HASH_HEX = 15   # md5 hex prefix -> 60-bit hash (10 bucket + 50 rho bits)
+# Flajolet et al. 2007 bias constant for m=1024, spelled as the SAME
+# literal SQL expression in both engines so the doubles are identical.
+# e-notation is deliberate: a bare 0.7213 parses as DECIMAL in BOTH
+# Spark and DuckDB, and their decimal scale-propagation rules differ;
+# 0.7213e0 is DOUBLE in both, and double ops are IEEE-identical.
+_HLL_ALPHA = f"(0.7213e0 / (1 + 1.079e0 / {HLL_BUCKETS}))"
+
+
+def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-shingle cardinality per source via a DETERMINISTIC
+    HyperLogLog (Flajolet et al. 2007) — the vocabulary/key-space
+    analytics a 100 TB corpus needs where exact ``countDistinct`` is
+    a full shuffle of every shingle string. Spark's built-in
+    ``approx_count_distinct`` is also HLL but seeds xxhash per run;
+    this one derives bucket and rank from the md5 the dedup family
+    already standardizes on, so DuckDB replays it bit-for-bit and two
+    engines (or two runs over re-partitioned data) agree exactly.
+
+    Per shingle: a 60-bit hash from the md5 hex prefix; low 10 bits
+    pick one of 1024 registers, the remaining 50 bits' leading-zero
+    rank (via ``length(bin(w))`` — no leading zeros in either
+    engine's bin) updates it. Registers merge with ``max`` — the
+    sketch property — so the per-(source, bucket) aggregate combines
+    map-side and the shuffle carries AT MOST 1024 rows per source per
+    map task regardless of corpus size; the per-source reduction is
+    over <= 1024 register rows. The raw estimate applies the standard
+    small-range linear-counting correction (inactive on the driver
+    corpora — pinned by the accuracy test, present for semantic
+    completeness; ln() is the one non-exact FP op and sits behind the
+    4dp round).
+
+    FP determinism: the harmonic sum is computed in EXACT integer
+    units of 2^-51 (``shiftleft(1L, 51 - r)``, total <= 2^61) — a
+    floating ``sum(pow(2, -r))`` spans more than 53 bits of magnitude
+    so its value depends on Spark's partition ADDITION ORDER, which
+    would make the estimate nondeterministic run-to-run, let alone
+    engine-to-engine. The one double division happens once per
+    source, on identical operands in both engines.
+
+    Scale shape: scan -> project -> explode -> two bounded hash-aggs.
+    No shingle string ever shuffles (the register row is three ints);
+    contrast with exact distinct, whose exchange is corpus-sized."""
+    rho = (
+        "CASE WHEN w = 0 THEN 51 ELSE"
+        " cast(51 - length(bin(w)) as int) END"
+    )
+    regs = (
+        _docs(spark, sf_dir)
+        .select("source", F.expr(_TOKENS).alias("t"))
+        .select("source", F.explode(F.expr(SHINGLES_OF_T)).alias("s"))
+        .select(
+            "source",
+            F.expr(
+                f"cast(conv(substring(md5(s), 1, {HLL_HASH_HEX}),"
+                " 16, 10) as bigint)"
+            ).alias("h"),
+        )
+        .select(
+            "source",
+            F.expr(f"h % {HLL_BUCKETS}").alias("bucket"),
+            F.expr(f"h div {HLL_BUCKETS}").alias("w"),
+        )
+        .withColumn("rho", F.expr(rho))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("r"), F.count("*").alias("n"))
+    )
+    m = HLL_BUCKETS
+    two51 = 1 << 51  # one empty register's 2^0, in 2^-51 units
+    est = (
+        f"round(CASE WHEN {_HLL_ALPHA} * {m} * {m} * {two51} / si"
+        f" <= 2.5e0 * {m} AND n_obs < {m} THEN {m} * ln({m} /"
+        f" cast({m} - n_obs as double)) ELSE"
+        f" {_HLL_ALPHA} * {m} * {m} * {two51} / si END, 4)"
+    )
+    return (
+        regs.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_shingles"),
+            F.count("*").cast("long").alias("n_obs"),
+            (
+                F.sum(F.expr("shiftleft(cast(1 as bigint), 51 - r)"))
+                + (m - F.count("*")) * F.lit(two51)
+            ).alias("si"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            F.col("n_obs").alias("n_buckets"),
+            F.expr(est).alias("est_distinct"),
+        )
+    )

@@ -746,3 +746,69 @@ def test_c4_span_dedup_keep_first(spark, tmp_path):
     assert (got[5].n_spans, got[5].n_kept) == (3, 1)
     assert got[5].dedup_text == " ".join(["rep"] * 10)
     _assert_parity(spark, sf, "c4_span_dedup")
+
+
+def test_hll_accuracy_and_order_independence(spark, tmp_path):
+    """HLL-1024 lands within ~3 standard errors (1.04/sqrt(1024) ~
+    3.25% each) of the exact distinct-shingle count, the estimate is
+    IDENTICAL across input partitionings (the integer harmonic sum is
+    addition-order-free — a float sum would not be), and the DuckDB
+    oracle reproduces it bit-for-bit."""
+    from service1_text_extraction_spark.functions import dedup
+
+    rows = []
+    for d in range(60):
+        # near-injective token stream: an arithmetic one collapses the
+        # trigram space (every shingle determined by its start index)
+        toks = [
+            f"w{(d * 1237 + j * 89 + (d * j) % 53) % 100000}"
+            for j in range(120)
+        ]
+        text = " ".join(toks)
+        rows.append(
+            (d, text, "en", f"src{d % 2}", len(text))
+        )
+    sf_a = _mini_docs(spark, tmp_path / "a", rows)
+
+    est = {
+        r.source: r.est_distinct
+        for r in dedup.hll_distinct_shingles(spark, sf_a).collect()
+    }
+    from pyspark.sql import functions as F
+    from service1_text_extraction_spark.functions.textstats import _TOKENS
+
+    exact = {
+        r.source: r.n
+        for r in (
+            spark.read.parquet(f"{sf_a}/documents.parquet")
+            .select("source", F.expr(_TOKENS).alias("t"))
+            .select(
+                "source",
+                F.explode(F.expr(dedup.SHINGLES_OF_T)).alias("s"),
+            )
+            .groupBy("source")
+            .agg(F.countDistinct("s").alias("n"))
+            .collect()
+        )
+    }
+    for src, e in est.items():
+        rel = abs(e - exact[src]) / exact[src]
+        assert exact[src] > 2.5 * dedup.HLL_BUCKETS  # correction off
+        assert rel < 0.10, (src, e, exact[src], rel)
+
+    # same rows, different file layout -> bit-identical estimates
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    out_b = str(tmp_path / "b")
+    df.repartition(7).write.mode("overwrite").parquet(
+        f"{out_b}/documents.parquet"
+    )
+    est_b = {
+        r.source: r.est_distinct
+        for r in dedup.hll_distinct_shingles(spark, out_b).collect()
+    }
+    assert est == est_b, (est, est_b)
+
+    _assert_parity(spark, sf_a, "hll_distinct_shingles")

@@ -550,3 +550,15 @@ def test_c4_span_dedup_min_struct_not_window(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert plan.count("split(lower") == 3, plan.count("split(lower")
+
+
+def test_hll_register_aggregate_combines_map_side(spark, sf_dir):
+    """The register update must be a partial-combinable hash-aggregate
+    over (source, bucket) so the shuffle is bounded by 1024 register
+    rows per source per map task — never a window, never a sort, and
+    no shingle string past the scan side."""
+    plan = _plan(dedup.hll_distinct_shingles(spark, sf_dir))
+    assert "partial_max" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "collect_list" not in plan, plan
