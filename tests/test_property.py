@@ -43,6 +43,22 @@ def test_normalize_whitespace_idempotent(t):
 @settings(max_examples=500, deadline=None)
 def test_garbage_gate_scalar_equals_numpy(t):
     assert textnorm.is_garbage_text(t) == textnorm.is_garbage_text_np(t)
+    # the length/charset dispatcher (incl. the r6 ASCII bytes form)
+    # must agree with the scalar reference on EVERY input
+    assert textnorm.is_garbage(t) == textnorm.is_garbage_text(t)
+
+
+@given(
+    st.text(
+        # ASCII incl. control bytes — exercises the ctrl-seq fallback,
+        # every translate table, and the tnr-heavy rule-7 branch
+        alphabet=st.characters(min_codepoint=0, max_codepoint=127),
+        max_size=600,
+    )
+)
+@settings(max_examples=500, deadline=None)
+def test_garbage_gate_ascii_form_equals_scalar(t):
+    assert textnorm.is_garbage(t) == textnorm.is_garbage_text(t)
 
 
 @given(
