@@ -1219,14 +1219,25 @@ def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: scan -> project -> explode -> two bounded hash-aggs.
     No shingle string ever shuffles (the register row is three ints);
-    contrast with exact distinct, whose exchange is corpus-sized."""
+    contrast with exact distinct, whose exchange is corpus-sized.
+
+    Split into ``_hll_registers`` (the MERGEABLE sketch rows: ``r``
+    merges with max — idempotent and commutative — ``n`` with sum)
+    and ``_hll_estimate`` so the streaming path
+    (``streaming.stream.stream_hll``) maintains the identical sketch
+    incrementally and the estimator exists in exactly one place."""
+    return _hll_estimate(_hll_registers(_docs(spark, sf_dir)))
+
+
+def _hll_registers(docs: DataFrame) -> DataFrame:
+    """(source, bucket, r, n) register rows for a documents
+    DataFrame — the sketch in its mergeable form."""
     rho = (
         "CASE WHEN w = 0 THEN 51 ELSE"
         " cast(51 - length(bin(w)) as int) END"
     )
-    regs = (
-        _docs(spark, sf_dir)
-        .select("source", F.expr(_TOKENS).alias("t"))
+    return (
+        docs.select("source", F.expr(_TOKENS).alias("t"))
         .select("source", F.explode(F.expr(SHINGLES_OF_T)).alias("s"))
         .select(
             "source",
@@ -1244,6 +1255,10 @@ def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bucket")
         .agg(F.max("rho").alias("r"), F.count("*").alias("n"))
     )
+
+
+def _hll_estimate(regs: DataFrame) -> DataFrame:
+    """Cardinality estimate per source from register rows."""
     m = HLL_BUCKETS
     two51 = 1 << 51  # one empty register's 2^0, in 2^-51 units
     est = (

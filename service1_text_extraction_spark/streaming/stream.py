@@ -361,3 +361,74 @@ def stream_admit(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_hll(
+    spark: SparkSession,
+    input_dir: str,
+    registers_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the distinct-shingle HLL sketch
+    (``dedup.hll_distinct_shingles``) over a growing documents
+    directory: each micro-batch computes ITS OWN register delta
+    (``dedup._hll_registers`` — the one definition the batch operator
+    uses) and appends it under a ``batch_id=`` partition with dynamic
+    overwrite, so a replayed batch (foreachBatch is at-least-once)
+    rewrites its partition instead of double-counting.
+
+    This is the sketch-native streaming shape: registers merge with
+    ``max`` — associative, commutative, idempotent — so batch
+    boundaries CANNOT change the merged sketch, and the global
+    estimate never requires re-reading the corpus (each delta is at
+    most 1024 rows per source). ``hll_from_stream`` folds the deltas
+    and applies the shared estimator; stream-then-merge equals the
+    one-shot batch operator bit-for-bit
+    (test_stream_hll_matches_batch)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import dedup
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        (
+            dedup._hll_registers(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(registers_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hll_from_stream(spark: SparkSession, registers_dir: str):
+    """Fold the streamed register deltas (max-merge ``r``, sum ``n``)
+    and estimate — identical output to running
+    ``dedup.hll_distinct_shingles`` over the whole corpus at once,
+    because max is order/partition-free and the batches partition the
+    input exactly once (exactly-once delta partitions)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import dedup
+
+    deltas = spark.read.parquet(registers_dir)
+    merged = deltas.groupBy("source", "bucket").agg(
+        F.max("r").alias("r"), F.sum("n").alias("n")
+    )
+    return dedup._hll_estimate(merged)

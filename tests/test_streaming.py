@@ -267,3 +267,51 @@ def test_compaction_matches_batch_admit(spark, tmp_path, sf_dir):
         )
         == got
     )
+
+
+def test_stream_hll_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-then-merge must equal the one-shot batch sketch
+    BIT-FOR-BIT across real micro-batch boundaries (max-merge is
+    associative/commutative/idempotent; the integer harmonic sum
+    keeps the estimate partition-order-free), and a checkpointed
+    restart with no new files must not change the register table."""
+    from service1_text_extraction_spark.functions import dedup
+    from service1_text_extraction_spark.streaming.stream import (
+        hll_from_stream,
+        stream_hll,
+    )
+
+    root = str(tmp_path / "docs_in")
+    src = f"{root}/documents.parquet"
+    regs = str(tmp_path / "hll_regs")
+    ck = str(tmp_path / "ck_hll")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+
+    q = stream_hll(spark, src, regs, ck, max_files_per_trigger=2)
+    q.awaitTermination(120)
+
+    n_batches = (
+        spark.read.parquet(regs).select("batch_id").distinct().count()
+    )
+    assert n_batches >= 3, n_batches
+
+    got = sorted(
+        tuple(r) for r in hll_from_stream(spark, regs).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dedup.hll_distinct_shingles(spark, root).collect()
+    )
+    assert got == want and len(want) > 0
+
+    # restart on the same checkpoint, no new data: registers unchanged
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(regs).collect()
+    )
+    q2 = stream_hll(spark, src, regs, ck)
+    q2.awaitTermination(60)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(regs).collect()
+    )
+    assert after == before
