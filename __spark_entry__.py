@@ -164,10 +164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
         "ann_lsh_topk": similarity.lsh_ann_topk,
         "ann_ivf_topk": similarity.ivf_ann_topk,
-        "multimodal_features": multimodal.multimodal_features,
-        "multimodal_resize": multimodal.multimodal_resize,
-        "wav_decode": multimodal.wav_decode,
-        "y4m_frames": multimodal.y4m_frames,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
         "json_sanitize": jsonfuncs.json_sanitize,
@@ -217,12 +213,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_candidates": dedup.minhash_band_candidates,
         "dedup_minhash_clusters": dedup.minhash_clusters,
         "hll_distinct_shingles": dedup.hll_distinct_shingles,
+        # --- round-6 late additions (the four multimodal queries —
+        #     multimodal_features/resize, wav_decode, y4m_frames, all
+        #     3-4x driver-green and untouched this round — rotate to
+        #     the tail to make room under the 50-query cap) ----------
+        "asof_join": relational.asof_join,
+        "range_join_bucketed": relational.range_join_bucketed,
+        "bloom_decontaminate": dedup.bloom_decontaminate,
+        "cms_heavy_hitters": textstats.cms_heavy_hitters,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
         "vocab_oov": textstats.vocab_oov,
+        "multimodal_features": multimodal.multimodal_features,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "wav_decode": multimodal.wav_decode,
+        "y4m_frames": multimodal.y4m_frames,
         "pending_filter": relational.pending_filter,
         "ann_cosine_topk": similarity.cosine_topk,
         "s3_uri_split": relational.s3_uri_split,
@@ -1553,6 +1561,99 @@ def oracle_sql() -> dict[str, str]:
             " count(b.g)::BIGINT AS n_hits,"
             " round(count(b.g)::DOUBLE / count(*), 6) AS contam_frac"
             " FROM g c LEFT JOIN b ON c.g = b.g GROUP BY c.doc_id"
+        ),
+        # mirrors dedup.bloom_decontaminate BIT-FOR-BIT: a Bloom bitmap
+        # is exactly a membership set over bit positions, so the oracle
+        # computes the same distinct bench-gram positions
+        # ((a + i*b) mod BLOOM_BITS from the md5 halves) and declares a
+        # corpus gram a hit iff ALL BLOOM_K of its positions are
+        # present — identical semantics to the Spark side's folded
+        # long-array probe, false positives included
+        "bloom_decontaminate": (
+            f"WITH {_TOKS_CTE},"
+            " g AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i],"
+            " t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6],"
+            " t[i+7]) AS g"
+            " FROM (SELECT doc_id, t, unnest(generate_series(1,"
+            " greatest(len(t)-7, 1))) AS i FROM toks)),"
+            " ks AS (SELECT unnest(generate_series(0,"
+            f" {dedup.BLOOM_K - 1})) AS i),"
+            " bp AS (SELECT DISTINCT (('0x' || substring(md5(g), 1,"
+            " 8))::BIGINT + i * ('0x' || substring(md5(g), 9,"
+            f" 8))::BIGINT) % {dedup.BLOOM_BITS} AS p"
+            " FROM (SELECT DISTINCT g FROM g WHERE doc_id < 20)"
+            " CROSS JOIN ks),"
+            " probes AS (SELECT doc_id, g.g, (('0x' ||"
+            " substring(md5(g.g), 1, 8))::BIGINT + i * ('0x' ||"
+            " substring(md5(g.g), 9, 8))::BIGINT) %"
+            f" {dedup.BLOOM_BITS} AS p FROM g CROSS JOIN ks),"
+            " hits AS (SELECT doc_id, g FROM probes JOIN bp USING (p)"
+            f" GROUP BY doc_id, g HAVING count(*) = {dedup.BLOOM_K}),"
+            " nh AS (SELECT doc_id, count(*)::BIGINT AS n_bloom_hits"
+            " FROM hits GROUP BY doc_id)"
+            " SELECT g.doc_id, count(*)::BIGINT AS n_grams,"
+            " coalesce(min(n_bloom_hits), 0) AS n_bloom_hits,"
+            " round(coalesce(min(n_bloom_hits), 0)::DOUBLE /"
+            " count(*), 6) AS bloom_frac,"
+            " coalesce(min(n_bloom_hits), 0) > 0 AS flagged"
+            " FROM g LEFT JOIN nh USING (doc_id) GROUP BY g.doc_id"
+        ),
+        # mirrors textstats.cms_heavy_hitters: the same CMS_D x CMS_W
+        # counter table from every token occurrence, estimate = min of
+        # a token's CMS_D counters, top-CMS_TOPK by (estimate, token)
+        "cms_heavy_hitters": (
+            "WITH tok AS (SELECT unnest(list_filter("
+            " regexp_split_to_array(lower(text), '\\s+'),"
+            " x -> x <> '')) AS w FROM documents),"
+            " ks AS (SELECT unnest(generate_series(0,"
+            f" {textstats.CMS_D - 1})) AS r),"
+            " cells AS (SELECT w, r, (('0x' || substring(md5(w), 1,"
+            " 8))::BIGINT + r * ('0x' || substring(md5(w), 9,"
+            f" 8))::BIGINT) % {textstats.CMS_W} AS col"
+            " FROM tok CROSS JOIN ks),"
+            " sketch AS (SELECT r, col, count(*) AS cnt FROM cells"
+            " GROUP BY r, col),"
+            " cand AS (SELECT DISTINCT w, r, col FROM cells)"
+            " SELECT w, CAST(min(cnt) AS BIGINT) AS est_count"
+            " FROM cand JOIN sketch USING (r, col) GROUP BY w"
+            f" ORDER BY est_count DESC, w LIMIT {textstats.CMS_TOPK}"
+        ),
+        # mirrors relational.asof_join's union-window form exactly:
+        # purchases tag 0, clicks tag 1, last_value(ignore nulls) over
+        # (ts, tag, event_id) — the same total order, so same-instant
+        # purchases are visible to the click
+        "asof_join": (
+            "WITH u AS (SELECT user_id, ts, event_id, 0 AS tag,"
+            " event_id AS p_id, ts AS p_ts, value AS p_value"
+            " FROM events WHERE event_type = 'purchase'"
+            " UNION ALL SELECT user_id, ts, event_id, 1, NULL, NULL,"
+            " NULL FROM events WHERE event_type = 'click'),"
+            " c AS (SELECT user_id, ts, event_id, tag,"
+            " last_value(p_id IGNORE NULLS) OVER w AS asof_purchase_id,"
+            " last_value(p_ts IGNORE NULLS) OVER w AS asof_ts,"
+            " last_value(p_value IGNORE NULLS) OVER w AS asof_value"
+            " FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts,"
+            " tag, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " CURRENT ROW))"
+            " SELECT event_id, user_id, CAST(asof_purchase_id AS"
+            " BIGINT) AS asof_purchase_id, asof_value,"
+            " CAST(date_diff('microsecond', asof_ts, ts) AS BIGINT)"
+            " AS gap_us FROM c WHERE tag = 1"
+        ),
+        # the range join's SEMANTIC spec — a direct theta join (what
+        # the bucketed Spark plan must equal): clicks x same-user
+        # error windows [e_ts, e_ts + RANGE_WINDOW_S)
+        "range_join_bucketed": (
+            "WITH clicks AS (SELECT event_id, user_id, ts FROM events"
+            " WHERE event_type = 'click'),"
+            " errs AS (SELECT user_id, event_id AS err_id, ts AS e_ts"
+            " FROM events WHERE event_type = 'error')"
+            " SELECT c.event_id, c.user_id, count(e.err_id)::BIGINT"
+            " AS n_err_windows FROM clicks c LEFT JOIN errs e"
+            " ON e.user_id = c.user_id AND c.ts >= e.e_ts"
+            " AND date_diff('microsecond', e.e_ts, c.ts) <"
+            f" {relational.RANGE_WINDOW_S * 1_000_000}"
+            " GROUP BY c.event_id, c.user_id"
         ),
         # mirrors textstats.pack_sequences: shard-local running token
         # sums; pack = floor(start_offset / budget)

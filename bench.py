@@ -152,6 +152,10 @@ def main() -> None:
         "c4_span_dedup": q(dedup.c4_span_dedup),
         "hll_distinct_shingles": q(dedup.hll_distinct_shingles),
         "sample_exact_quota": q(curate.sample_exact_quota),
+        "asof_join": q(relational.asof_join),
+        "range_join_bucketed": q(relational.range_join_bucketed),
+        "bloom_decontaminate": q(dedup.bloom_decontaminate),
+        "cms_heavy_hitters": q(textstats.cms_heavy_hitters),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

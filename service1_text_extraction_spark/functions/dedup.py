@@ -1284,3 +1284,122 @@ def _hll_estimate(regs: DataFrame) -> DataFrame:
             F.expr(est).alias("est_distinct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (the 100 TB membership path)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16  # m: bitmap width (8 KiB)
+BLOOM_K = 4           # k: probes per gram (Kirsch-Mitzenmacher double hash)
+_BLOOM_WORDS = BLOOM_BITS // 64
+
+
+def _bloom_pos_sql(a: str, b: str, i: str) -> str:
+    """SQL fragment: Bloom position i of a gram whose md5 halves are
+    ``a``/``b`` — ``(a + i*b) mod BLOOM_BITS`` (same double-hash family
+    as the MinHash rows, so one documented derivation serves both)."""
+    return f"pmod({a} + {i} * {b}, {BLOOM_BITS})"
+
+
+def bloom_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    benchmark: DataFrame | None = None,
+    gram_len: int = DECON_GRAM,
+) -> DataFrame:
+    """``decontaminate`` re-shaped for the regime where even the
+    benchmark gram SET is too wide to broadcast as a hash relation: the
+    held-out grams compress into a fixed ``BLOOM_BITS``-bit Bloom
+    filter (``BLOOM_K`` probes per gram), and every corpus document is
+    scored against the bitmap. False-positive rate at fill ratio f is
+    f^k (~2e-4 at the driver corpus's ~12% fill); false NEGATIVES are
+    impossible, so the exact ``contamination_fraction`` hit set is
+    always a subset of the Bloom hit set (pinned in
+    tests/test_curation_edge.py).
+
+    Scale shape: the ONLY cluster-wide data movement is zero — the
+    bitmap folds into the plan as a 1024-element constant long array
+    (built from one bounded construction-time collect of <= BLOOM_BITS
+    distinct positions), and the probe is pure higher-order-function
+    projection over each doc's gram array: no UDF, no join, no explode,
+    no Exchange of any kind (plan-pinned). Per gram: one md5, two conv
+    halves, k bit tests against the folded array. At 100 TB this is
+    the decontamination pass that costs exactly one corpus scan."""
+    docs = _docs(spark, sf_dir)
+    if benchmark is None:
+        benchmark = docs.where(F.col("doc_id") < BENCH_DOC_MAX).select("text")
+    gram_expr = _grams_of_t(gram_len)
+
+    a = "cast(conv(substring(m, 1, 8), 16, 10) as bigint)"
+    b = "cast(conv(substring(m, 9, 8), 16, 10) as bigint)"
+    # construction-time bounded collect: distinct bit positions set by
+    # the benchmark grams (<= min(k * |bench grams|, BLOOM_BITS) ints)
+    pos_rows = (
+        benchmark.select(F.expr(_TOKENS).alias("t"))
+        .select(F.explode(F.expr(gram_expr)).alias("g"))
+        .select(F.md5("g").alias("m"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, %d), i -> %s)"
+                    % (BLOOM_K - 1, _bloom_pos_sql(a, b, "i"))
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in pos_rows:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    # fold to signed int64 so every element is a valid long literal
+    bm = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w) for w in words]
+    )
+
+    bit_test = (
+        f"(shiftright(element_at(BM, cast(P div 64 as int) + 1),"
+        f" cast(P % 64 as int)) & 1) = 1"
+    )
+    hit = (
+        "forall(sequence(0, %d), i -> %s)"
+        % (
+            BLOOM_K - 1,
+            bit_test.replace(
+                "P", _bloom_pos_sql("s.a", "s.b", "i")
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+        .withColumn("BM", bm)
+        .select(
+            "doc_id",
+            "BM",
+            F.expr(
+                "transform(%s, g -> named_struct('a', %s, 'b', %s))"
+                % (
+                    gram_expr,
+                    a.replace("m,", "md5(g),"),
+                    b.replace("m,", "md5(g),"),
+                )
+            ).alias("gs"),
+        )
+        .select(
+            "doc_id",
+            F.size("gs").cast("long").alias("n_grams"),
+            F.expr(f"size(filter(gs, s -> {hit}))")
+            .cast("long")
+            .alias("n_bloom_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bloom_hits",
+            F.round(F.col("n_bloom_hits") / F.col("n_grams"), 6).alias(
+                "bloom_frac"
+            ),
+            (F.col("n_bloom_hits") > 0).alias("flagged"),
+        )
+    )

@@ -488,3 +488,133 @@ def s3_uri_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = F.regexp_replace(rest, r"^/+|/+$", "")
     return d.select("doc_id", "uri", bucket.alias("bucket"),
                     prefix.alias("s3_prefix"))
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for every 'click' event, the user's most recent
+    'purchase' at or before the click instant (the canonical
+    point-in-time enrichment a feature/training pipeline needs:
+    "state as of the example's timestamp", kdb aj / pandas merge_asof
+    semantics). Left behavior: clicks with no prior purchase keep
+    NULL as-of columns.
+
+    Scale shape: NOT a range join. Both sides union into one stream
+    tagged (purchase=0, click=1), ONE hash partition by user_id, one
+    ordered window, and ``last(ignore nulls)`` carries the latest
+    purchase forward — O(n log n/p) per partition, a single Exchange,
+    zero pair explosion regardless of how many purchases precede each
+    click (a per-pair theta join would be |clicks|x|purchases| per
+    user). Ties at the same timestamp order purchase-before-click
+    (tag asc), then event_id, so same-instant purchases are visible
+    and the order is total -> deterministic at any parallelism."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("p_id"),
+        # NTZ, not TIMESTAMP: an instant-typed null would coerce the
+        # union's p_ts through the session zone, shifting gap_us by a
+        # DST offset on non-UTC clusters
+        F.lit(None).cast("timestamp_ntz").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = purchases.unionByName(clicks).select(
+        "user_id", "ts", "event_id", "tag",
+        F.last("p_id", ignorenulls=True).over(w).alias("asof_purchase_id"),
+        F.last("p_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        F.last("p_value", ignorenulls=True).over(w).alias("asof_value"),
+    )
+    return carried.where(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("asof_purchase_id").cast("long").alias("asof_purchase_id"),
+        "asof_value",
+        F.timestamp_diff("MICROSECOND", F.col("asof_ts"), F.col("ts"))
+        .cast("long")
+        .alias("gap_us"),
+    )
+
+
+RANGE_WINDOW_S = 300  # error window length: [error_ts, error_ts + 300 s)
+
+
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join — for every 'click' event,
+    how many 'error' windows ``[error_ts, error_ts + RANGE_WINDOW_S)``
+    of the same user contain it (incident attribution; every click
+    appears, zero-overlap clicks count 0).
+
+    Scale shape: the naive plan is a per-user theta join (BroadcastNLJ
+    or cartesian per key — quadratic in events per user). Instead both
+    sides bucket time into fixed RANGE_WINDOW_S-wide bins: a window of
+    length W spans at most 2 bins, so each error emits <= 2
+    (user_id, bin) rows, each click exactly 1, and the join becomes a
+    hash EQUI-join on (user_id, bin) followed by the exact containment
+    predicate — candidates are only same-bin-or-neighbor pairs, shuffle
+    is one hash exchange per side, and the plan survives any corpus
+    size (the DuckDB oracle states the same semantics as the direct
+    theta join, so parity proves the bucketed plan computes the true
+    range join)."""
+    us = RANGE_WINDOW_S * 1_000_000
+    ev = _t(spark, sf_dir, "events")
+    # events.ts is TIMESTAMP_NTZ: unix_micros() rejects it, and casting
+    # through TIMESTAMP would inject the session timezone. Epoch micros
+    # as a pure NTZ difference keeps the bins timezone-free.
+    t_us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("err_id"),
+            t_us.alias("e_us"),
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(t_us / us),
+                        F.floor((t_us + us - 1) / us),
+                    )
+                )
+            ).alias("bin"),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", t_us.alias("c_us"),
+        F.floor(t_us / us).alias("bin"),
+    )
+    hits = (
+        clicks.join(errors, ["user_id", "bin"], "left")
+        .where(
+            F.col("e_us").isNull()
+            | ((F.col("c_us") >= F.col("e_us"))
+               & (F.col("c_us") < F.col("e_us") + us))
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count("err_id").cast("long").alias("n_err_windows"))
+    )
+    # a click whose only same-bin errors all fail containment loses its
+    # rows to the WHERE above; restore it at 0 via the clicks spine
+    return (
+        clicks.select("event_id", "user_id")
+        .join(hits, ["event_id", "user_id"], "left")
+        .select(
+            "event_id", "user_id",
+            F.coalesce("n_err_windows", F.lit(0)).cast("long")
+            .alias("n_err_windows"),
+        )
+    )

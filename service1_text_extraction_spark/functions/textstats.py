@@ -1262,3 +1262,58 @@ def unigram_logprob(
             F.round(-F.avg("lp"), 4).alias("mean_nll"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min-Sketch heavy hitters
+# --------------------------------------------------------------------------
+
+CMS_D = 4       # sketch depth (independent hash rows)
+CMS_W = 1024    # sketch width (counters per row)
+CMS_TOPK = 20   # heavy hitters reported
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token mining through a Count-Min sketch: every token
+    occurrence increments ``CMS_D`` counters (row r's column is
+    ``(a + r*b) mod CMS_W`` from the md5 halves — the same
+    Kirsch-Mitzenmacher family as the MinHash/Bloom ops), a token's
+    estimate is the MIN of its ``CMS_D`` counters (always >= the true
+    count, never under), and the report is the ``CMS_TOPK`` tokens by
+    estimate (ties on the token string — engine-deterministic).
+
+    Scale shape: the sketch is the 100 TB aggregation primitive — the
+    counter table is AT MOST ``CMS_D * CMS_W`` rows at any corpus
+    size, so its hash-aggregate partial-combines map-side into a
+    fixed-size state and the merged sketch BROADCASTS back onto the
+    candidate tokens (never a shuffle of the sketch). The only
+    corpus-sized stage is the candidate-token distinct — at 100 TB
+    the query set would be an external dictionary instead; the sketch
+    itself never grows. Overestimate-only + monotone-merge properties
+    are pinned in tests/test_curation_edge.py."""
+    tok = _docs(spark, sf_dir).select(F.explode(F.expr(_TOKENS)).alias("w"))
+    a = "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
+    b = "cast(conv(substring(md5(w), 9, 8), 16, 10) as bigint)"
+    cells = "transform(sequence(0, %d), r -> pmod(%s + r * %s, %d))" % (
+        CMS_D - 1, a, b, CMS_W,
+    )
+    # the sketch: one fixed-size hash-aggregate over (row, col) cells
+    sketch = (
+        tok.select(
+            F.posexplode(F.expr(cells)).alias("r", "col")
+        )
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # query the sketch for every candidate token: d broadcast-joined
+    # probes, estimate = min counter
+    cand = tok.distinct().select(
+        "w", F.posexplode(F.expr(cells)).alias("r", "col")
+    )
+    return (
+        cand.join(F.broadcast(sketch), ["r", "col"])
+        .groupBy("w")
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), F.col("w"))
+        .limit(CMS_TOPK)
+    )

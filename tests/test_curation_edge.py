@@ -30,7 +30,7 @@ def _oracle(sf_dir, key):
 
     con = duckdb.connect()
     # Spark writes a parquet DIRECTORY; DuckDB needs the part glob
-    for table in ("documents", "embeddings"):
+    for table in ("documents", "embeddings", "events"):
         if os.path.exists(f"{sf_dir}/{table}.parquet"):
             con.execute(
                 f"CREATE VIEW {table} AS SELECT * FROM"
@@ -812,3 +812,127 @@ def test_hll_accuracy_and_order_independence(spark, tmp_path):
     assert est == est_b, (est, est_b)
 
     _assert_parity(spark, sf_a, "hll_distinct_shingles")
+
+
+def _mini_events(spark, tmp_path, rows):
+    """Write an events.parquet shaped like the driver testdata."""
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    out = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    return out
+
+
+def test_bloom_superset_of_exact(spark, sf_dir):
+    """A Bloom filter can false-positive but never false-negative:
+    every document the exact gram-set decontamination flags MUST be
+    Bloom-flagged, at any fill ratio."""
+    from service1_text_extraction_spark.functions import dedup
+
+    exact = {
+        r.doc_id
+        for r in dedup.contamination_fraction(spark, sf_dir)
+        .where("n_hits > 0")
+        .collect()
+    }
+    bloom = {
+        r.doc_id
+        for r in dedup.bloom_decontaminate(spark, sf_dir)
+        .where("flagged")
+        .collect()
+    }
+    assert exact <= bloom, sorted(exact - bloom)[:5]
+
+
+def test_bloom_edge_corpus_parity(spark, tmp_path):
+    """Empty/whitespace docs produce the single '' gram; the probe and
+    the oracle must agree on them too (every mini doc is also bench,
+    so all flag at frac 1.0 — the degenerate-but-legal case)."""
+    sf = _mini_docs(spark, tmp_path, EDGE_DOCS)
+    _assert_parity(spark, sf, "bloom_decontaminate")
+    _assert_parity(spark, sf, "cms_heavy_hitters")
+
+
+def test_cms_overestimates_never_under(spark, sf_dir):
+    """CMS estimates are min-of-counters over hashed increments: for
+    every reported token the estimate must be >= the exact corpus
+    count (equality when none of its d cells collide)."""
+    from pyspark.sql import functions as F
+
+    from service1_text_extraction_spark.functions import textstats
+
+    hh = textstats.cms_heavy_hitters(spark, sf_dir)
+    exact = (
+        textstats._docs(spark, sf_dir)
+        .select(F.explode(F.expr(textstats._TOKENS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    rows = hh.join(exact, "w").collect()
+    assert len(rows) == textstats.CMS_TOPK
+    under = [r for r in rows if r.est_count < r.true_cnt]
+    assert not under, under[:5]
+
+
+def test_asof_join_tie_and_no_prior(spark, tmp_path):
+    """As-of semantics at the edges: a purchase at the SAME instant as
+    the click is visible (tag orders purchase first); a click with no
+    prior purchase keeps NULLs; a later purchase is invisible."""
+    t = "2024-01-01 12:00:00"
+    later = "2024-01-01 13:00:00"
+    rows = [
+        (1, t, 1, "purchase", 10.0, None),      # same instant as click 2
+        (2, t, 1, "click", None, None),         # sees purchase 1, gap 0
+        (3, t, 2, "click", None, None),         # user 2: no purchase ever
+        (4, later, 3, "purchase", 5.0, None),   # after user 3's click
+        (5, t, 3, "click", None, None),         # must NOT see purchase 4
+    ]
+    import datetime
+
+    rows = [
+        (i, datetime.datetime.fromisoformat(ts), u, et, v, p)
+        for i, ts, u, et, v, p in rows
+    ]
+    sf = _mini_events(spark, tmp_path, rows)
+    from service1_text_extraction_spark.functions import relational
+
+    got = {
+        r.event_id: (r.asof_purchase_id, r.asof_value, r.gap_us)
+        for r in relational.asof_join(spark, sf).collect()
+    }
+    assert got[2] == (1, 10.0, 0)
+    assert got[3] == (None, None, None)
+    assert got[5] == (None, None, None)
+    _assert_parity(spark, sf, "asof_join")
+
+
+def test_range_join_boundaries(spark, tmp_path):
+    """Containment bounds are [e_ts, e_ts + W): a click AT the error
+    instant counts, a click exactly W later does not, and a window
+    that straddles a bucket boundary still matches (the 2-bin
+    emission)."""
+    import datetime
+
+    from service1_text_extraction_spark.functions import relational
+
+    W = relational.RANGE_WINDOW_S
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    s = lambda off: base + datetime.timedelta(seconds=off)
+    rows = [
+        (1, s(0), 1, "error", None, None),
+        (2, s(0), 1, "click", None, None),        # at e_ts -> in
+        (3, s(W), 1, "click", None, None),        # at e_ts + W -> out
+        (4, s(W - 1), 1, "click", None, None),    # last second -> in
+        # user 2: error late in bucket 0, click early in bucket 1
+        (5, s(W - 10), 2, "error", None, None),
+        (6, s(W + 10), 2, "click", None, None),   # cross-bucket -> in
+    ]
+    sf = _mini_events(spark, tmp_path, rows)
+    got = {
+        r.event_id: r.n_err_windows
+        for r in relational.range_join_bucketed(spark, sf).collect()
+    }
+    assert got == {2: 1, 3: 0, 4: 1, 6: 1}, got
+    _assert_parity(spark, sf, "range_join_bucketed")

@@ -562,3 +562,53 @@ def test_hll_register_aggregate_combines_map_side(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "collect_list" not in plan, plan
+
+
+def test_bloom_decontaminate_zero_exchange(spark, sf_dir):
+    """The Bloom probe must be pure projection: the bitmap folds into
+    the plan as a constant array and every doc scores map-side — no
+    Exchange, no Join, no UDF of any kind. (The bounded
+    construction-time collect of bench positions happens before this
+    plan exists.)"""
+    plan = _plan(dedup.bloom_decontaminate(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_asof_join_single_exchange_no_join(spark, sf_dir):
+    """As-of enrichment must be the union-window shape: ONE hash
+    exchange on user_id feeding one ordered window — never a per-pair
+    join (a theta join is quadratic per key) and never a single
+    partition."""
+    import re
+
+    plan = _plan(relational.asof_join(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    """The interval join must execute as hash equi-joins on
+    (user_id, bin) — never a BroadcastNestedLoopJoin / CartesianProduct
+    (what Spark falls back to for raw theta joins), so candidates stay
+    same-bin-or-neighbor pairs at any corpus size."""
+    plan = _plan(relational.range_join_bucketed(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_cms_sketch_broadcasts_and_takeordered(spark, sf_dir):
+    """The CMS counter table is <= CMS_D * CMS_W rows at ANY corpus
+    size: it must partial-combine map-side and BROADCAST onto the
+    candidate probes (never shuffle the candidates against it), and
+    the top-k must be TakeOrderedAndProject, not a global sort."""
+    from service1_text_extraction_spark.functions import textstats
+
+    plan = _plan(textstats.cms_heavy_hitters(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
