@@ -50,6 +50,10 @@ DOC_QUERIES = [
     "unigram_logprob", "chunk_counts", "clean_unicode_sql",
     "normalize_ws_sql", "s3_uri_split",
     "dup_passage_fraction", "c4_span_dedup", "hll_distinct_shingles",
+    "bloom_decontaminate", "cms_heavy_hitters",
+    # events-table operators (the sf1 replica carries a user-offset
+    # 10x events table: weak scaling over users)
+    "asof_join", "range_join_bucketed",
 ]
 EMB_QUERIES = [
     "kmeans_assign", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
@@ -99,6 +103,8 @@ def main() -> None:
     for d in (SMALL, BIG):  # warm page cache + JVM
         spark.read.parquet(f"{d}/documents.parquet").count()
         spark.read.parquet(f"{d}/embeddings.parquet").count()
+        if os.path.exists(f"{d}/events.parquet"):
+            spark.read.parquet(f"{d}/events.parquet").count()
 
     best: dict[str, dict[str, float]] = {n: {} for n in names}
     rows: dict[str, dict[str, int]] = {n: {} for n in names}

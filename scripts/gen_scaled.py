@@ -30,6 +30,10 @@ def main() -> None:
     label = f"sf1x{replicas}" if replicas != 10 else "sf1"
     out_dir = os.path.join(REPO, ".bench_cache", label)
     if os.path.exists(os.path.join(out_dir, "_DONE")):
+        # events.parquet was added to the replica set after the first
+        # sf1 build: backfill it without regenerating docs/embeddings
+        if not os.path.exists(os.path.join(out_dir, "events.parquet")):
+            _gen_events(out_dir, replicas)
         print(out_dir)
         return
 
@@ -98,9 +102,49 @@ def main() -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "embeddings.parquet"))
     )
+    spark.stop()
+    _gen_events(out_dir, replicas)
     with open(os.path.join(out_dir, "_DONE"), "w") as f:
         f.write(f"replicas={replicas} src={SRC}\n")
     print(out_dir)
+
+
+def _gen_events(out_dir: str, replicas: int) -> None:
+    """Replicate events with disjoint event_id AND user_id ranges —
+    weak scaling over users (the realistic 100 TB shape: a bigger
+    corpus has more users, not 10x the events per user), so per-user
+    window/join sizes stay constant while total volume grows."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("gen-scaled-events")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.local.dir", "/dev/shm/spark-tmp")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * ID_OFFSET)
+            .alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * ID_OFFSET)
+            .alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "events.parquet"))
+    )
     spark.stop()
 
 
