@@ -1273,6 +1273,30 @@ CMS_W = 1024    # sketch width (counters per row)
 CMS_TOPK = 20   # heavy hitters reported
 
 
+def _cms_cells_sql() -> str:
+    """Per-token CMS cells: row r's column is ``(a + r*b) mod CMS_W``
+    from the md5 halves of the token ``w``."""
+    a = "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
+    b = "cast(conv(substring(md5(w), 9, 8), 16, 10) as bigint)"
+    return "transform(sequence(0, %d), r -> pmod(%s + r * %s, %d))" % (
+        CMS_D - 1, a, b, CMS_W,
+    )
+
+
+def _cms_sketch(tok: DataFrame) -> DataFrame:
+    """The CMS counter table ``(r, col, cnt)`` of a token stream: one
+    fixed-size (<= CMS_D * CMS_W rows) hash-aggregate. Counts are
+    linear in the input, so sketches of disjoint corpus shards merge
+    by cell-wise ADDITION into exactly the whole-corpus sketch — the
+    property that lets 1000 executors each fold their partition
+    map-side (pinned in tests/test_curation_edge.py)."""
+    return (
+        tok.select(F.posexplode(F.expr(_cms_cells_sql())).alias("r", "col"))
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-token mining through a Count-Min sketch: every token
     occurrence increments ``CMS_D`` counters (row r's column is
@@ -1292,19 +1316,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself never grows. Overestimate-only + monotone-merge properties
     are pinned in tests/test_curation_edge.py."""
     tok = _docs(spark, sf_dir).select(F.explode(F.expr(_TOKENS)).alias("w"))
-    a = "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
-    b = "cast(conv(substring(md5(w), 9, 8), 16, 10) as bigint)"
-    cells = "transform(sequence(0, %d), r -> pmod(%s + r * %s, %d))" % (
-        CMS_D - 1, a, b, CMS_W,
-    )
-    # the sketch: one fixed-size hash-aggregate over (row, col) cells
-    sketch = (
-        tok.select(
-            F.posexplode(F.expr(cells)).alias("r", "col")
-        )
-        .groupBy("r", "col")
-        .agg(F.count("*").alias("cnt"))
-    )
+    cells = _cms_cells_sql()
+    sketch = _cms_sketch(tok)
     # query the sketch for every candidate token: d broadcast-joined
     # probes, estimate = min counter
     cand = tok.distinct().select(

@@ -936,3 +936,32 @@ def test_range_join_boundaries(spark, tmp_path):
     }
     assert got == {2: 1, 3: 0, 4: 1, 6: 1}, got
     _assert_parity(spark, sf, "range_join_bucketed")
+
+
+def test_cms_sketch_merges_by_addition(spark, sf_dir):
+    """CMS counters are linear: the cell-wise SUM of two disjoint
+    shards' sketches must equal the whole-corpus sketch exactly —
+    the property that makes the sketch a distributed-aggregation
+    primitive (each executor folds its shard, merge is add)."""
+    from pyspark.sql import functions as F
+
+    from service1_text_extraction_spark.functions import textstats
+
+    docs = textstats._docs(spark, sf_dir)
+    tok_of = lambda d: d.select(
+        F.explode(F.expr(textstats._TOKENS)).alias("w")
+    )
+    whole = {
+        (r.r, r.col): r.cnt
+        for r in textstats._cms_sketch(tok_of(docs)).collect()
+    }
+    even = textstats._cms_sketch(
+        tok_of(docs.where("doc_id % 2 = 0"))
+    ).collect()
+    odd = textstats._cms_sketch(
+        tok_of(docs.where("doc_id % 2 = 1"))
+    ).collect()
+    merged: dict = {}
+    for r in list(even) + list(odd):
+        merged[(r.r, r.col)] = merged.get((r.r, r.col), 0) + r.cnt
+    assert merged == whole
