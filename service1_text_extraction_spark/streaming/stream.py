@@ -432,3 +432,127 @@ def hll_from_stream(spark: SparkSession, registers_dir: str):
         F.max("r").alias("r"), F.sum("n").alias("n")
     )
     return dedup._hll_estimate(merged)
+
+
+from pyspark.sql.types import DoubleType
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def stream_asof(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    *,
+    query_name: str = "asof_stream",
+):
+    """Streaming as-of enrichment — the stateful twin of
+    ``relational.asof_join``: the state store carries each user's
+    latest purchase (id, instant, value) across micro-batches, and
+    every arriving click emits exactly one enriched row (append mode)
+    against the state AS OF its own instant. Within a trigger the
+    group's rows replay in (ts, purchase-before-click, event_id)
+    order — the same total order as the batch window — so on
+    time-ordered micro-batches the stream output equals the batch
+    as-of join row for row (pinned in tests/test_streaming.py).
+
+    Scale shape: state is ONE fixed-width tuple per user (not per
+    event), so the store grows with the user population only; each
+    trigger's work is one hash partition by user_id plus a per-group
+    sort of that trigger's rows — the streaming restatement of the
+    batch plan's single exchange."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType as _Dbl
+    from pyspark.sql.types import LongType as _Long
+
+    out_schema = StructType(
+        [
+            StructField("event_id", _Long()),
+            StructField("user_id", _Long()),
+            StructField("asof_purchase_id", _Long()),
+            StructField("asof_value", _Dbl()),
+            StructField("gap_us", _Long()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("p_id", _Long()),
+            StructField("p_us", _Long()),
+            StructField("p_value", _Dbl()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        p_id, p_us, p_value = state.get if state.exists else (
+            None, None, None,
+        )
+        frames = [pdf for pdf in pdfs]
+        out = []
+        if frames:
+            ev = pd.concat(frames)
+            ev["ev_us"] = ev["ts"].astype("int64") // 1_000
+            ev["ev_tag"] = (ev["event_type"] == "click").astype("int64")
+            ev = ev.sort_values(["ev_us", "ev_tag", "event_id"])
+            for r in ev.itertuples(index=False):
+                if r.event_type == "purchase":
+                    p_id, p_us = int(r.event_id), int(r.ev_us)
+                    p_value = (
+                        float(r.value) if r.value is not None else None
+                    )
+                elif r.event_type == "click":
+                    out.append(
+                        (
+                            int(r.event_id),
+                            int(user_id),
+                            p_id,
+                            p_value,
+                            int(r.ev_us) - p_us
+                            if p_us is not None
+                            else None,
+                        )
+                    )
+        if p_id is not None:
+            state.update((p_id, p_us, p_value))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_id", "user_id", "asof_purchase_id",
+                "asof_value", "gap_us",
+            ],
+            dtype="object",
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .groupBy(F.col("user_id"))
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -315,3 +315,62 @@ def test_stream_hll_matches_batch(spark, tmp_path, sf_dir):
         tuple(r) for r in spark.read.parquet(regs).collect()
     )
     assert after == before
+
+
+@pytest.mark.slow
+def test_stream_asof_matches_batch(spark, tmp_path):
+    """stream_asof's state-store enrichment must equal the batch
+    union-window asof_join row for row on time-ordered micro-batches
+    (two files split by time, maxFilesPerTrigger=1): every click
+    emitted exactly once, carrying the latest same-user purchase at
+    or before its instant — including purchases seen in an EARLIER
+    trigger (the state carry) and clicks before any purchase (NULLs)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = []
+    t0 = dt.datetime(2026, 1, 1)
+    eid = 0
+    for u in range(6):
+        for k in range(10 + u):
+            eid += 1
+            # deterministic interleave: purchases at k%3==0, clicks
+            # otherwise; user u+3 has no purchases at all
+            et = "purchase" if (k % 3 == 0 and u < 3) else "click"
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=7 * k + u), u, et,
+                 float(u * 100 + k), None)
+            )
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    base = str(tmp_path / "in_a")
+    inp = f"{base}/events.parquet"
+    half = ev["ts"].median()
+    spark.createDataFrame(ev[ev.ts <= half]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    spark.createDataFrame(ev[ev.ts > half]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    from service1_text_extraction_spark.streaming.stream import stream_asof
+
+    q = stream_asof(spark, inp, str(tmp_path / "ckpt_a"),
+                    query_name="asof_test")
+    q.awaitTermination(120)
+    got = {
+        r.event_id: (r.asof_purchase_id, r.asof_value, r.gap_us)
+        for r in spark.sql("SELECT * FROM asof_test").collect()
+    }
+
+    from service1_text_extraction_spark.functions import relational
+
+    batch = {
+        r.event_id: (r.asof_purchase_id, r.asof_value, r.gap_us)
+        for r in relational.asof_join(spark, base).collect()
+    }
+    assert len(got) == len(batch) > 0
+    assert got == batch
+    # the no-purchase users really exercised the NULL path
+    assert any(v == (None, None, None) for v in got.values())
