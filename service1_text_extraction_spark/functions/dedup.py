@@ -1313,10 +1313,10 @@ def bloom_decontaminate(
     held-out grams compress into a fixed ``BLOOM_BITS``-bit Bloom
     filter (``BLOOM_K`` probes per gram), and every corpus document is
     scored against the bitmap. False-positive rate at fill ratio f is
-    f^k (~2e-4 at the driver corpus's ~12% fill); false NEGATIVES are
-    impossible, so the exact ``contamination_fraction`` hit set is
-    always a subset of the Bloom hit set (pinned in
-    tests/test_curation_edge.py).
+    ~f^k (~6e-6 at the driver stand-in benchmark's ~5% fill — ~3.4k
+    distinct positions of 65,536); false NEGATIVES are impossible, so
+    the exact ``contamination_fraction`` hit set is always a subset of
+    the Bloom hit set (pinned in tests/test_curation_edge.py).
 
     Scale shape: the ONLY cluster-wide data movement is zero — the
     bitmap folds into the plan as a 1024-element constant long array
