@@ -612,3 +612,39 @@ def test_cms_sketch_broadcasts_and_takeordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "partial_count" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """Co-located joins via bucketing (the 100 TB repeat-join
+    strategy): two tables written bucketed on doc_id join with ZERO
+    Exchanges, while the identical merge join over plain parquet
+    needs one per side."""
+    import re
+
+    from service1_text_extraction_spark.pipeline import bucketed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.select("doc_id", "n_chars")
+    b = docs.select("doc_id", "lang")
+    try:
+        bucketed.write_bucketed(
+            a, "bkt_a", str(tmp_path / "bkt_a"), n_buckets=8
+        )
+        bucketed.write_bucketed(
+            b, "bkt_b", str(tmp_path / "bkt_b"), n_buckets=8
+        )
+        plan = _plan(bucketed.bucketed_join(spark, "bkt_a", "bkt_b"))
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+
+        # contrast: same join over non-bucketed input shuffles
+        plain = _plan(a.hint("merge").join(b, "doc_id"))
+        assert len(re.findall(r"\(\d+\) Exchange", plain)) == 2, plain
+
+        # and the join is not just planned — it runs and matches
+        n = bucketed.bucketed_join(spark, "bkt_a", "bkt_b").count()
+        assert n == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
