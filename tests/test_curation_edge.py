@@ -965,3 +965,63 @@ def test_cms_sketch_merges_by_addition(spark, sf_dir):
     for r in list(even) + list(odd):
         merged[(r.r, r.col)] = merged.get((r.r, r.col), 0) + r.cnt
     assert merged == whole
+
+
+def test_bloom_false_positive_is_real_and_oracled(spark, tmp_path):
+    """The probe must be a REAL Bloom filter: at high fill a gram that
+    is NOT in the benchmark can still hit all BLOOM_K positions. The
+    test derives the benchmark's bit set in pure Python (same md5
+    double-hash), searches deterministically for a colliding probe
+    token, and checks that the operator flags it while the exact
+    gram-set scorer does not — AND that the DuckDB oracle reproduces
+    the same false positive (parity covers approximate semantics,
+    not just happy paths)."""
+    import hashlib
+
+    from service1_text_extraction_spark.functions import dedup
+
+    def pos_of(g):
+        m = hashlib.md5(g.encode()).hexdigest()
+        a, b = int(m[0:8], 16), int(m[8:16], 16)
+        return [(a + i * b) % dedup.BLOOM_BITS for i in range(dedup.BLOOM_K)]
+
+    pos = set()
+    bench_rows = []
+    for d in range(dedup.BENCH_DOC_MAX):
+        toks = [f"b{d}_{i}" for i in range(1500)]
+        for i in range(len(toks) - dedup.DECON_GRAM + 1):
+            pos.update(pos_of(" ".join(toks[i:i + dedup.DECON_GRAM])))
+        text = " ".join(toks)
+        bench_rows.append((d, text, "en", f"src{d}", len(text)))
+    assert len(pos) / dedup.BLOOM_BITS > 0.5  # high-fill regime
+
+    fp_tok = next(
+        f"fp{i}" for i in range(10_000)
+        if all(p in pos for p in pos_of(f"fp{i}"))
+    )
+    # at this fill a random probe false-positives ~50% of the time, so
+    # the negative control is SEARCHED too, not assumed
+    tn_tok = next(
+        f"tn{i}" for i in range(10_000)
+        if not all(p in pos for p in pos_of(f"tn{i}"))
+    )
+    # a single-token doc's one gram IS the token (concat_ws skips the
+    # out-of-range NULLs), so docs 100/101 probe exactly these tokens
+    rows = bench_rows + [
+        (100, fp_tok, "en", "src100", len(fp_tok)),
+        (101, tn_tok, "en", "src101", len(tn_tok)),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+
+    bloom = {
+        r.doc_id: r.flagged
+        for r in dedup.bloom_decontaminate(spark, sf).collect()
+    }
+    exact = {
+        r.doc_id: r.n_hits
+        for r in dedup.contamination_fraction(spark, sf).collect()
+    }
+    assert bloom[100] is True and exact[100] == 0  # the false positive
+    assert bloom[101] is False and exact[101] == 0
+    assert all(bloom[d] for d in range(dedup.BENCH_DOC_MAX))
+    _assert_parity(spark, sf, "bloom_decontaminate")
