@@ -166,7 +166,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ivf_ann_topk,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
-        "json_sanitize": jsonfuncs.json_sanitize,
         "source_files": _q_source_files,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "normalize_ws_sql": textstats.normalize_ws_sql,
@@ -221,9 +220,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bucketed": relational.range_join_bucketed,
         "bloom_decontaminate": dedup.bloom_decontaminate,
         "cms_heavy_hitters": textstats.cms_heavy_hitters,
+        # (json_sanitize, 3x green and untouched, rotated to the tail)
+        "hdr_value_quantiles": relational.hdr_value_quantiles,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
+        "json_sanitize": jsonfuncs.json_sanitize,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
         "vocab_oov": textstats.vocab_oov,
@@ -1639,6 +1641,35 @@ def oracle_sql() -> dict[str, str]:
             " BIGINT) AS asof_purchase_id, asof_value,"
             " CAST(date_diff('microsecond', asof_ts, ts) AS BIGINT)"
             " AS gap_us FROM c WHERE tag = 1"
+        ),
+        # mirrors relational.hdr_value_quantiles BIT-FOR-BIT: the same
+        # fixed-point floor, the same integer top-bits quantization
+        # (length(bin()) like the HLL rho), the same 100*cum >= qq*n
+        # integer quantile pick; / 1000.0 is the only float op and
+        # sees identical operands in both engines
+        "hdr_value_quantiles": (
+            "WITH base AS (SELECT event_type, CAST(floor(value *"
+            f" {relational.HDR_UNIT}) AS BIGINT) AS v FROM events"
+            " WHERE value IS NOT NULL AND value >= 0),"
+            " qz AS (SELECT event_type, CASE WHEN v <"
+            f" {1 << (relational.HDR_SUB_BITS + 1)} THEN v ELSE"
+            f" (v >> (length(bin(v)) - {relational.HDR_SUB_BITS + 1}))"
+            f" << (length(bin(v)) - {relational.HDR_SUB_BITS + 1})"
+            " END AS b FROM base),"
+            " counts AS (SELECT event_type, b, count(*) AS cnt"
+            " FROM qz GROUP BY 1, 2),"
+            " cumt AS (SELECT event_type, b, sum(cnt) OVER"
+            " (PARTITION BY event_type ORDER BY b ROWS UNBOUNDED"
+            " PRECEDING) AS cum, sum(cnt) OVER (PARTITION BY"
+            " event_type) AS n FROM counts)"
+            " SELECT event_type, CAST(max(n) AS BIGINT) AS n,"
+            " round(min(CASE WHEN 100 * cum >= 50 * n THEN b END)"
+            f" / {relational.HDR_UNIT}.0, 6) AS p50_est,"
+            " round(min(CASE WHEN 100 * cum >= 90 * n THEN b END)"
+            f" / {relational.HDR_UNIT}.0, 6) AS p90_est,"
+            " round(min(CASE WHEN 100 * cum >= 99 * n THEN b END)"
+            f" / {relational.HDR_UNIT}.0, 6) AS p99_est"
+            " FROM cumt GROUP BY event_type"
         ),
         # the range join's SEMANTIC spec — a direct theta join (what
         # the bucketed Spark plan must equal): clicks x same-user

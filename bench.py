@@ -153,6 +153,7 @@ def main() -> None:
         "hll_distinct_shingles": q(dedup.hll_distinct_shingles),
         "sample_exact_quota": q(curate.sample_exact_quota),
         "asof_join": q(relational.asof_join),
+        "hdr_value_quantiles": q(relational.hdr_value_quantiles),
         "range_join_bucketed": q(relational.range_join_bucketed),
         "bloom_decontaminate": q(dedup.bloom_decontaminate),
         "cms_heavy_hitters": q(textstats.cms_heavy_hitters),

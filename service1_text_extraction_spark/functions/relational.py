@@ -618,3 +618,66 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_err_windows"),
         )
     )
+
+
+HDR_SUB_BITS = 3      # sub-buckets per octave -> <= 2^-3 = 12.5% rel. error
+HDR_UNIT = 1000       # fixed-point micro-unit (3 decimal places)
+
+
+def hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-type value percentiles from an HDR-histogram
+    sketch — the MERGEABLE fixed-size alternative to
+    ``value_quantiles``' exact sort, completing the sketch family
+    (HLL = distinct, CMS = frequency, Bloom = membership, HDR =
+    quantiles). Values quantize to fixed-point micro-units, then each
+    keeps its top ``HDR_SUB_BITS + 1`` significant bits (low bits
+    zeroed — a monotone, purely INTEGER quantization via the same
+    length(bin()) trick as the HLL rho, so both engines agree
+    bit-for-bit; relative error <= 2^-HDR_SUB_BITS = 12.5%, pinned
+    against the exact percentiles in tests). The pXX estimate is the
+    smallest bucket whose cumulative count covers ceil(q * n),
+    selected with 100*cum >= qq*n integer arithmetic (no float
+    thresholds anywhere).
+
+    Scale shape: ONE map-side-combinable hash-aggregate over
+    (event_type, bucket) — a few hundred buckets per type at ANY
+    corpus size (fixed sketch, mergeable by addition like CMS) — then
+    a cumulative window over that bounded table; the exact form's
+    full per-type sort never happens. Non-negative domain only (the
+    driver events table; a production deployment adds a sign
+    bucket)."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    v = "cast(floor(value * %d) as bigint)" % HDR_UNIT
+    q = (
+        "CASE WHEN {v} < {small} THEN {v} ELSE"
+        " shiftleft(shiftright({v}, length(bin({v})) - {keep}),"
+        " length(bin({v})) - {keep}) END"
+    ).format(v=v, small=1 << (HDR_SUB_BITS + 1), keep=HDR_SUB_BITS + 1)
+    counts = (
+        ev.select("event_type", F.expr(q).alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "b",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    pick = lambda qq: F.min(
+        F.when(100 * F.col("cum") >= qq * F.col("n"), F.col("b"))
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(pick(50) / HDR_UNIT, 6).alias("p50_est"),
+        F.round(pick(90) / HDR_UNIT, 6).alias("p90_est"),
+        F.round(pick(99) / HDR_UNIT, 6).alias("p99_est"),
+    )

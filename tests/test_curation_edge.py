@@ -1025,3 +1025,38 @@ def test_bloom_false_positive_is_real_and_oracled(spark, tmp_path):
     assert bloom[101] is False and exact[101] == 0
     assert all(bloom[d] for d in range(dedup.BENCH_DOC_MAX))
     _assert_parity(spark, sf, "bloom_decontaminate")
+
+
+def test_hdr_quantiles_within_sketch_error(spark, sf_dir):
+    """The sketch pick is the bucket of the DISCRETE order statistic
+    v_ceil(q*n) (the 100*cum >= qq*n rule), and the bucket keeps the
+    top HDR_SUB_BITS+1 significant bits of it — so per event_type and
+    quantile the estimate must sit in
+    [v_k * (1 - 2^-HDR_SUB_BITS), v_k] around the exact order stat
+    computed independently here (NOT the interpolated quantile_cont,
+    which the discrete pick may legitimately straddle by one stat)."""
+    import math
+
+    from service1_text_extraction_spark.functions import relational
+
+    est = {
+        r.event_type: (r.p50_est, r.p90_est, r.p99_est)
+        for r in relational.hdr_value_quantiles(spark, sf_dir).collect()
+    }
+    vals: dict = {}
+    for r in (
+        relational._t(spark, sf_dir, "events")
+        .where("value IS NOT NULL AND value >= 0")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert set(est) == set(vals)
+    tol = 2 ** -relational.HDR_SUB_BITS
+    unit = 1.0 / relational.HDR_UNIT
+    for et, es in est.items():
+        vs = sorted(vals[et])
+        for e, q in zip(es, (50, 90, 99)):
+            v_k = vs[math.ceil(q * len(vs) / 100) - 1]
+            assert e <= v_k + unit, (et, q, e, v_k)
+            assert e >= v_k * (1 - tol) - unit, (et, q, e, v_k)

@@ -648,3 +648,14 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_hdr_sketch_aggregate_is_fixed_size(spark, sf_dir):
+    """The HDR quantile sketch must partial-combine map-side into the
+    bounded (event_type, bucket) table — never a per-type global sort
+    of raw values (what the exact percentile does), never a single
+    partition."""
+    plan = _plan(relational.hdr_value_quantiles(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "percentile" not in plan.lower(), plan
