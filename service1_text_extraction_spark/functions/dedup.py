@@ -1295,6 +1295,13 @@ BLOOM_K = 4           # k: probes per gram (Kirsch-Mitzenmacher double hash)
 _BLOOM_WORDS = BLOOM_BITS // 64
 
 
+def _md5_half_sql(arg: str, start: int) -> str:
+    """SQL fragment: one 32-bit half of md5(``arg``) as a bigint —
+    the shared building block of the Kirsch-Mitzenmacher double hash
+    used by the MinHash, Bloom, and CMS families."""
+    return f"cast(conv(substring(md5({arg}), {start}, 8), 16, 10) as bigint)"
+
+
 def _bloom_pos_sql(a: str, b: str, i: str) -> str:
     """SQL fragment: Bloom position i of a gram whose md5 halves are
     ``a``/``b`` — ``(a + i*b) mod BLOOM_BITS`` (same double-hash family
@@ -1331,14 +1338,12 @@ def bloom_decontaminate(
         benchmark = docs.where(F.col("doc_id") < BENCH_DOC_MAX).select("text")
     gram_expr = _grams_of_t(gram_len)
 
-    a = "cast(conv(substring(m, 1, 8), 16, 10) as bigint)"
-    b = "cast(conv(substring(m, 9, 8), 16, 10) as bigint)"
+    a, b = _md5_half_sql("g", 1), _md5_half_sql("g", 9)
     # construction-time bounded collect: distinct bit positions set by
     # the benchmark grams (<= min(k * |bench grams|, BLOOM_BITS) ints)
     pos_rows = (
         benchmark.select(F.expr(_TOKENS).alias("t"))
         .select(F.explode(F.expr(gram_expr)).alias("g"))
-        .select(F.md5("g").alias("m"))
         .select(
             F.explode(
                 F.expr(
@@ -1381,8 +1386,8 @@ def bloom_decontaminate(
                 "transform(%s, g -> named_struct('a', %s, 'b', %s))"
                 % (
                     gram_expr,
-                    a.replace("m,", "md5(g),"),
-                    b.replace("m,", "md5(g),"),
+                    _md5_half_sql("g", 1),
+                    _md5_half_sql("g", 9),
                 )
             ).alias("gs"),
         )

@@ -1276,10 +1276,10 @@ CMS_TOPK = 20   # heavy hitters reported
 def _cms_cells_sql() -> str:
     """Per-token CMS cells: row r's column is ``(a + r*b) mod CMS_W``
     from the md5 halves of the token ``w``."""
-    a = "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
-    b = "cast(conv(substring(md5(w), 9, 8), 16, 10) as bigint)"
+    from .dedup import _md5_half_sql
+
     return "transform(sequence(0, %d), r -> pmod(%s + r * %s, %d))" % (
-        CMS_D - 1, a, b, CMS_W,
+        CMS_D - 1, _md5_half_sql("w", 1), _md5_half_sql("w", 9), CMS_W,
     )
 
 

@@ -453,6 +453,7 @@ def stream_asof(
     checkpoint_dir: str,
     *,
     query_name: str = "asof_stream",
+    output_dir: str | None = None,
 ):
     """Streaming as-of enrichment — the stateful twin of
     ``relational.asof_join``: the state store carries each user's
@@ -548,11 +549,14 @@ def stream_asof(
             GroupStateTimeout.NoTimeout,
         )
     )
-    return (
+    writer = (
         stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
+    if output_dir is not None:
+        # file sink: supports checkpoint RECOVERY (the memory sink does
+        # not), so restarts resume the state store and append only
+        # unprocessed files — pinned by the restart test
+        return writer.format("parquet").option("path", output_dir).start()
+    return writer.format("memory").queryName(query_name).start()

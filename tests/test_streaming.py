@@ -374,3 +374,47 @@ def test_stream_asof_matches_batch(spark, tmp_path):
     assert got == batch
     # the no-purchase users really exercised the NULL path
     assert any(v == (None, None, None) for v in got.values())
+
+
+@pytest.mark.slow
+def test_stream_asof_state_survives_restart(spark, tmp_path):
+    """Checkpoint recovery: after the first availableNow run drains,
+    a NEW file arrives and a fresh query instance on the SAME
+    checkpoint must (a) process only the new file and (b) enrich its
+    click from the purchase seen BEFORE the restart — the state store
+    round-trips through the checkpoint, not just within one run."""
+    import datetime as dt
+
+    base = str(tmp_path / "in_r")
+    inp = f"{base}/events.parquet"
+    ckpt = str(tmp_path / "ckpt_r")
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    mk([(1, t0, 7, "purchase", 42.0, None),
+        (2, t0 + dt.timedelta(seconds=10), 7, "click", None, None)])
+    from service1_text_extraction_spark.streaming.stream import stream_asof
+
+    out = str(tmp_path / "out_r")
+    q1 = stream_asof(spark, inp, ckpt, output_dir=out)
+    q1.awaitTermination(120)
+    first = {
+        r.event_id: (r.asof_purchase_id, r.gap_us)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first == {2: (1, 10_000_000)}
+
+    # restart with one NEW click, one hour later, no new purchase
+    mk([(3, t0 + dt.timedelta(hours=1), 7, "click", None, None)])
+    q2 = stream_asof(spark, inp, ckpt, output_dir=out)
+    q2.awaitTermination(120)
+    second = {
+        r.event_id: (r.asof_purchase_id, r.gap_us)
+        for r in spark.read.parquet(out).collect()
+    }
+    # exactly one NEW row (no reprocessing of file 1), its click
+    # enriched from pre-restart state: purchase 1, 3600 s in the past
+    assert second == {2: (1, 10_000_000), 3: (1, 3600_000_000)}
