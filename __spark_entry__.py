@@ -167,7 +167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
         "source_files": _q_source_files,
-        "clean_unicode_sql": textstats.clean_unicode_sql,
         "normalize_ws_sql": textstats.normalize_ws_sql,
         "chunk_counts": textstats.chunk_counts,
         "train_test_split": textstats.train_test_split,
@@ -220,12 +219,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bucketed": relational.range_join_bucketed,
         "bloom_decontaminate": dedup.bloom_decontaminate,
         "cms_heavy_hitters": textstats.cms_heavy_hitters,
-        # (json_sanitize, 3x green and untouched, rotated to the tail)
+        # (json_sanitize + clean_unicode_sql, 3-4x green and
+        # untouched, rotated to the tail)
         "hdr_value_quantiles": relational.hdr_value_quantiles,
+        "asof_join_salted": relational.asof_join_salted,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "json_sanitize": jsonfuncs.json_sanitize,
+        "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
         "vocab_oov": textstats.vocab_oov,
@@ -1751,6 +1753,10 @@ def oracle_sql() -> dict[str, str]:
         f" JOIN ({sql['train_test_split']}) s USING (doc_id)"
         f" WHERE q.quality >= {curate.MIN_QUALITY} AND l.lang_pred <> 'und'"
     )
+    # the salted two-phase as-of is DEFINED to compute the same
+    # relation as the one-phase form — one oracle serves both, so a
+    # driver hash-green on asof_join_salted IS the equivalence proof
+    sql["asof_join_salted"] = sql["asof_join"]
     return sql
 
 

@@ -153,6 +153,7 @@ def main() -> None:
         "hll_distinct_shingles": q(dedup.hll_distinct_shingles),
         "sample_exact_quota": q(curate.sample_exact_quota),
         "asof_join": q(relational.asof_join),
+        "asof_join_salted": q(relational.asof_join_salted),
         "hdr_value_quantiles": q(relational.hdr_value_quantiles),
         "range_join_bucketed": q(relational.range_join_bucketed),
         "bloom_decontaminate": q(dedup.bloom_decontaminate),

@@ -53,7 +53,8 @@ DOC_QUERIES = [
     "bloom_decontaminate", "cms_heavy_hitters",
     # events-table operators (the sf1 replica carries a user-offset
     # 10x events table: weak scaling over users)
-    "asof_join", "range_join_bucketed", "hdr_value_quantiles",
+    "asof_join", "asof_join_salted", "range_join_bucketed",
+    "hdr_value_quantiles",
 ]
 EMB_QUERIES = [
     "kmeans_assign", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",

@@ -681,3 +681,107 @@ def hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pick(90) / HDR_UNIT, 6).alias("p90_est"),
         F.round(pick(99) / HDR_UNIT, 6).alias("p99_est"),
     )
+
+
+ASOF_BLOCK_S = 6 * 3600  # time-block width for the salted as-of scan
+
+
+def asof_join_salted(
+    spark: SparkSession, sf_dir: str, block_s: int = ASOF_BLOCK_S
+) -> DataFrame:
+    """``asof_join``'s mega-key scale path — the classic parallel-scan
+    decomposition: a user whose whole event history lands in ONE window
+    partition funnels through one task in the one-phase form, so here
+    each user's timeline splits into fixed ``block_s``-wide time
+    blocks, the as-of window runs per (user, block), and the
+    cross-block purchase state arrives through an exclusive
+    last-ignore-nulls carry over the per-block summaries — a table with
+    ONE row per (user, block), thousands of times smaller than the
+    event stream, so its per-user window is skew-free by construction.
+    A click with no in-block prior purchase coalesces to its block's
+    carry-in; blocks are time-ordered, so the carry is exactly "latest
+    purchase in any earlier block".
+
+    Results are identical to ``asof_join`` (same registered oracle;
+    equality also pinned directly in tests): the in-block window sees
+    every same-block purchase at or before the click (tag order covers
+    same-instant ties), and anything earlier is strictly in an earlier
+    block."""
+    ev = _t(spark, sf_dir, "events")
+    t_us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    blk = F.floor(t_us / (block_s * 1_000_000)).alias("blk")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", blk,
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", blk,
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("timestamp_ntz").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    w_blk = (
+        Window.partitionBy("user_id", "blk")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_block = purchases.unionByName(clicks).select(
+        "user_id", "ts", "event_id", "blk", "tag",
+        F.last("p_id", ignorenulls=True).over(w_blk).alias("ib_id"),
+        F.last("p_ts", ignorenulls=True).over(w_blk).alias("ib_ts"),
+        F.last("p_value", ignorenulls=True).over(w_blk).alias("ib_value"),
+    )
+    # per-(user, block) FINAL purchase state: latest purchase in the
+    # block — one tiny row per occupied block. The spine must include
+    # click-only blocks (their carry-in would otherwise vanish in the
+    # final left join — pinned by the carry-across-empty-blocks test).
+    spine = (
+        purchases.select("user_id", "blk")
+        .unionByName(clicks.select("user_id", "blk"))
+        .distinct()
+    )
+    summary = spine.join(
+        purchases.groupBy("user_id", "blk").agg(
+            F.max_by(
+                F.struct("p_id", "p_ts", "p_value"),
+                F.struct("ts", "event_id"),
+            ).alias("last_p")
+        ),
+        ["user_id", "blk"],
+        "left",
+    )
+    w_carry = (
+        Window.partitionBy("user_id")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summary.select(
+        "user_id", "blk",
+        F.last("last_p", ignorenulls=True).over(w_carry).alias("carry_p"),
+    )
+    return (
+        in_block.where(F.col("tag") == 1)
+        .join(carry, ["user_id", "blk"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("ib_id", F.col("carry_p.p_id"))
+            .cast("long")
+            .alias("asof_purchase_id"),
+            F.coalesce("ib_value", F.col("carry_p.p_value"))
+            .alias("asof_value"),
+            F.timestamp_diff(
+                "MICROSECOND",
+                F.coalesce("ib_ts", F.col("carry_p.p_ts")),
+                F.col("ts"),
+            ).cast("long").alias("gap_us"),
+        )
+    )

@@ -184,7 +184,12 @@ def _parse_dict(data: bytes, pos: int):
             key = "/" + m.group(1).decode("latin-1")
             pos = m.end()
         else:
+            # lenient fallback for malformed keys (some generators emit
+            # bare numbers/strings) — but a container here (e.g. the
+            # hostile '<<<<') is unhashable and must fail CLEAN
             key, pos = _parse_value(data, pos)
+            if isinstance(key, (dict, list)):
+                raise PdfError(f"non-name dictionary key at {pos}")
         val, pos = _parse_value(data, pos)
         out[key] = val
 

@@ -1060,3 +1060,50 @@ def test_hdr_quantiles_within_sketch_error(spark, sf_dir):
             v_k = vs[math.ceil(q * len(vs) / 100) - 1]
             assert e <= v_k + unit, (et, q, e, v_k)
             assert e >= v_k * (1 - tol) - unit, (et, q, e, v_k)
+
+
+def test_asof_salted_equals_one_phase(spark, sf_dir, tmp_path):
+    """The two-phase (time-blocked) as-of must equal the one-phase
+    window form row for row — on the driver corpus at the default
+    block width AND at a pathologically narrow one (60 s: nearly
+    every event in its own block, so the carry path does all the
+    work), AND on a fixture where the purchase sits many EMPTY blocks
+    before a click-only block (the carry-spine case)."""
+    import datetime as dt
+
+    from service1_text_extraction_spark.functions import relational
+
+    one = {
+        tuple(r) for r in relational.asof_join(spark, sf_dir).collect()
+    }
+    for block_s in (relational.ASOF_BLOCK_S, 60):
+        two = {
+            tuple(r)
+            for r in relational.asof_join_salted(
+                spark, sf_dir, block_s=block_s
+            ).collect()
+        }
+        assert two == one, block_s
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 5, "purchase", 9.0, None),
+        # 50 blocks later at block_s=60 — every block between is empty
+        (2, t0 + dt.timedelta(seconds=3000), 5, "click", None, None),
+        (3, t0 + dt.timedelta(seconds=3001), 6, "click", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    out = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    got = {
+        r.event_id: (r.asof_purchase_id, r.asof_value, r.gap_us)
+        for r in relational.asof_join_salted(
+            spark, out, block_s=60
+        ).collect()
+    }
+    assert got[2] == (1, 9.0, 3_000_000_000)
+    assert got[3] == (None, None, None)
+    _assert_parity(spark, out, "asof_join_salted")

@@ -659,3 +659,14 @@ def test_hdr_sketch_aggregate_is_fixed_size(spark, sf_dir):
     assert "partial_count" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "percentile" not in plan.lower(), plan
+
+
+def test_asof_salted_windows_by_user_and_block(spark, sf_dir):
+    """The salted as-of's event-stream window must partition by
+    (user_id, blk) — a mega-user splits across time blocks instead of
+    funneling one task — while only the TINY per-block summary table
+    windows by user alone; and the carry join stays an equi-join."""
+    plan = _plan(relational.asof_join_salted(spark, sf_dir))
+    assert re.search(r"hashpartitioning\(user_id#\d+L, blk#", plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
