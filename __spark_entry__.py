@@ -158,7 +158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_text": _q_layout_text,
         # --- training-data pipeline operators --------------------------
         "dedup_minhash_cc": dedup.minhash_connected_components,
-        "duplicate_passages": dedup.duplicate_passages,
         "kmeans_assign": similarity.kmeans_assign,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
@@ -223,10 +222,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched, rotated to the tail)
         "hdr_value_quantiles": relational.hdr_value_quantiles,
         "asof_join_salted": relational.asof_join_salted,
+        # (duplicate_passages, 5x green and untouched, rotated to the
+        # tail to make room)
+        "bm25_topk": textstats.bm25_topk,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "json_sanitize": jsonfuncs.json_sanitize,
+        "duplicate_passages": dedup.duplicate_passages,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -1534,6 +1537,40 @@ def oracle_sql() -> dict[str, str]:
             " FROM scored)"
             " SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf"
             " FROM ranked WHERE rank <= 3"
+        ),
+        # mirrors textstats.bm25_topk: queries = doc_id < 3, candidates
+        # = the rest; every float literal is e-notation (DOUBLE in both
+        # engines), the per-term contribution is rounded to integer
+        # micros BEFORE the (qid, doc) sum so the score is an exact
+        # integer in both engines, and the operation order matches the
+        # Spark expression tree term for term
+        "bm25_topk": (
+            f"WITH {_TOKS_CTE},"
+            " tok AS (SELECT doc_id, len(t) AS dl, unnest(t) AS tok"
+            " FROM toks),"
+            " qt AS (SELECT DISTINCT doc_id AS qid, tok FROM tok"
+            " WHERE doc_id < 3),"
+            " stats AS (SELECT count(*)::DOUBLE AS n,"
+            " sum(len(t))::DOUBLE / count(*)::DOUBLE AS avgdl"
+            " FROM toks WHERE doc_id >= 3),"
+            " tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf,"
+            " max(dl)::DOUBLE AS dl FROM tok WHERE doc_id >= 3"
+            " AND tok IN (SELECT tok FROM qt) GROUP BY 1, 2),"
+            " dfc AS (SELECT tok, count(*)::DOUBLE AS df FROM tf"
+            " GROUP BY tok),"
+            " scored AS (SELECT qt.qid, tf.doc_id,"
+            " CAST(sum(CAST(round("
+            " ln(1e0 + (stats.n - dfc.df + 0.5e0) / (dfc.df + 0.5e0))"
+            " * tf.tf * 2.2e0"
+            " / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * tf.dl / stats.avgdl))"
+            " * 1e6) AS BIGINT)) AS BIGINT) AS score_micro"
+            " FROM tf JOIN dfc USING (tok) JOIN qt USING (tok), stats"
+            " GROUP BY 1, 2),"
+            " ranked AS (SELECT qid, doc_id, score_micro, row_number()"
+            " OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id)"
+            " AS rank FROM scored)"
+            " SELECT qid, CAST(rank AS INT) AS rank, doc_id, score_micro"
+            " FROM ranked WHERE rank <= 10"
         ),
         # mirrors dedup.decontaminate's two-table form: corpus = ALL
         # documents; benchmark table = the driver stand-in (the 20

@@ -158,6 +158,7 @@ def main() -> None:
         "range_join_bucketed": q(relational.range_join_bucketed),
         "bloom_decontaminate": q(dedup.bloom_decontaminate),
         "cms_heavy_hitters": q(textstats.cms_heavy_hitters),
+        "bm25_topk": q(textstats.bm25_topk),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

@@ -1330,3 +1330,95 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_count").desc(), F.col("w"))
         .limit(CMS_TOPK)
     )
+
+
+BM25_K1 = 1.2  # Okapi term-frequency saturation
+BM25_B = 0.75  # Okapi length normalization
+BM25_TOPK = 10  # results per query
+BM25_N_QUERIES = 3  # doc_id < 3 are the driver stand-in query docs
+
+
+def bm25_topk(
+    spark: SparkSession, sf_dir: str, k: int = BM25_TOPK
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval — the ranking counterpart of
+    ``tfidf_top_terms``: the ``BM25_N_QUERIES`` lowest doc_ids act as
+    queries (the same stand-in parameterization as ``decontaminate``'s
+    benchmark table) and retrieve the best-matching candidate documents
+    (doc_id >= ``BM25_N_QUERIES``) with
+    ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``,
+    idf = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Scale shape (an inverted-index probe, never corpus x queries):
+    the distinct query-term table is query-sized -> BROADCAST onto the
+    token postings, so only postings that match a query term survive
+    the first join; tf partial-aggregates map-side; df is computed
+    FROM those matched postings (query-term-sized, broadcast back) —
+    the vocabulary-wide df table is never built, unlike tf-idf where
+    every doc needs scores. Per-doc length rides the explode
+    projection (no extra join). Corpus stats (N, avgdl) are one
+    scalar aggregate. Per-term contributions are rounded to integer
+    MICROS before the (qid, doc) sum, so the float addition is
+    replaced by an exact integer sum and the score is
+    partition-order-free (see hll_distinct_shingles for the same
+    trick); ranking ties break on doc_id."""
+    from pyspark.sql import Window
+
+    nq = BM25_N_QUERIES
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    )
+    toks = base.select(
+        "doc_id", F.size("t").alias("dl"), F.explode("t").alias("tok")
+    )
+    cand = toks.where(F.col("doc_id") >= nq)
+    qt = (
+        toks.where(F.col("doc_id") < nq)
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .distinct()
+    )
+    # corpus stats over candidate docs: one bounded scalar action
+    stats = (
+        base.where(F.col("doc_id") >= nq)
+        .agg(F.count("*").alias("n"), F.sum(F.size("t")).alias("s"))
+        .collect()[0]
+    )
+    n_docs, avgdl = float(stats["n"]), float(stats["s"]) / float(stats["n"])
+    hits = cand.join(F.broadcast(qt.select("tok").distinct()), "tok")
+    tf = hits.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl")
+    )
+    dfc = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = idf * F.col("tf") * F.lit(BM25_K1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(dfc), "tok")
+        .join(F.broadcast(qt), "tok")
+        .select(
+            "qid",
+            "doc_id",
+            F.round(contrib * F.lit(1e6)).cast("long").alias("micro"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "score_micro",
+        )
+    )

@@ -1107,3 +1107,37 @@ def test_asof_salted_equals_one_phase(spark, sf_dir, tmp_path):
     assert got[2] == (1, 9.0, 3_000_000_000)
     assert got[3] == (None, None, None)
     _assert_parity(spark, out, "asof_join_salted")
+
+
+def test_bm25_semantics_and_parity(spark, tmp_path):
+    """BM25 retrieval on a corpus built to separate the three moving
+    parts: idf (the rare-term doc must win), tf saturation (doubled tf
+    beats single tf at equal length), and length normalization
+    (shorter doc beats longer at equal tf). Empty query docs and
+    queries whose terms never occur in the candidates must vanish, not
+    error — and the oracle must agree on all of it."""
+    rows = [
+        (0, "rare common", "en", "src0", 11),   # the live query
+        (1, "", "en", "src1", 0),               # empty query
+        (2, "zzz", "en", "src2", 3),            # out-of-vocab query
+        (3, "rare common pad pad pad pad pad pad", "en", "src3", 35),
+        (4, "common pad pad pad pad pad pad pad", "en", "src4", 34),
+        (5, "common common pad pad pad pad pad pad", "en", "src5", 37),
+        (6, "common pad", "en", "src6", 10),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    _assert_parity(spark, sf, "bm25_topk")
+    _, out = _spark_rows(spark, sf, "bm25_topk")
+    by_q = {}
+    for qid, rank, doc_id, score in out:
+        by_q.setdefault(qid, []).append((rank, doc_id, score))
+    # empty and out-of-vocabulary queries yield no rows at all
+    assert set(by_q) == {0}
+    scores = {d: s for _, d, s in by_q[0]}
+    assert set(scores) == {3, 4, 5, 6}
+    # idf: the only doc carrying the rare term ranks first
+    assert sorted(by_q[0])[0][1] == 3
+    # tf: doubled count outscores single at equal length (4 vs 5)
+    assert scores[5] > scores[4]
+    # length norm: equal tf, shorter doc outscores longer (6 vs 4)
+    assert scores[6] > scores[4]

@@ -670,3 +670,18 @@ def test_asof_salted_windows_by_user_and_block(spark, sf_dir):
     assert re.search(r"hashpartitioning\(user_id#\d+L, blk#", plan), plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_is_an_inverted_index_probe(spark, sf_dir):
+    """Every join in BM25 is query-term-sized — the distinct-term
+    semi-filter onto the postings, the df counts, and the (qid, tok)
+    attach must ALL broadcast (a SortMergeJoin would shuffle the
+    corpus-sized posting stream against a KB-sized side), and the tf
+    aggregate must partial-combine map-side so hot query terms reduce
+    before the exchange."""
+    from service1_text_extraction_spark.functions import textstats
+
+    plan = _plan(textstats.bm25_topk(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan, plan
