@@ -158,7 +158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_text": _q_layout_text,
         # --- training-data pipeline operators --------------------------
         "dedup_minhash_cc": dedup.minhash_connected_components,
-        "kmeans_assign": similarity.kmeans_assign,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
         "ann_lsh_topk": similarity.lsh_ann_topk,
@@ -222,14 +221,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched, rotated to the tail)
         "hdr_value_quantiles": relational.hdr_value_quantiles,
         "asof_join_salted": relational.asof_join_salted,
-        # (duplicate_passages, 5x green and untouched, rotated to the
-        # tail to make room)
+        # (duplicate_passages + kmeans_assign, 5x green and untouched,
+        # rotated to the tail to make room)
         "bm25_topk": textstats.bm25_topk,
+        "minhash_source_jaccard": dedup.minhash_source_jaccard,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "json_sanitize": jsonfuncs.json_sanitize,
         "duplicate_passages": dedup.duplicate_passages,
+        "kmeans_assign": similarity.kmeans_assign,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -1537,6 +1538,31 @@ def oracle_sql() -> dict[str, str]:
             " FROM scored)"
             " SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf"
             " FROM ranked WHERE rank <= 3"
+        ),
+        # mirrors dedup.minhash_source_jaccard: the same 60-bit
+        # md5-prefix hash as the HLL sketch, stripe = h % 128, exact
+        # integer minima per (source, stripe), pairwise coincidence
+        # ratio — jaccard_est is a division of identical integers in
+        # both engines
+        "minhash_source_jaccard": (
+            "WITH tk AS (SELECT source,"
+            " list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+            " x -> x <> '') AS t FROM documents),"
+            " sh AS (SELECT source, concat_ws(' ', t[i], t[i+1], t[i+2])"
+            " AS s FROM (SELECT source, t, unnest(generate_series(1,"
+            " greatest(len(t)-2, 1))) AS i FROM tk)),"
+            " reg AS (SELECT source, h % 128 AS stripe, min(h) AS mn"
+            " FROM (SELECT source,"
+            " ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM sh)"
+            " GROUP BY 1, 2)"
+            " SELECT a.source AS source_a, b.source AS source_b,"
+            " count(*)::BIGINT AS n_both,"
+            " CAST(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_equal,"
+            " round(CAST(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / count(*)::DOUBLE, 6) AS jaccard_est"
+            " FROM reg a JOIN reg b ON a.stripe = b.stripe"
+            " AND a.source < b.source GROUP BY 1, 2"
         ),
         # mirrors textstats.bm25_topk: queries = doc_id < 3, candidates
         # = the rest; every float literal is e-notation (DOUBLE in both

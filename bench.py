@@ -159,6 +159,7 @@ def main() -> None:
         "bloom_decontaminate": q(dedup.bloom_decontaminate),
         "cms_heavy_hitters": q(textstats.cms_heavy_hitters),
         "bm25_topk": q(textstats.bm25_topk),
+        "minhash_source_jaccard": q(dedup.minhash_source_jaccard),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

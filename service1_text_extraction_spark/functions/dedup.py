@@ -1408,3 +1408,79 @@ def bloom_decontaminate(
             (F.col("n_bloom_hits") > 0).alias("flagged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# One-permutation MinHash source-similarity sketch
+# --------------------------------------------------------------------------
+
+OPH_STRIPES = 128  # hash-space stripes per sketch; std err ~ sqrt(J(1-J)/m)
+
+
+def minhash_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level Jaccard similarity through one-permutation
+    MinHash (Li, Owen, Zhang 2012): hash every shingle ONCE, split the
+    hash space into ``OPH_STRIPES`` stripes (``h % m``), and keep
+    ``min(h)`` per (source, stripe). For a source pair the estimate is
+    the fraction of stripes whose minima COINCIDE, over stripes where
+    both sources populate the stripe (empty stripes — possible only
+    for near-empty sources — are skipped rather than densified; the
+    accuracy test pins the estimator against a known-overlap corpus).
+
+    This is the corpus-composition question ("how much do my crawl
+    snapshots overlap?") answered WITHOUT comparing shingle sets: the
+    classic K-smallest-values sketch needs a per-source top-K (a sort
+    or window somewhere), but the stripe-minimum form is a pure
+    hash-aggregate — ``min`` partial-combines map-side into AT MOST
+    ``OPH_STRIPES`` rows per source per map task, identical in shape
+    to ``hll_distinct_shingles``'s register table. No shingle string
+    ever shuffles; duplicate shingles need no ``distinct`` because
+    ``min`` is idempotent. The pair comparison is a self-join of the
+    (sources x stripes)-row sketch table — broadcast, never
+    corpus-sized. Determinism: stripe minima are exact integers from
+    the dedup family's shared md5-prefix hash, so the estimate is a
+    ratio of identical integers in any engine at any parallelism."""
+    m = OPH_STRIPES
+    regs = (
+        _docs(spark, sf_dir)
+        .select("source", F.expr(_TOKENS).alias("t"))
+        .select("source", F.explode(F.expr(SHINGLES_OF_T)).alias("s"))
+        .select(
+            "source",
+            F.expr(
+                f"cast(conv(substring(md5(s), 1, {HLL_HASH_HEX}),"
+                " 16, 10) as bigint)"
+            ).alias("h"),
+        )
+        .groupBy("source", (F.col("h") % m).alias("stripe"))
+        .agg(F.min("h").alias("mn"))
+    )
+    a, b = regs.alias("a"), regs.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.stripe") == F.col("b.stripe"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_both"),
+            F.sum(
+                F.when(F.col("a.mn") == F.col("b.mn"), 1).otherwise(0)
+            ).cast("long").alias("n_equal"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_both",
+            "n_equal",
+            F.round(
+                F.col("n_equal").cast("double")
+                / F.col("n_both").cast("double"),
+                6,
+            ).alias("jaccard_est"),
+        )
+    )

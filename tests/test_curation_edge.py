@@ -1141,3 +1141,32 @@ def test_bm25_semantics_and_parity(spark, tmp_path):
     assert scores[5] > scores[4]
     # length norm: equal tf, shorter doc outscores longer (6 vs 4)
     assert scores[6] > scores[4]
+
+
+def test_oph_jaccard_accuracy_and_parity(spark, tmp_path):
+    """One-permutation MinHash estimator against a corpus with KNOWN
+    overlap: sources A and B each hold 400 distinct shingles, 200 of
+    them shared -> true Jaccard 200/600 = 1/3. Each 3-token doc
+    contributes exactly one shingle, so the set sizes are exact. The
+    estimate must land within the sketch's sampling error (~4 sigma of
+    sqrt(J(1-J)/128) ~ 0.042), and the oracle must replay it."""
+    rows = []
+    did = 0
+    for i in range(200):
+        for src, w in (("srcA", f"a{i}"), ("srcB", f"b{i}")):
+            rows.append((did, f"{w} {w} {w}", "en", src, 10))
+            did += 1
+        for src in ("srcA", "srcB"):  # the shared shingles
+            rows.append((did, f"c{i} c{i} c{i}", "en", src, 10))
+            did += 1
+    sf = _mini_docs(spark, tmp_path, rows)
+    _assert_parity(spark, sf, "minhash_source_jaccard")
+    _, out = _spark_rows(spark, sf, "minhash_source_jaccard")
+    assert len(out) == 1
+    src_a, src_b, n_both, n_equal, est = out[0]
+    assert (src_a, src_b) == ("srcA", "srcB")
+    # 400 hashes per source over 128 stripes: ~5.6 stripes empty per
+    # source in expectation (128 * e^(-400/128)), so both-populated
+    # lands near 117 — never below ~100
+    assert 100 <= n_both <= 128
+    assert abs(est - 1.0 / 3.0) < 0.17

@@ -685,3 +685,15 @@ def test_bm25_is_an_inverted_index_probe(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_oph_jaccard_is_a_pure_hash_aggregate(spark, sf_dir):
+    """The stripe-minimum sketch must partial-combine map-side (the
+    whole point of the one-permutation form over per-source top-K:
+    no Window, no sort of the shingle stream), and the pairwise
+    comparison must broadcast the stripes-x-sources sketch table."""
+    plan = _plan(dedup.minhash_source_jaccard(spark, sf_dir))
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
