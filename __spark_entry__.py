@@ -158,7 +158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_text": _q_layout_text,
         # --- training-data pipeline operators --------------------------
         "dedup_minhash_cc": dedup.minhash_connected_components,
-        "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
         "ann_lsh_topk": similarity.lsh_ann_topk,
         "ann_ivf_topk": similarity.ivf_ann_topk,
@@ -225,12 +224,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated to the tail to make room)
         "bm25_topk": textstats.bm25_topk,
         "minhash_source_jaccard": dedup.minhash_source_jaccard,
+        # (dedup_simhash, 5x green and untouched, rotated to the tail)
+        "split_leak_safe": curate.split_leak_safe,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
         "json_sanitize": jsonfuncs.json_sanitize,
         "duplicate_passages": dedup.duplicate_passages,
         "kmeans_assign": similarity.kmeans_assign,
+        "dedup_simhash": dedup.simhash_fingerprints,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -1538,6 +1540,28 @@ def oracle_sql() -> dict[str, str]:
             " FROM scored)"
             " SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf"
             " FROM ranked WHERE rank <= 3"
+        ),
+        # mirrors curate.split_leak_safe: the dedup_minhash_cc closure
+        # plus train_test_split's md5-bucket law applied to cluster_rep
+        "split_leak_safe": (
+            f"WITH RECURSIVE {_TOKS_CTE}, {_SHINGLES_CTE},"
+            f" sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY"
+            " doc_id), bands AS ("
+            f" SELECT doc_id, 0 AS band_idx, {_BAND0} AS"
+            f" band_val FROM sig UNION ALL SELECT doc_id, 1, {_BAND1}"
+            " FROM sig),"
+            " adj AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM"
+            " bands a JOIN bands b ON a.band_idx = b.band_idx AND"
+            " a.band_val = b.band_val),"
+            " reach AS (SELECT doc_id AS a, doc_id AS b FROM documents"
+            " UNION SELECT r.a, j.b FROM reach r JOIN adj j ON j.a = r.b),"
+            " cc AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS"
+            " cluster_rep FROM reach GROUP BY a)"
+            " SELECT doc_id, cluster_rep,"
+            " CAST(('0x' || substring(md5(cluster_rep::VARCHAR), 1, 4))::BIGINT % 100 AS INT) AS bucket,"
+            " CASE WHEN ('0x' || substring(md5(cluster_rep::VARCHAR),"
+            f" 1, 4))::BIGINT % 100 < {textstats.TEST_PCT}"
+            " THEN 'test' ELSE 'train' END AS split FROM cc"
         ),
         # mirrors dedup.minhash_source_jaccard: the same 60-bit
         # md5-prefix hash as the HLL sketch, stripe = h % 128, exact

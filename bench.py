@@ -160,6 +160,7 @@ def main() -> None:
         "cms_heavy_hitters": q(textstats.cms_heavy_hitters),
         "bm25_topk": q(textstats.bm25_topk),
         "minhash_source_jaccard": q(dedup.minhash_source_jaccard),
+        "split_leak_safe": q(curate.split_leak_safe),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

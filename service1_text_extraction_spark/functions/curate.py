@@ -234,3 +234,38 @@ def admit_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper_id").alias("doc_id")
     )
     return admitted.join(keepers, "doc_id").select("doc_id", "split")
+
+
+def split_leak_safe(
+    spark: SparkSession, sf_dir: str, test_pct: int = textstats.TEST_PCT
+) -> DataFrame:
+    """Near-dup-aware train/test split: bucket on the MinHash
+    CONNECTED-COMPONENT representative instead of the doc_id, so a
+    document and all its near-duplicates land in the same split by
+    construction. ``train_test_split`` hashes doc_id — correct for
+    i.i.d. sampling, but two near-identical crawls of one page can
+    straddle the split and leak training text into the held-out set
+    (the classic eval-contamination failure this operator exists to
+    prevent; cf. the dedup-before-split guidance in Lee et al. 2021).
+
+    The split rule is the SAME md5-bucket law as train_test_split
+    (first 4 hex chars mod 100), applied to cluster_rep — so for a
+    singleton document (cluster_rep == doc_id) the two operators
+    agree exactly, and the whole corpus remains reproducible across
+    engines, runs, and cluster sizes.
+
+    Scale shape: everything is ``minhash_connected_components``'s
+    O(edges)-per-round propagation (no pairwise materialization);
+    the split labels are ONE added projection over its output — the
+    plan pin asserts zero additional exchanges."""
+    cc = dedup.minhash_connected_components(spark, sf_dir)
+    h = F.md5(F.col("cluster_rep").cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 100)
+    return cc.select(
+        "doc_id",
+        "cluster_rep",
+        bucket.alias("bucket"),
+        F.when(bucket < test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

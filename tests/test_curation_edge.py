@@ -1170,3 +1170,41 @@ def test_oph_jaccard_accuracy_and_parity(spark, tmp_path):
     # lands near 117 — never below ~100
     assert 100 <= n_both <= 128
     assert abs(est - 1.0 / 3.0) < 0.17
+
+
+def test_leak_safe_split_keeps_dup_pairs_together(spark, tmp_path):
+    """The whole point of split_leak_safe: two identical documents
+    whose DOC-ID buckets fall on opposite sides of the split (leaked
+    by train_test_split) must land in the SAME split under the
+    cluster-keyed rule; singleton docs must agree with
+    train_test_split exactly. Oracle parity runs on the same corpus."""
+    import hashlib
+
+    def doc_bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+
+    # find a pair (i, j) the naive split separates
+    i = next(k for k in range(1000) if doc_bucket(k) < 10)
+    j = next(
+        k for k in range(i + 1, 1000)
+        if doc_bucket(k) >= 10
+    )
+    dup_text = "the exact same page crawled twice word for word " * 3
+    rows = [
+        (i, dup_text, "en", "src0", len(dup_text)),
+        (j, dup_text, "en", "src0", len(dup_text)),
+        # singletons with unique text
+        (2000, "alpha beta gamma delta epsilon zeta", "en", "src1", 35),
+        (2001, "one two three four five six seven", "en", "src1", 33),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    _assert_parity(spark, sf, "split_leak_safe")
+    _, naive = _spark_rows(spark, sf, "train_test_split")
+    naive_split = {r[0]: r[2] for r in naive}
+    assert naive_split[i] != naive_split[j]  # the leak exists
+    _, safe = _spark_rows(spark, sf, "split_leak_safe")
+    safe_split = {r[0]: r[3] for r in safe}
+    assert safe_split[i] == safe_split[j]  # and is prevented
+    # singletons: cluster_rep == doc_id, so the two rules agree
+    for d in (2000, 2001):
+        assert safe_split[d] == naive_split[d]

@@ -697,3 +697,16 @@ def test_oph_jaccard_is_a_pure_hash_aggregate(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_leak_safe_split_adds_no_exchange(spark, sf_dir):
+    """The split labels are one projection over the connected-component
+    output — the plan must carry exactly the exchanges the CC operator
+    itself has, no new shuffle for the bucketing."""
+    from service1_text_extraction_spark.functions import curate, dedup
+
+    cc_plan = _plan(dedup.minhash_connected_components(spark, sf_dir))
+    split_plan = _plan(curate.split_leak_safe(spark, sf_dir))
+    assert split_plan.count("Exchange") == cc_plan.count("Exchange"), (
+        split_plan
+    )
