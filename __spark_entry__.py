@@ -158,7 +158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_text": _q_layout_text,
         # --- training-data pipeline operators --------------------------
         "dedup_minhash_cc": dedup.minhash_connected_components,
-        "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
         "ann_lsh_topk": similarity.lsh_ann_topk,
         "ann_ivf_topk": similarity.ivf_ann_topk,
         # --- round-2 additions: never driver-verified before round 3,
@@ -224,8 +223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated to the tail to make room)
         "bm25_topk": textstats.bm25_topk,
         "minhash_source_jaccard": dedup.minhash_source_jaccard,
-        # (dedup_simhash, 5x green and untouched, rotated to the tail)
+        # (dedup_simhash + dedup_simhash_neardup, 5x green and
+        # untouched, rotated to the tail)
         "split_leak_safe": curate.split_leak_safe,
+        "hopping_window_stats": relational.hopping_window_stats,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
@@ -233,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_passages": dedup.duplicate_passages,
         "kmeans_assign": similarity.kmeans_assign,
         "dedup_simhash": dedup.simhash_fingerprints,
+        "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -1540,6 +1542,24 @@ def oracle_sql() -> dict[str, str]:
             " FROM scored)"
             " SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf"
             " FROM ranked WHERE rank <= 3"
+        ),
+        # mirrors relational.hopping_window_stats: every event fans out
+        # to its 2 containing 5-min-hop windows via exact integer
+        # microsecond arithmetic (no time_bucket — its origin differs
+        # from the epoch grid for some intervals); value summed in
+        # exact integer cents
+        "hopping_window_stats": (
+            "WITH e AS (SELECT epoch_us(ts) AS us, event_type, value"
+            " FROM events),"
+            " w AS (SELECT unnest(["
+            " make_timestamp((us // 300000000) * 300000000),"
+            " make_timestamp((us // 300000000) * 300000000"
+            " - 300000000)]) AS window_start, event_type, value FROM e)"
+            " SELECT window_start, event_type,"
+            " count(*)::BIGINT AS n_events,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            " AS value_cents"
+            " FROM w GROUP BY 1, 2"
         ),
         # mirrors curate.split_leak_safe: the dedup_minhash_cc closure
         # plus train_test_split's md5-bucket law applied to cluster_rep

@@ -161,6 +161,7 @@ def main() -> None:
         "bm25_topk": q(textstats.bm25_topk),
         "minhash_source_jaccard": q(dedup.minhash_source_jaccard),
         "split_leak_safe": q(curate.split_leak_safe),
+        "hopping_window_stats": q(relational.hopping_window_stats),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

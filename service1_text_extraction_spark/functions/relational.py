@@ -785,3 +785,54 @@ def asof_join_salted(
             ).cast("long").alias("gap_us"),
         )
     )
+
+
+HOP_WINDOW = "10 minutes"  # sliding window length
+HOP_SLIDE = "5 minutes"    # hop; each event lands in exactly 2 windows
+
+
+def hopping_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation over the event stream —
+    the batch twin of Structured Streaming's windowed aggregates:
+    10-minute windows every 5 minutes, per event type, counting events
+    and summing value in exact integer CENTS (``round(value*100)`` as
+    bigint — a double ``sum`` over an arbitrary partition order is not
+    reproducible run-to-run, the HLL/BM25 integer-units rule).
+
+    Scale shape: Spark plans a sliding window as an Expand (each event
+    row fans out to window/slide = 2 window copies) feeding one
+    hash-aggregate — the partial agg combines map-side, so the
+    exchange carries at most (time-range/slide x event-types) rows
+    regardless of event count, and there is no per-key sort anywhere
+    (contrast a WindowExec formulation). Windows are epoch-aligned in
+    both engines (DuckDB's time_bucket origin, 2000-01-01, is itself
+    a 5-minute boundary of the 1970 epoch, so the grids coincide).
+    ``ts`` is TIMESTAMP_NTZ end to end — no session-zone shift on
+    either side."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hopping_partials(ev)
+
+
+def hopping_partials(ev: DataFrame) -> DataFrame:
+    """The hopping aggregate in its MERGEABLE form (counts and cent
+    sums both merge with ``sum`` — associative and commutative), over
+    any events DataFrame: the one definition shared by the batch
+    operator and the streaming delta maintenance
+    (``streaming.stream.stream_hopping``), so the two paths cannot
+    drift."""
+    win = F.window("ts", HOP_WINDOW, HOP_SLIDE)
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )

@@ -560,3 +560,86 @@ def stream_asof(
         # unprocessed files — pinned by the restart test
         return writer.format("parquet").option("path", output_dir).start()
     return writer.format("memory").queryName(query_name).start()
+
+
+from pyspark.sql.types import TimestampNTZType
+
+# the driver events table stores ts as TIMESTAMP_NTZ; the hopping
+# stream must read it NTZ too or the window grid would shift with the
+# session zone and stream==batch equality would break off-UTC
+EVENTS_NTZ_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def stream_hopping(
+    spark: SparkSession,
+    input_dir: str,
+    partials_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the hopping-window aggregate
+    (``relational.hopping_window_stats``) over a growing events
+    directory — the same delta-partition shape as ``stream_hll``:
+    each micro-batch computes ITS OWN (window, type) partials through
+    the shared ``relational.hopping_partials`` and rewrites its
+    ``batch_id=`` partition (dynamic overwrite), so an at-least-once
+    replay of a batch cannot double-count. Counts and cent sums merge
+    with ``sum`` — associative and commutative — so batch boundaries
+    cannot change the merged result, and each delta is bounded by
+    (batch time-range / 5 min) x event-types rows, never event-sized.
+    ``hopping_from_stream`` folds the deltas; stream-then-merge equals
+    the one-shot batch operator exactly
+    (test_stream_hopping_matches_batch)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import relational
+
+    stream = (
+        spark.readStream.schema(EVENTS_NTZ_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        (
+            relational.hopping_partials(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hopping_from_stream(spark: SparkSession, partials_dir: str):
+    """Merge the streamed per-batch partials — identical output to the
+    batch operator over the full directory (sum-merge + exactly-once
+    delta partitions)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(partials_dir)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+    )

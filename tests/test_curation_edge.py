@@ -1208,3 +1208,39 @@ def test_leak_safe_split_keeps_dup_pairs_together(spark, tmp_path):
     # singletons: cluster_rep == doc_id, so the two rules agree
     for d in (2000, 2001):
         assert safe_split[d] == naive_split[d]
+
+
+def test_hopping_window_boundaries(spark, tmp_path):
+    """Window-boundary law: an event AT a hop boundary belongs to the
+    window starting there and the one before — never three; an event
+    one microsecond earlier belongs to the two preceding windows.
+    Negative values round away from zero in both engines."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (0, base, 1, "click", 1.005, None),                  # on boundary
+        (1, base - dt.timedelta(microseconds=1), 1, "click", -2.675, None),
+        (2, base + dt.timedelta(minutes=5), 1, "view", 0.004, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    out = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    _assert_parity(spark, out, "hopping_window_stats")
+    _, got = _spark_rows(spark, out, "hopping_window_stats")
+    per_event_windows = {}
+    for ws, etype, n, cents in got:
+        per_event_windows.setdefault(etype, []).append((ws, n, cents))
+    # every event appears in exactly two windows
+    clicks = sorted(per_event_windows["click"])
+    views = sorted(per_event_windows["view"])
+    assert sum(n for _, n, _ in clicks) == 4  # 2 events x 2 windows
+    assert sum(n for _, n, _ in views) == 2
+    # the boundary event's earliest window starts AT its timestamp - 5min
+    assert clicks[-1][0] == base  # on-boundary event opens a new window
+    # cents rounding: 1.005 -> 101 is float-representation-dependent,
+    # but BOTH engines see the same double; -2.675 * 100 rounds away
+    # from zero identically; the parity assert above is the real pin

@@ -710,3 +710,14 @@ def test_leak_safe_split_adds_no_exchange(spark, sf_dir):
     assert split_plan.count("Exchange") == cc_plan.count("Exchange"), (
         split_plan
     )
+
+
+def test_hopping_window_is_expand_plus_one_exchange(spark, sf_dir):
+    """A sliding window must plan as Expand (x2 fan-out) into a
+    partial hash-aggregate — one exchange carrying window-count-sized
+    partials, never a per-key sort or a single partition."""
+    plan = _plan(relational.hopping_window_stats(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert "partial_count" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "SinglePartition" not in plan, plan

@@ -418,3 +418,46 @@ def test_stream_asof_state_survives_restart(spark, tmp_path):
     # exactly one NEW row (no reprocessing of file 1), its click
     # enriched from pre-restart state: purchase 1, 3600 s in the past
     assert second == {2: (1, 10_000_000), 3: (1, 3600_000_000)}
+
+
+def test_stream_hopping_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-then-merge must equal the one-shot hopping-window batch
+    aggregate exactly across real micro-batch boundaries (count and
+    cent sums are sum-mergeable; the exactly-once batch_id partitions
+    prevent replay double-counting), and a checkpointed restart with
+    no new files must not change the partials."""
+    from service1_text_extraction_spark.functions import relational
+    from service1_text_extraction_spark.streaming.stream import (
+        hopping_from_stream,
+        stream_hopping,
+    )
+
+    root = str(tmp_path / "ev_in")
+    src = f"{root}/events.parquet"
+    parts = str(tmp_path / "hop_parts")
+    ck = str(tmp_path / "ck_hop")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    q = stream_hopping(spark, src, parts, ck, max_files_per_trigger=2)
+    q.awaitTermination(120)
+
+    n_batches = (
+        spark.read.parquet(parts).select("batch_id").distinct().count()
+    )
+    assert n_batches >= 3, n_batches
+
+    got = sorted(
+        tuple(r) for r in hopping_from_stream(spark, parts).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in relational.hopping_window_stats(spark, root).collect()
+    )
+    assert got == want and len(want) > 0
+
+    before = sorted(tuple(r) for r in spark.read.parquet(parts).collect())
+    q2 = stream_hopping(spark, src, parts, ck)
+    q2.awaitTermination(60)
+    after = sorted(tuple(r) for r in spark.read.parquet(parts).collect())
+    assert after == before
