@@ -158,7 +158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_text": _q_layout_text,
         # --- training-data pipeline operators --------------------------
         "dedup_minhash_cc": dedup.minhash_connected_components,
-        "ann_lsh_topk": similarity.lsh_ann_topk,
         "ann_ivf_topk": similarity.ivf_ann_topk,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
@@ -227,6 +226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched, rotated to the tail)
         "split_leak_safe": curate.split_leak_safe,
         "hopping_window_stats": relational.hopping_window_stats,
+        # (ann_lsh_topk, 5x green and untouched, rotated to the tail)
+        "char_entropy": textstats.char_entropy,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
@@ -235,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": similarity.kmeans_assign,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
+        "ann_lsh_topk": similarity.lsh_ann_topk,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -1542,6 +1544,23 @@ def oracle_sql() -> dict[str, str]:
             " FROM scored)"
             " SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf"
             " FROM ranked WHERE rank <= 3"
+        ),
+        # mirrors textstats.char_entropy: identical integer (c, n)
+        # inputs per term, floor(x*1e6 + 0.5) — never banker's round —
+        # exact integer micro-bit sum
+        "char_entropy": (
+            "WITH ch AS (SELECT doc_id, unnest(string_split(text, ''))"
+            " AS c FROM documents WHERE text IS NOT NULL AND text <> ''),"
+            " cnt AS (SELECT doc_id, c, count(*) AS k FROM ch"
+            " GROUP BY 1, 2),"
+            " tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n"
+            " FROM cnt GROUP BY 1)"
+            " SELECT cnt.doc_id, tot.n AS n_chars,"
+            " count(*)::INT AS n_distinct,"
+            " CAST(sum(CAST(floor((-(k::DOUBLE / tot.n::DOUBLE))"
+            " * log2(k::DOUBLE / tot.n::DOUBLE) * 1e6 + 0.5e0)"
+            " AS BIGINT)) AS BIGINT) AS entropy_micro"
+            " FROM cnt JOIN tot USING (doc_id) GROUP BY 1, 2"
         ),
         # mirrors relational.hopping_window_stats: every event fans out
         # to its 2 containing 5-min-hop windows via exact integer

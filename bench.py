@@ -162,6 +162,7 @@ def main() -> None:
         "minhash_source_jaccard": q(dedup.minhash_source_jaccard),
         "split_leak_safe": q(curate.split_leak_safe),
         "hopping_window_stats": q(relational.hopping_window_stats),
+        "char_entropy": q(textstats.char_entropy),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

@@ -1422,3 +1422,51 @@ def bm25_topk(
             "score_micro",
         )
     )
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    gibberish/boilerplate signal (near-0 bits: one repeated char;
+    ~4.1 bits: typical English; ~6 bits: base64/compressed junk) that
+    complements the word-level Gopher/C4 gates.
+
+    Scale shape: ONE Arrow-batched pandas UDF over one scan — a
+    per-doc Counter is O(len) per row, where the pure-SQL
+    formulations are either a corpus-sized char explode + shuffle
+    (chars x docs exchange rows) or an O(len x distinct) per-row
+    filter scan; zero exchanges in the plan (pinned). Python is
+    justified here exactly because the built-ins lack a per-row
+    histogram.
+
+    FP determinism: each term -(c/n)*log2(c/n) is computed from the
+    same integer (c, n) pair in both engines and rounded to integer
+    MICRO-bits via ``floor(x*1e6 + 0.5)`` — not banker's ``round`` —
+    then summed exactly, so the result is partition-order-free and
+    engine-stable. Empty/NULL docs are excluded (the x/0 rule:
+    Spark NULL vs DuckDB NaN would diverge)."""
+    import math
+    from collections import Counter
+
+    @F.pandas_udf(
+        "n_chars long, n_distinct int, entropy_micro long"
+    )
+    def ent(texts: pd.Series) -> pd.DataFrame:
+        out = []
+        for t in texts:
+            c = Counter(t)
+            n = sum(c.values())
+            e = 0
+            for k in c.values():
+                p = k / n
+                e += int(math.floor(-p * math.log2(p) * 1e6 + 0.5))
+            out.append((n, len(c), e))
+        return pd.DataFrame(
+            out, columns=["n_chars", "n_distinct", "entropy_micro"]
+        )
+
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", ent("text").alias("s"))
+        .select("doc_id", "s.*")
+    )

@@ -1244,3 +1244,26 @@ def test_hopping_window_boundaries(spark, tmp_path):
     # cents rounding: 1.005 -> 101 is float-representation-dependent,
     # but BOTH engines see the same double; -2.675 * 100 rounds away
     # from zero identically; the parity assert above is the real pin
+
+
+def test_char_entropy_known_values(spark, tmp_path):
+    """Closed-form entropies: a one-symbol doc is exactly 0 bits; a
+    uniform two-symbol doc exactly 1 bit (1_000_000 micro-bits); a
+    uniform four-symbol doc exactly 2 bits; empty and NULL docs are
+    ABSENT (the x/0 rule), not zero rows. Oracle parity on the same
+    corpus pins the floor(+0.5) rounding and log2 agreement."""
+    rows = [
+        (0, "aaaaaaaa", "en", "src0", 8),
+        (1, "abababab", "en", "src1", 8),
+        (2, "abcdabcd", "en", "src2", 8),
+        (3, "", "en", "src3", 0),
+        (4, None, "en", "src4", 0),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    _assert_parity(spark, sf, "char_entropy")
+    _, out = _spark_rows(spark, sf, "char_entropy")
+    got = {r[0]: (r[1], r[2], r[3]) for r in out}
+    assert set(got) == {0, 1, 2}
+    assert got[0] == (8, 1, 0)
+    assert got[1] == (8, 2, 1_000_000)
+    assert got[2] == (8, 4, 2_000_000)

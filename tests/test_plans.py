@@ -721,3 +721,16 @@ def test_hopping_window_is_expand_plus_one_exchange(spark, sf_dir):
     assert "partial_count" in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_char_entropy_is_one_arrow_scan(spark, sf_dir):
+    """The entropy signal must be ONE Arrow-batched UDF over one scan —
+    zero exchanges (the pure-SQL alternative explodes a corpus-sized
+    char stream into a shuffle), with the not-empty filter pushed to
+    the parquet scan."""
+    from service1_text_extraction_spark.functions import textstats
+
+    plan = _plan(textstats.char_entropy(spark, sf_dir))
+    assert "ArrowEvalPython" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "PushedFilters" in plan and "IsNotNull(text)" in plan, plan
