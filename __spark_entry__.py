@@ -158,7 +158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_text": _q_layout_text,
         # --- training-data pipeline operators --------------------------
         "dedup_minhash_cc": dedup.minhash_connected_components,
-        "ann_ivf_topk": similarity.ivf_ann_topk,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
         "source_files": _q_source_files,
@@ -226,8 +225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched, rotated to the tail)
         "split_leak_safe": curate.split_leak_safe,
         "hopping_window_stats": relational.hopping_window_stats,
-        # (ann_lsh_topk, 5x green and untouched, rotated to the tail)
+        # (ann_lsh_topk + ann_ivf_topk, 5x green and untouched,
+        # rotated to the tail)
         "char_entropy": textstats.char_entropy,
+        "weighted_sample": curate.weighted_sample,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
@@ -237,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
         "ann_lsh_topk": similarity.lsh_ann_topk,
+        "ann_ivf_topk": similarity.ivf_ann_topk,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -1544,6 +1546,18 @@ def oracle_sql() -> dict[str, str]:
             " FROM scored)"
             " SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf"
             " FROM ranked WHERE rank <= 3"
+        ),
+        # mirrors curate.weighted_sample: same md5-derived u, same
+        # -ln(u)/w key (compare-only, never output), same 2^60 exact
+        # double literal
+        "weighted_sample": (
+            "WITH keyed AS (SELECT doc_id, source, n_chars,"
+            " -ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 15))"
+            "::BIGINT + 1)::DOUBLE / 1152921504606846976e0)"
+            " / n_chars::DOUBLE AS k_"
+            " FROM documents WHERE n_chars > 0)"
+            " SELECT doc_id, source, n_chars FROM keyed"
+            " ORDER BY k_ ASC, doc_id ASC LIMIT 50"
         ),
         # mirrors textstats.char_entropy: identical integer (c, n)
         # inputs per term, floor(x*1e6 + 0.5) — never banker's round —

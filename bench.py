@@ -163,6 +163,7 @@ def main() -> None:
         "split_leak_safe": q(curate.split_leak_safe),
         "hopping_window_stats": q(relational.hopping_window_stats),
         "char_entropy": q(textstats.char_entropy),
+        "weighted_sample": q(curate.weighted_sample),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

@@ -50,11 +50,13 @@ DOC_QUERIES = [
     "unigram_logprob", "chunk_counts", "clean_unicode_sql",
     "normalize_ws_sql", "s3_uri_split",
     "dup_passage_fraction", "c4_span_dedup", "hll_distinct_shingles",
-    "bloom_decontaminate", "cms_heavy_hitters",
+    "bloom_decontaminate", "cms_heavy_hitters", "bm25_topk",
+    "minhash_source_jaccard", "split_leak_safe", "char_entropy",
+    "weighted_sample",
     # events-table operators (the sf1 replica carries a user-offset
     # 10x events table: weak scaling over users)
     "asof_join", "asof_join_salted", "range_join_bucketed",
-    "hdr_value_quantiles",
+    "hdr_value_quantiles", "hopping_window_stats",
 ]
 EMB_QUERIES = [
     "kmeans_assign", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",

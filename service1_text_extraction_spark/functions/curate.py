@@ -269,3 +269,45 @@ def split_leak_safe(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+WSAMPLE_K = 50  # sample size
+
+
+def weighted_sample(
+    spark: SparkSession, sf_dir: str, k: int = WSAMPLE_K
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    exponential-clock form of Efraimidis-Spirakis A-ES): each doc
+    draws u from its own md5 (u = (h+1)/2^60, never 0), gets key =
+    -ln(u)/w with w = n_chars, and the sample is the k SMALLEST keys
+    — inclusion probability proportional to weight, reproducible
+    across engines/runs/cluster sizes because u is content-derived,
+    not a PRNG (``df.sample``'s seed changes meaning with the
+    partition layout; this never does).
+
+    Scale shape: a pure projection + ``orderBy().limit(k)`` — Spark
+    plans TakeOrderedAndProject: per-partition top-k heaps then ONE
+    bounded merge of num_partitions x k rows on the driver; no
+    window, no global sort, no full-corpus exchange (plan-pinned).
+    The float key is compare-only and never output, so engine float
+    identity only matters within ~1 ulp ties (measure-zero under a
+    60-bit hash); zero-weight docs are excluded (x/0 rule)."""
+    two60 = float(1 << 60)
+    docs = _docs_w(spark, sf_dir).where(F.col("n_chars") > 0)
+    h = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(two60)
+    key = (-F.log(u)) / F.col("n_chars").cast("double")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("k_"))
+        .orderBy(F.col("k_").asc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+def _docs_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -1267,3 +1267,32 @@ def test_char_entropy_known_values(spark, tmp_path):
     assert got[0] == (8, 1, 0)
     assert got[1] == (8, 2, 1_000_000)
     assert got[2] == (8, 4, 2_000_000)
+
+
+def test_weighted_sample_favors_heavy_docs(spark, tmp_path):
+    """A-ES semantics: with one doc weighted 10^6 heavier than 200
+    unit-weight docs, the heavy doc must be sampled (its key is
+    ~10^6 smaller than any unit key except u within 1e-6 of 1, a
+    measure-zero slice of the 60-bit hash); zero-weight docs are
+    never sampled; the Spark selection equals a NumPy replay of the
+    exact formula; and the oracle agrees."""
+    import hashlib
+    import math
+
+    rows = [(0, "x", "en", "heavy", 1_000_000)]
+    rows += [(i, "y", "en", "unit", 1) for i in range(1, 201)]
+    rows += [(999, "z", "en", "zero", 0)]
+    sf = _mini_docs(spark, tmp_path, rows)
+    _assert_parity(spark, sf, "weighted_sample")
+    _, out = _spark_rows(spark, sf, "weighted_sample")
+    picked = {r[0] for r in out}
+    assert 0 in picked and 999 not in picked and len(out) == 50
+    # exact replay of the selection in plain Python
+    def key(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return -math.log((h + 1) / float(1 << 60)) / w
+    keyed = sorted(
+        (key(d, w), d) for d, w in
+        [(0, 1_000_000)] + [(i, 1) for i in range(1, 201)]
+    )
+    assert picked == {d for _, d in keyed[:50]}

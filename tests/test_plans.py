@@ -734,3 +734,15 @@ def test_char_entropy_is_one_arrow_scan(spark, sf_dir):
     assert "ArrowEvalPython" in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
     assert "PushedFilters" in plan and "IsNotNull(text)" in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """The weighted sample must plan as TakeOrderedAndProject —
+    per-partition top-k heaps plus one bounded merge — never a global
+    Sort/Exchange of the keyed corpus or a Window."""
+    from service1_text_extraction_spark.functions import curate
+
+    plan = _plan(curate.weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
