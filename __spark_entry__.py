@@ -160,7 +160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_cc": dedup.minhash_connected_components,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
-        "source_files": _q_source_files,
         "normalize_ws_sql": textstats.normalize_ws_sql,
         "chunk_counts": textstats.chunk_counts,
         "train_test_split": textstats.train_test_split,
@@ -229,6 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated to the tail)
         "char_entropy": textstats.char_entropy,
         "weighted_sample": curate.weighted_sample,
+        # (source_files, multi-round green and untouched, rotated to
+        # the tail)
+        "corpus_delta": curate.corpus_delta,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
@@ -239,6 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_neardup": dedup.simhash_neardup_pairs,
         "ann_lsh_topk": similarity.lsh_ann_topk,
         "ann_ivf_topk": similarity.ivf_ann_topk,
+        "source_files": _q_source_files,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -1546,6 +1549,23 @@ def oracle_sql() -> dict[str, str]:
             " FROM scored)"
             " SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf"
             " FROM ranked WHERE rank <= 3"
+        ),
+        # mirrors curate.corpus_delta: both snapshots reduced to
+        # (doc_id, md5) before the full-outer join
+        "corpus_delta": (
+            "WITH old AS (SELECT doc_id, md5(CASE WHEN doc_id % 4 = 1"
+            " THEN text || ' v1' ELSE text END) AS h_old FROM documents"
+            " WHERE doc_id % 4 <> 3),"
+            " new AS (SELECT doc_id, md5(text) AS h_new FROM documents"
+            " WHERE doc_id % 5 <> 4)"
+            " SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,"
+            " CASE WHEN h_old IS NULL THEN 'added'"
+            " WHEN h_new IS NULL THEN 'removed'"
+            " WHEN h_old <> h_new THEN 'changed' END AS status"
+            " FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"
+            " WHERE CASE WHEN h_old IS NULL THEN 'added'"
+            " WHEN h_new IS NULL THEN 'removed'"
+            " WHEN h_old <> h_new THEN 'changed' END IS NOT NULL"
         ),
         # mirrors curate.weighted_sample: same md5-derived u, same
         # -ln(u)/w key (compare-only, never output), same 2^60 exact

@@ -164,6 +164,7 @@ def main() -> None:
         "hopping_window_stats": q(relational.hopping_window_stats),
         "char_entropy": q(textstats.char_entropy),
         "weighted_sample": q(curate.weighted_sample),
+        "corpus_delta": q(curate.corpus_delta),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

@@ -311,3 +311,43 @@ def weighted_sample(
 
 def _docs_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the incremental-crawl
+    primitive: given OLD and NEW corpus snapshots, emit exactly the
+    work list (added / removed / changed doc ids; unchanged docs are
+    filtered out BEFORE anything downstream sees them). Here the two
+    snapshots are deterministic fabrications of the driver table so
+    every status arises: old = doc_id % 4 != 3 (docs % 4 == 1 carry a
+    stale marker), new = doc_id % 5 != 4 (docs % 5 == 4 were deleted).
+
+    Scale shape: both sides reduce to (doc_id, md5) BEFORE the
+    full-outer join, so the one unavoidable exchange carries 16-byte
+    hashes, never document text (plan-pinned — the same rule as
+    exact_dedup); at rest the snapshots would live in the repo's
+    doc_id-bucketed tables (functions/bucketed.py), making even that
+    exchange disappear."""
+    docs = _docs_w(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 4 != 3).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.col("text"), F.lit(" v1")),
+            ).otherwise(F.col("text"))
+        ).alias("h_old"),
+    )
+    new = docs.where(F.col("doc_id") % 5 != 4).select(
+        "doc_id", F.md5(F.col("text")).alias("h_new")
+    )
+    joined = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+    )
+    return (
+        joined.select("doc_id", status.alias("status"))
+        .where(F.col("status").isNotNull())
+    )

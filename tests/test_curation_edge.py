@@ -1296,3 +1296,28 @@ def test_weighted_sample_favors_heavy_docs(spark, tmp_path):
         [(0, 1_000_000)] + [(i, 1) for i in range(1, 201)]
     )
     assert picked == {d for _, d in keyed[:50]}
+
+
+def test_corpus_delta_statuses(spark, tmp_path):
+    """Every status must arise exactly per the snapshot law: %4==3 ->
+    added, %5==4 (and present in old) -> removed, %4==1 -> changed
+    (stale marker), everything else absent (unchanged). A doc that is
+    both %4==3 and %5==4 exists in NEITHER snapshot and must not
+    appear at all."""
+    rows = [
+        (i, f"text of document {i}", "en", "src0", 20) for i in range(25)
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    _assert_parity(spark, sf, "corpus_delta")
+    _, out = _spark_rows(spark, sf, "corpus_delta")
+    got = {r[0]: r[1] for r in out}
+    for i in range(25):
+        in_old, in_new = i % 4 != 3, i % 5 != 4
+        if in_old and not in_new:
+            assert got[i] == "removed", (i, got.get(i))
+        elif in_new and not in_old:
+            assert got[i] == "added", (i, got.get(i))
+        elif in_old and in_new and i % 4 == 1:
+            assert got[i] == "changed", (i, got.get(i))
+        else:
+            assert i not in got, (i, got.get(i))

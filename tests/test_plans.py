@@ -746,3 +746,15 @@ def test_weighted_sample_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
+def test_corpus_delta_shuffles_hashes_not_text(spark, sf_dir):
+    """The snapshot join's exchanges must carry (doc_id, md5) — 16-byte
+    hashes — never the text column (exact_dedup's rule applied to the
+    two-snapshot diff)."""
+    from service1_text_extraction_spark.functions import curate
+
+    plan = _plan(curate.corpus_delta(spark, sf_dir))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), plan
+    assert "md5" in plan, plan
