@@ -160,7 +160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_cc": dedup.minhash_connected_components,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
-        "normalize_ws_sql": textstats.normalize_ws_sql,
         "chunk_counts": textstats.chunk_counts,
         "train_test_split": textstats.train_test_split,
         "tfidf_top_terms": textstats.tfidf_top_terms,
@@ -228,9 +227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated to the tail)
         "char_entropy": textstats.char_entropy,
         "weighted_sample": curate.weighted_sample,
-        # (source_files, multi-round green and untouched, rotated to
-        # the tail)
+        # (source_files + normalize_ws_sql, multi-round green and
+        # untouched, rotated to the tail)
         "corpus_delta": curate.corpus_delta,
+        "funnel_steps": relational.funnel_steps,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": similarity.lsh_ann_topk,
         "ann_ivf_topk": similarity.ivf_ann_topk,
         "source_files": _q_source_files,
+        "normalize_ws_sql": textstats.normalize_ws_sql,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -1549,6 +1550,26 @@ def oracle_sql() -> dict[str, str]:
             " FROM scored)"
             " SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf"
             " FROM ranked WHERE rank <= 3"
+        ),
+        # mirrors relational.funnel_steps: strict-after chaining of
+        # earliest step entries
+        "funnel_steps": (
+            "WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events"
+            " WHERE event_type = 'view' GROUP BY user_id),"
+            " c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e"
+            " JOIN v ON v.user_id = e.user_id"
+            " WHERE e.event_type = 'click' AND e.ts > v.v_ts"
+            " GROUP BY e.user_id),"
+            " p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e"
+            " JOIN c ON c.user_id = e.user_id"
+            " WHERE e.event_type = 'purchase' AND e.ts > c.c_ts"
+            " GROUP BY e.user_id)"
+            " SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,"
+            " CAST(1 + CASE WHEN c.c_ts IS NOT NULL THEN 1 ELSE 0 END"
+            " + CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS INT)"
+            " AS depth"
+            " FROM v LEFT JOIN c ON c.user_id = v.user_id"
+            " LEFT JOIN p ON p.user_id = v.user_id"
         ),
         # mirrors curate.corpus_delta: both snapshots reduced to
         # (doc_id, md5) before the full-outer join

@@ -165,6 +165,7 @@ def main() -> None:
         "char_entropy": q(textstats.char_entropy),
         "weighted_sample": q(curate.weighted_sample),
         "corpus_delta": q(curate.corpus_delta),
+        "funnel_steps": q(relational.funnel_steps),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

@@ -56,7 +56,7 @@ DOC_QUERIES = [
     # events-table operators (the sf1 replica carries a user-offset
     # 10x events table: weak scaling over users)
     "asof_join", "asof_join_salted", "range_join_bucketed",
-    "hdr_value_quantiles", "hopping_window_stats",
+    "hdr_value_quantiles", "hopping_window_stats", "funnel_steps",
 ]
 EMB_QUERIES = [
     "kmeans_assign", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",

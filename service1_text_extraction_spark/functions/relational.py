@@ -836,3 +836,60 @@ def hopping_partials(ev: DataFrame) -> DataFrame:
             "value_cents",
         )
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")  # ordered conversion path
+
+
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase) per user:
+    a user reaches step k only through an event of step k's type
+    STRICTLY AFTER their step-(k-1) entry time; the output carries the
+    entry timestamp of each reached step plus the final depth.
+
+    Scale shape: one filtered scan + hash-aggregate per step (the
+    filter pushes the step's event_type to the parquet scan), chained
+    by equi-joins on user_id — each join's right side is
+    one-row-per-user, already aggregated, and AQE handles user skew.
+    No window (the min-after-threshold rule needs no per-user sort)
+    and no collect. Earliest-entry semantics are min() over
+    timestamps — deterministic in both engines; ts stays
+    TIMESTAMP_NTZ throughout."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def step(etype: str) -> DataFrame:
+        return ev.where(F.col("event_type") == etype).select(
+            "user_id", "ts"
+        )
+
+    v = step("view").groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    c = (
+        step("click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        step("purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    depth = (
+        F.lit(1)
+        + F.when(F.col("c_ts").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "v_ts",
+            "c_ts",
+            "p_ts",
+            depth.cast("int").alias("depth"),
+        )
+    )

@@ -1321,3 +1321,45 @@ def test_corpus_delta_statuses(spark, tmp_path):
             assert got[i] == "changed", (i, got.get(i))
         else:
             assert i not in got, (i, got.get(i))
+
+
+def test_funnel_strict_ordering(spark, tmp_path):
+    """The funnel is ORDER-sensitive: steps only count strictly after
+    the previous step's entry — a click before (or simultaneous with)
+    the first view is not a conversion; a purchase before the first
+    qualifying click is not either; users with no view are absent."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        # user 1: clean view -> click -> purchase
+        (0, m(0), 1, "view", 0.0, None),
+        (1, m(1), 1, "click", 0.0, None),
+        (2, m(2), 1, "purchase", 0.0, None),
+        # user 2: click BEFORE view -> depth 1
+        (3, m(0), 2, "click", 0.0, None),
+        (4, m(1), 2, "view", 0.0, None),
+        # user 3: view only
+        (5, m(0), 3, "view", 0.0, None),
+        # user 4: click simultaneous with view (strict >) -> depth 1
+        (6, m(0), 4, "view", 0.0, None),
+        (7, m(0), 4, "click", 0.0, None),
+        # user 5: purchase between view and click -> depth 2
+        (8, m(0), 5, "view", 0.0, None),
+        (9, m(1), 5, "purchase", 0.0, None),
+        (10, m(2), 5, "click", 0.0, None),
+        # user 6: no view at all -> absent
+        (11, m(0), 6, "click", 0.0, None),
+        (12, m(1), 6, "purchase", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    out = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    _assert_parity(spark, out, "funnel_steps")
+    _, got = _spark_rows(spark, out, "funnel_steps")
+    depth = {r[0]: r[4] for r in got}
+    assert depth == {1: 3, 2: 1, 3: 1, 4: 1, 5: 2}

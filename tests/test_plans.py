@@ -758,3 +758,15 @@ def test_corpus_delta_shuffles_hashes_not_text(spark, sf_dir):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), plan
     assert "md5" in plan, plan
+
+
+def test_funnel_pushes_step_filters_to_scan(spark, sf_dir):
+    """Each funnel step must scan only its event type (the type
+    predicate reaches the parquet scan) and aggregate before joining —
+    no window, no cartesian."""
+    plan = _plan(relational.funnel_steps(spark, sf_dir))
+    assert "EqualTo(event_type,view)" in plan, plan
+    assert "EqualTo(event_type,click)" in plan, plan
+    assert "EqualTo(event_type,purchase)" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
