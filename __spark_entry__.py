@@ -160,7 +160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_cc": dedup.minhash_connected_components,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
-        "chunk_counts": textstats.chunk_counts,
         "train_test_split": textstats.train_test_split,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         # --- round-3 additions ------------------------------------
@@ -231,6 +230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched, rotated to the tail)
         "corpus_delta": curate.corpus_delta,
         "funnel_steps": relational.funnel_steps,
+        # (chunk_counts, multi-round green and untouched, rotated to
+        # the tail)
+        "rrf_fusion": similarity.rrf_fusion,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
@@ -243,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ivf_ann_topk,
         "source_files": _q_source_files,
         "normalize_ws_sql": textstats.normalize_ws_sql,
+        "chunk_counts": textstats.chunk_counts,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -1938,6 +1941,33 @@ def oracle_sql() -> dict[str, str]:
     # relation as the one-phase form — one oracle serves both, so a
     # driver hash-green on asof_join_salted IS the equivalence proof
     sql["asof_join_salted"] = sql["asof_join"]
+    # mirrors similarity.rrf_fusion: the bm25 oracle verbatim as the
+    # lexical arm (nested WITH), brute cosine as the vector arm, fused
+    # as a two-addend double sum (commutative -> order-free) pinned to
+    # integer nanos
+    sql["rrf_fusion"] = (
+        f"WITH bm AS ({sql['bm25_topk']}),"
+        " q AS (SELECT vec_id AS qid, embedding FROM embeddings"
+        " WHERE vec_id < 3),"
+        " scored AS (SELECT q.qid, e.vec_id AS doc_id,"
+        " round(list_cosine_similarity(e.embedding::DOUBLE[],"
+        " q.embedding::DOUBLE[]), 4) AS cos"
+        " FROM embeddings e, q WHERE e.vec_id <> q.qid),"
+        " vec AS (SELECT qid, doc_id, rv FROM (SELECT qid, doc_id,"
+        " row_number() OVER (PARTITION BY qid ORDER BY cos DESC,"
+        " doc_id) AS rv FROM scored) WHERE rv <= 10),"
+        " fused AS (SELECT COALESCE(bm.qid, vec.qid) AS qid,"
+        " COALESCE(bm.doc_id, vec.doc_id) AS doc_id,"
+        " CAST(floor((COALESCE(1e0 / (60 + bm.rank), 0e0)"
+        " + COALESCE(1e0 / (60 + vec.rv), 0e0)) * 1e9 + 0.5e0)"
+        " AS BIGINT) AS rrf_nano"
+        " FROM bm FULL OUTER JOIN vec ON vec.qid = bm.qid"
+        " AND vec.doc_id = bm.doc_id)"
+        " SELECT qid, CAST(rank AS INT) AS rank, doc_id, rrf_nano"
+        " FROM (SELECT qid, doc_id, rrf_nano, row_number() OVER"
+        " (PARTITION BY qid ORDER BY rrf_nano DESC, doc_id) AS rank"
+        " FROM fused) WHERE rank <= 10"
+    )
     return sql
 
 

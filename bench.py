@@ -166,6 +166,7 @@ def main() -> None:
         "weighted_sample": q(curate.weighted_sample),
         "corpus_delta": q(curate.corpus_delta),
         "funnel_steps": q(relational.funnel_steps),
+        "rrf_fusion": q(similarity.rrf_fusion),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

@@ -60,6 +60,7 @@ DOC_QUERIES = [
 ]
 EMB_QUERIES = [
     "kmeans_assign", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "rrf_fusion",
     "neardup_cosine_pairs", "semantic_dedup", "semantic_keepers",
     "knn_join", "knn_join_multiprobe", "embedding_meanpool",
 ]

@@ -1018,3 +1018,97 @@ def knn_join(
             "cos",
         )
     )
+
+
+RRF_C = 60    # the standard RRF damping constant (Cormack et al. 2009)
+RRF_K = 10    # fused results per query
+
+
+def rrf_fusion(
+    spark: SparkSession, sf_dir: str, k: int = RRF_K
+) -> DataFrame:
+    """Hybrid retrieval through reciprocal-rank fusion (Cormack,
+    Clarke, Buettcher 2009): the lexical arm is ``bm25_topk`` and the
+    vector arm is brute-force cosine over the embeddings table for
+    the SAME query ids (doc_id < 3 == vec_id < 3 — the tables are
+    row-aligned by construction); a document's fused score is
+    sum(1/(RRF_C + rank)) over the arms that returned it, and each
+    query reports the top ``RRF_K`` fused docs.
+
+    Determinism: the fused score is the sum of at most TWO doubles —
+    IEEE addition of two operands is commutative, so there is no
+    partition-order hazard — computed from identical integer ranks in
+    both engines and pinned to integer NANO units with floor(+0.5).
+
+    Scale shape: both arms are top-k-bounded BEFORE fusion, so the
+    fusion join and re-rank run over <= 2k rows per query — driver-
+    free and broadcast-sized at any corpus size. The vector arm here
+    is the brute baseline (one crossJoin against the BROADCAST 3-row
+    query set, corpus scanned once); at 100 TB swap in
+    ``ivf_ann_topk``'s probe path — the fusion itself is unchanged.
+    The per-query re-rank windows partition by qid over k-bounded
+    rows, never the corpus."""
+    from pyspark.sql import Window
+
+    from .textstats import bm25_topk
+
+    nq = 3  # mirrors BM25_N_QUERIES
+    bm = bm25_topk(spark, sf_dir).select(
+        "qid", "doc_id", F.col("rank").alias("rb")
+    )
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot("embedding", "qe")
+                / (_norm("embedding") * F.col("qn")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    vec = (
+        scored.withColumn("rv", F.row_number().over(wv))
+        .where(F.col("rv") <= k)
+        .select("qid", "doc_id", "rv")
+    )
+    fused = bm.join(vec, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        F.floor(
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_C) + F.col("rb")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_C) + F.col("rv")), F.lit(0.0)
+                )
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long").alias("rrf_nano"),
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("rrf_nano").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "rrf_nano",
+        )
+    )

@@ -1363,3 +1363,38 @@ def test_funnel_strict_ordering(spark, tmp_path):
     _, got = _spark_rows(spark, out, "funnel_steps")
     depth = {r[0]: r[4] for r in got}
     assert depth == {1: 3, 2: 1, 3: 1, 4: 1, 5: 2}
+
+
+def test_rrf_both_arms_beat_single_arm(spark, tmp_path):
+    """RRF law: a doc ranked by BOTH arms outranks a doc that tops one
+    arm only — doc 4 wins BM25 (doubled tf), doc 3 wins cosine AND
+    holds BM25 #2, so fused #1 must be doc 3
+    (1/62 + 1/61 > 1/61 + 1/(60+rv_low)); oracle parity on the same
+    two-table mini corpus."""
+    rows = [
+        (0, "alpha beta", "en", "src0", 10),      # the query doc
+        (1, "unrelated one", "en", "src1", 13),
+        (2, "unrelated two", "en", "src2", 13),
+        (3, "alpha beta pad", "en", "src3", 14),  # lexical #2, vector #1
+        (4, "alpha beta alpha beta", "en", "src4", 21),  # lexical #1
+        (5, "zzz yyy xxx", "en", "src5", 11),     # vector #2
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    emb = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 0),
+        (2, [0.0, 1.0], 0),
+        (3, [1.0, 0.0], 0),   # cos 1.0 to the query
+        (4, [0.0, 1.0], 0),   # orthogonal
+        (5, [0.9, 0.1], 0),   # cos ~0.99
+    ]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf}/embeddings.parquet"
+    )
+    _assert_parity(spark, sf, "rrf_fusion")
+    _, out = _spark_rows(spark, sf, "rrf_fusion")
+    q0 = sorted((r[1], r[2]) for r in out if r[0] == 0)
+    assert q0[0][1] == 3, q0  # both-arms doc fuses first
+    assert {d for _, d in q0[:3]} >= {3, 4}  # the two arm winners lead

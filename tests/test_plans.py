@@ -770,3 +770,17 @@ def test_funnel_pushes_step_filters_to_scan(spark, sf_dir):
     assert "EqualTo(event_type,purchase)" in plan, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_fuses_bounded_sets_only(spark, sf_dir):
+    """Fusion must operate on top-k-bounded arms: the 3-row query side
+    broadcasts into the brute arm, and every Window in the plan sits
+    ABOVE a rank filter (k-bounded input) — no cartesian, no
+    corpus-sized sort-merge of the fusion join."""
+    from service1_text_extraction_spark.functions import similarity
+
+    plan = _plan(similarity.rrf_fusion(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan
+    )
+    assert "CartesianProduct" not in plan, plan
