@@ -160,7 +160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_cc": dedup.minhash_connected_components,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
-        "train_test_split": textstats.train_test_split,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         # --- round-3 additions ------------------------------------
         "decontaminate": dedup.decontaminate,
@@ -230,9 +229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched, rotated to the tail)
         "corpus_delta": curate.corpus_delta,
         "funnel_steps": relational.funnel_steps,
-        # (chunk_counts, multi-round green and untouched, rotated to
-        # the tail)
+        # (chunk_counts + train_test_split, multi-round green and
+        # untouched, rotated to the tail)
         "rrf_fusion": similarity.rrf_fusion,
+        "cluster_keepers_degree": dedup.cluster_keepers_degree,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_files": _q_source_files,
         "normalize_ws_sql": textstats.normalize_ws_sql,
         "chunk_counts": textstats.chunk_counts,
+        "train_test_split": textstats.train_test_split,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -1637,6 +1638,35 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
             " AS value_cents"
             " FROM w GROUP BY 1, 2"
+        ),
+        # mirrors dedup.cluster_keepers_degree: capped candidate edges
+        # for degree, the UNCAPPED band closure for labels (exactly the
+        # Spark pairing), argmax by (degree DESC, doc_id ASC)
+        "cluster_keepers_degree": (
+            f"WITH RECURSIVE {_TOKS_CTE}, {_SHINGLES_CTE},"
+            f" {_MH_CAND_CTES},"
+            " adj AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM"
+            " bands a JOIN bands b ON a.band_idx = b.band_idx AND"
+            " a.band_val = b.band_val),"
+            " reach AS (SELECT doc_id AS a, doc_id AS b FROM documents"
+            " UNION SELECT r.a, j.b FROM reach r JOIN adj j ON j.a = r.b),"
+            " cc AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS"
+            " cluster_rep FROM reach GROUP BY a),"
+            " deg AS (SELECT doc_id, count(*) AS degree FROM"
+            " (SELECT a_id AS doc_id FROM cand"
+            " UNION ALL SELECT b_id FROM cand) GROUP BY doc_id),"
+            " lab AS (SELECT cc.doc_id, cc.cluster_rep,"
+            " COALESCE(deg.degree, 0) AS degree FROM cc"
+            " LEFT JOIN deg USING (doc_id)),"
+            " ranked AS (SELECT cluster_rep, doc_id, degree,"
+            " row_number() OVER (PARTITION BY cluster_rep"
+            " ORDER BY degree DESC, doc_id ASC) AS rn,"
+            " count(*) OVER (PARTITION BY cluster_rep) AS csize"
+            " FROM lab)"
+            " SELECT cluster_rep, doc_id AS keeper_id,"
+            " CAST(degree AS BIGINT) AS keeper_degree,"
+            " CAST(csize AS BIGINT) AS cluster_size"
+            " FROM ranked WHERE rn = 1"
         ),
         # mirrors curate.split_leak_safe: the dedup_minhash_cc closure
         # plus train_test_split's md5-bucket law applied to cluster_rep

@@ -167,6 +167,7 @@ def main() -> None:
         "corpus_delta": q(curate.corpus_delta),
         "funnel_steps": q(relational.funnel_steps),
         "rrf_fusion": q(similarity.rrf_fusion),
+        "cluster_keepers_degree": q(dedup.cluster_keepers_degree),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

@@ -1484,3 +1484,51 @@ def minhash_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_est"),
         )
     )
+
+
+def cluster_keepers_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-based keeper selection: within each MinHash
+    connected component, keep the document with the highest DEGREE in
+    the capped candidate-pair graph (most near-duplicate partners —
+    the 'most canonical' copy), ties to the lowest doc_id. The usual
+    min-doc_id keeper is arbitrary; degree picks the template page of
+    a boilerplate cluster rather than whichever crawl happened to get
+    the smallest id.
+
+    Scale shape: degree is one hash-aggregate over the (already
+    bucket-capped) candidate edges; labels come from
+    ``minhash_connected_components``'s O(edges)-per-round fixpoint;
+    the per-cluster argmax is ``max(struct(degree, -doc_id))`` — a
+    map-side-combinable aggregate, NEVER a row_number window (a
+    mega-cluster reduces instead of funneling one task; the same rule
+    as c4_span_dedup's keep-first). Singleton docs have degree 0 and
+    keep themselves."""
+    edges = minhash_band_candidates(spark, sf_dir)
+    touches = edges.select(F.col("a_id").alias("doc_id")).unionAll(
+        edges.select(F.col("b_id").alias("doc_id"))
+    )
+    degrees = touches.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    cc = minhash_connected_components(spark, sf_dir)
+    labeled = cc.join(degrees, "doc_id", "left").select(
+        "doc_id",
+        "cluster_rep",
+        F.coalesce(F.col("degree"), F.lit(0)).alias("degree"),
+    )
+    best = F.max(
+        F.struct(F.col("degree"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("b")
+    return (
+        labeled.groupBy("cluster_rep")
+        .agg(
+            best,
+            F.count("*").cast("long").alias("cluster_size"),
+        )
+        .select(
+            "cluster_rep",
+            (-F.col("b.neg_id")).cast("long").alias("keeper_id"),
+            F.col("b.degree").cast("long").alias("keeper_degree"),
+            "cluster_size",
+        )
+    )

@@ -1398,3 +1398,35 @@ def test_rrf_both_arms_beat_single_arm(spark, tmp_path):
     q0 = sorted((r[1], r[2]) for r in out if r[0] == 0)
     assert q0[0][1] == 3, q0  # both-arms doc fuses first
     assert {d for _, d in q0[:3]} >= {3, 4}  # the two arm winners lead
+
+
+def test_degree_keeper_prefers_the_hub(spark, tmp_path):
+    """A star-shaped near-dup cluster: the hub shares a band with every
+    spoke, spokes only with the hub (distinct tails) -> the hub has the
+    max degree and must be the keeper even though a spoke holds the
+    smaller doc_id; singletons keep themselves at degree 0."""
+    hub = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(10, hub, "en", "src0", len(hub))]
+    # spokes: same first 12 tokens (shared band), distinct tails
+    for i, tail in enumerate(["alpha beta", "gamma delta", "epsilon zeta"]):
+        t = hub + " " + tail * 6
+        rows.append((i, t, "en", "src0", len(t)))
+    rows.append((99, "completely unrelated text here", "en", "src1", 30))
+    sf = _mini_docs(spark, tmp_path, rows)
+    _assert_parity(spark, sf, "cluster_keepers_degree")
+    _, out = _spark_rows(spark, sf, "cluster_keepers_degree")
+    got = {r[0]: (r[1], r[2], r[3]) for r in out}
+    # the dup cluster is labeled by its min doc_id (0)
+    assert 0 in got and got[0][2] >= 4
+    keeper, deg, _ = got[0]
+    # the keeper must be the measured max-degree node, tie to min id
+    _, rows2 = _spark_rows(spark, sf, "dedup_minhash_candidates")
+    from collections import Counter
+    dg = Counter()
+    for a, b in ((r[0], r[1]) for r in rows2):
+        dg[a] += 1
+        dg[b] += 1
+    best = max(dg.items(), key=lambda kv: (kv[1], -kv[0]))
+    assert (keeper, deg) == best, (got[0], dg)
+    # singleton: keeps itself, degree 0, size 1
+    assert got[99] == (99, 0, 1)

@@ -784,3 +784,17 @@ def test_rrf_fuses_bounded_sets_only(spark, sf_dir):
         plan
     )
     assert "CartesianProduct" not in plan, plan
+
+
+def test_degree_keeper_argmax_is_not_a_window(spark, sf_dir):
+    """The per-cluster keeper must reduce through
+    max(struct(degree, -doc_id)) — map-side combinable (partial_max in
+    the plan) — never a row_number window keyed on the cluster label,
+    which would funnel a mega-cluster through one task. The only
+    Window allowed in this plan is the upstream band-bucket cap inside
+    the candidate generator (bounded groups by construction)."""
+    plan = _plan(dedup.cluster_keepers_degree(spark, sf_dir))
+    assert "partial_max(struct(degree" in plan, plan
+    for m in re.finditer(r"\(\d+\) Window[\s\S]*?Arguments: (.*)", plan):
+        assert "cluster_rep" not in m.group(1), plan
+        assert "degree" not in m.group(1), plan
