@@ -293,19 +293,30 @@ def weighted_sample(
     The float key is compare-only and never output, so engine float
     identity only matters within ~1 ulp ties (measure-zero under a
     60-bit hash); zero-weight docs are excluded (x/0 rule)."""
+    return (
+        wsample_keyed(_docs_w(spark, sf_dir))
+        .orderBy(F.col("k_").asc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+def wsample_keyed(docs: DataFrame) -> DataFrame:
+    """The A-ES key projection over any documents DataFrame — the one
+    definition shared by the batch sampler and the streaming
+    reservoir maintenance (``streaming.stream.stream_wsample``). The
+    keyed rows are top-k-MERGEABLE: the k smallest of a union is the
+    k smallest of each side's k smallest, so per-batch partials
+    combine exactly."""
     two60 = float(1 << 60)
-    docs = _docs_w(spark, sf_dir).where(F.col("n_chars") > 0)
     h = F.expr(
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
         " 16, 10) as bigint)"
     )
     u = (h + F.lit(1)).cast("double") / F.lit(two60)
     key = (-F.log(u)) / F.col("n_chars").cast("double")
-    return (
-        docs.select("doc_id", "source", "n_chars", key.alias("k_"))
-        .orderBy(F.col("k_").asc(), F.col("doc_id").asc())
-        .limit(k)
-        .select("doc_id", "source", "n_chars")
+    return docs.where(F.col("n_chars") > 0).select(
+        "doc_id", "source", "n_chars", key.alias("k_")
     )
 
 

@@ -643,3 +643,68 @@ def hopping_from_stream(spark: SparkSession, partials_dir: str):
             F.sum("value_cents").cast("long").alias("value_cents"),
         )
     )
+
+
+def stream_wsample(
+    spark: SparkSession,
+    input_dir: str,
+    partials_dir: str,
+    checkpoint_dir: str,
+    *,
+    k: int = 50,
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the A-ES weighted reservoir
+    (``curate.weighted_sample``) over a growing documents directory:
+    each micro-batch keeps ITS OWN k smallest keys (through the
+    shared ``curate.wsample_keyed`` projection) under an exactly-once
+    ``batch_id`` partition. Top-k is MERGEABLE — the k smallest of a
+    union equal the k smallest of the per-batch k-smallest sets — so
+    batch boundaries cannot change the final reservoir, each delta is
+    at most k rows, and ``wsample_from_stream`` re-ranks the bounded
+    union. Stream-then-merge equals the one-shot batch sampler
+    exactly (test_stream_wsample_matches_batch)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import curate
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        (
+            curate.wsample_keyed(batch_df)
+            .orderBy(F.col("k_").asc(), F.col("doc_id").asc())
+            .limit(k)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def wsample_from_stream(spark: SparkSession, partials_dir: str, k: int = 50):
+    """Merge the streamed per-batch reservoirs: re-rank the bounded
+    (n_batches x k)-row union — identical output to the batch sampler
+    over the full corpus."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(partials_dir)
+        .orderBy(F.col("k_").asc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "source", "n_chars")
+    )

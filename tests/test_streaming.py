@@ -461,3 +461,43 @@ def test_stream_hopping_matches_batch(spark, tmp_path, sf_dir):
     q2.awaitTermination(60)
     after = sorted(tuple(r) for r in spark.read.parquet(parts).collect())
     assert after == before
+
+
+def test_stream_wsample_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-then-merge must select EXACTLY the batch sampler's docs
+    across real micro-batch boundaries (top-k is mergeable; the
+    content-derived key makes the reservoir partition-layout-free),
+    and a checkpointed restart with no new files must change nothing."""
+    from service1_text_extraction_spark.functions import curate
+    from service1_text_extraction_spark.streaming.stream import (
+        stream_wsample,
+        wsample_from_stream,
+    )
+
+    root = str(tmp_path / "docs_w")
+    src = f"{root}/documents.parquet"
+    parts = str(tmp_path / "ws_parts")
+    ck = str(tmp_path / "ck_ws")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+
+    q = stream_wsample(spark, src, parts, ck, max_files_per_trigger=2)
+    q.awaitTermination(120)
+    n_batches = (
+        spark.read.parquet(parts).select("batch_id").distinct().count()
+    )
+    assert n_batches >= 3, n_batches
+
+    got = sorted(
+        tuple(r) for r in wsample_from_stream(spark, parts).collect()
+    )
+    want = sorted(
+        tuple(r) for r in curate.weighted_sample(spark, root).collect()
+    )
+    assert got == want and len(want) == 50
+
+    before = sorted(tuple(r) for r in spark.read.parquet(parts).collect())
+    q2 = stream_wsample(spark, src, parts, ck)
+    q2.awaitTermination(60)
+    after = sorted(tuple(r) for r in spark.read.parquet(parts).collect())
+    assert after == before
