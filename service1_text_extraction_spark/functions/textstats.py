@@ -1383,6 +1383,10 @@ def bm25_topk(
         .agg(F.count("*").alias("n"), F.sum(F.size("t")).alias("s"))
         .collect()[0]
     )
+    if not stats["n"]:  # no candidate docs: empty result, same schema
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id long, score_micro long"
+        )
     n_docs, avgdl = float(stats["n"]), float(stats["s"]) / float(stats["n"])
     hits = cand.join(F.broadcast(qt.select("tok").distinct()), "tok")
     tf = hits.groupBy("doc_id", "tok").agg(

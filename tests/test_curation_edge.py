@@ -1430,3 +1430,19 @@ def test_degree_keeper_prefers_the_hub(spark, tmp_path):
     assert (keeper, deg) == best, (got[0], dg)
     # singleton: keeps itself, degree 0, size 1
     assert got[99] == (99, 0, 1)
+
+
+def test_bm25_empty_candidate_corpus(spark, tmp_path):
+    """A corpus holding ONLY query docs (every doc_id < 3) has no
+    candidates: both engines must return an empty result with the full
+    schema — not a ZeroDivisionError at plan construction (avgdl has
+    no denominator)."""
+    rows = [
+        (0, "alpha beta", "en", "src0", 10),
+        (1, "gamma delta", "en", "src1", 11),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    cols, out = _spark_rows(spark, sf, "bm25_topk")
+    assert cols == ["qid", "rank", "doc_id", "score_micro"]
+    assert out == []
+    _assert_parity(spark, sf, "bm25_topk")
