@@ -1579,10 +1579,10 @@ def oracle_sql() -> dict[str, str]:
         # (doc_id, md5) before the full-outer join
         "corpus_delta": (
             "WITH old AS (SELECT doc_id, md5(CASE WHEN doc_id % 4 = 1"
-            " THEN text || ' v1' ELSE text END) AS h_old FROM documents"
-            " WHERE doc_id % 4 <> 3),"
-            " new AS (SELECT doc_id, md5(text) AS h_new FROM documents"
-            " WHERE doc_id % 5 <> 4)"
+            " THEN COALESCE(text, '') || ' v1' ELSE COALESCE(text, '')"
+            " END) AS h_old FROM documents WHERE doc_id % 4 <> 3),"
+            " new AS (SELECT doc_id, md5(COALESCE(text, '')) AS h_new"
+            " FROM documents WHERE doc_id % 5 <> 4)"
             " SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,"
             " CASE WHEN h_old IS NULL THEN 'added'"
             " WHEN h_new IS NULL THEN 'removed'"
@@ -1628,7 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         # exact integer cents
         "hopping_window_stats": (
             "WITH e AS (SELECT epoch_us(ts) AS us, event_type, value"
-            " FROM events),"
+            " FROM events WHERE ts IS NOT NULL),"
             " w AS (SELECT unnest(["
             " make_timestamp((us // 300000000) * 300000000),"
             " make_timestamp((us // 300000000) * 300000000"

@@ -340,17 +340,19 @@ def corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-bucketed tables (functions/bucketed.py), making even that
     exchange disappear."""
     docs = _docs_w(spark, sf_dir)
+    # NULL text coalesces to '' so a present-but-textless doc hashes to
+    # a value (status from presence, never misread as added/removed)
+    text = F.coalesce(F.col("text"), F.lit(""))
     old = docs.where(F.col("doc_id") % 4 != 3).select(
         "doc_id",
         F.md5(
             F.when(
-                F.col("doc_id") % 4 == 1,
-                F.concat(F.col("text"), F.lit(" v1")),
-            ).otherwise(F.col("text"))
+                F.col("doc_id") % 4 == 1, F.concat(text, F.lit(" v1"))
+            ).otherwise(text)
         ).alias("h_old"),
     )
     new = docs.where(F.col("doc_id") % 5 != 4).select(
-        "doc_id", F.md5(F.col("text")).alias("h_new")
+        "doc_id", F.md5(text).alias("h_new")
     )
     joined = old.join(new, "doc_id", "full_outer")
     status = (

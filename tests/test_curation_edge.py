@@ -1222,6 +1222,7 @@ def test_hopping_window_boundaries(spark, tmp_path):
         (0, base, 1, "click", 1.005, None),                  # on boundary
         (1, base - dt.timedelta(microseconds=1), 1, "click", -2.675, None),
         (2, base + dt.timedelta(minutes=5), 1, "view", 0.004, None),
+        (3, None, 1, "view", 9.0, None),  # null ts: absent in BOTH
     ]
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp_ntz, user_id long,"
@@ -1307,10 +1308,14 @@ def test_corpus_delta_statuses(spark, tmp_path):
     rows = [
         (i, f"text of document {i}", "en", "src0", 20) for i in range(25)
     ]
+    rows.append((40, None, "en", "src0", 0))  # NULL text: present, '' hash
     sf = _mini_docs(spark, tmp_path, rows)
     _assert_parity(spark, sf, "corpus_delta")
     _, out = _spark_rows(spark, sf, "corpus_delta")
     got = {r[0]: r[1] for r in out}
+    # a NULL-text doc present in both snapshots (40 % 4 == 0, unmarked;
+    # 40 % 5 == 0) hashes '' on both sides -> unchanged, absent
+    assert 40 not in got
     for i in range(25):
         in_old, in_new = i % 4 != 3, i % 5 != 4
         if in_old and not in_new:
