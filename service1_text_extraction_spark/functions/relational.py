@@ -646,20 +646,30 @@ def hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     full per-type sort never happens. Non-negative domain only (the
     driver events table; a production deployment adds a sign
     bucket)."""
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("value").isNotNull() & (F.col("value") >= 0)
-    )
+    return _hdr_estimate(_hdr_counts(_t(spark, sf_dir, "events")))
+
+
+def _hdr_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, cnt) sketch rows for an events DataFrame —
+    the HDR histogram in its MERGEABLE form (cnt merges with sum), the
+    one definition shared by the batch estimator and the streaming
+    maintenance (``streaming.stream.stream_hdr``)."""
+    ev = ev.where(F.col("value").isNotNull() & (F.col("value") >= 0))
     v = "cast(floor(value * %d) as bigint)" % HDR_UNIT
     q = (
         "CASE WHEN {v} < {small} THEN {v} ELSE"
         " shiftleft(shiftright({v}, length(bin({v})) - {keep}),"
         " length(bin({v})) - {keep}) END"
     ).format(v=v, small=1 << (HDR_SUB_BITS + 1), keep=HDR_SUB_BITS + 1)
-    counts = (
+    return (
         ev.select("event_type", F.expr(q).alias("b"))
         .groupBy("event_type", "b")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def _hdr_estimate(counts: DataFrame) -> DataFrame:
+    """Percentile estimates from HDR sketch rows."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("b")

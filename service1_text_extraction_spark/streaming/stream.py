@@ -708,3 +708,125 @@ def wsample_from_stream(spark: SparkSession, partials_dir: str, k: int = 50):
         .limit(k)
         .select("doc_id", "source", "n_chars")
     )
+
+
+def stream_hdr(
+    spark: SparkSession,
+    input_dir: str,
+    counts_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the HDR quantile sketch
+    (``relational.hdr_value_quantiles``): per micro-batch, the shared
+    ``relational._hdr_counts`` computes the batch's (event_type,
+    bucket, cnt) delta — at most a few hundred rows per type — under
+    an exactly-once ``batch_id`` partition; counts merge by ADDITION,
+    so ``hdr_from_stream``'s fold equals the one-shot batch sketch
+    exactly and the estimator itself lives in one place
+    (``_hdr_estimate``)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import relational
+
+    stream = (
+        spark.readStream.schema(EVENTS_NTZ_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        (
+            relational._hdr_counts(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(counts_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hdr_from_stream(spark: SparkSession, counts_dir: str):
+    """Sum-merge the streamed HDR deltas and estimate — identical to
+    the batch operator over the whole directory."""
+    from pyspark.sql import functions as F
+
+    from ..functions import relational
+
+    merged = (
+        spark.read.parquet(counts_dir)
+        .groupBy("event_type", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return relational._hdr_estimate(merged)
+
+
+def stream_cms(
+    spark: SparkSession,
+    input_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the Count-Min sketch
+    (``textstats.cms_heavy_hitters``'s counter table): per micro-batch
+    the shared ``textstats._cms_sketch`` folds the batch's tokens into
+    a <= CMS_D x CMS_W delta under an exactly-once ``batch_id``
+    partition. CMS counts are LINEAR, so cell-wise addition of the
+    deltas (``cms_from_stream``) is exactly the whole-corpus sketch —
+    the merge-linearity property the batch edge test pins, here proven
+    across real micro-batch boundaries and restarts."""
+    from pyspark.sql import functions as F
+
+    from ..functions import textstats
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        tok = batch_df.select(
+            F.explode(F.expr(textstats._TOKENS)).alias("w")
+        )
+        (
+            textstats._cms_sketch(tok)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sketch_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cms_from_stream(spark: SparkSession, sketch_dir: str):
+    """Cell-wise sum of the streamed CMS deltas == the one-shot
+    whole-corpus sketch (linearity)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("r", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

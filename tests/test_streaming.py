@@ -501,3 +501,72 @@ def test_stream_wsample_matches_batch(spark, tmp_path, sf_dir):
     q2.awaitTermination(60)
     after = sorted(tuple(r) for r in spark.read.parquet(parts).collect())
     assert after == before
+
+
+def test_stream_hdr_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-then-sum-merge must reproduce the one-shot HDR quantile
+    estimates exactly across real micro-batch boundaries (counts merge
+    by addition; the estimator is shared), and a checkpointed restart
+    with no new files must not change the sketch."""
+    from service1_text_extraction_spark.functions import relational
+    from service1_text_extraction_spark.streaming.stream import (
+        hdr_from_stream,
+        stream_hdr,
+    )
+
+    root = str(tmp_path / "ev_hdr")
+    src = f"{root}/events.parquet"
+    parts = str(tmp_path / "hdr_parts")
+    ck = str(tmp_path / "ck_hdr")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    q = stream_hdr(spark, src, parts, ck, max_files_per_trigger=2)
+    q.awaitTermination(120)
+    assert (
+        spark.read.parquet(parts).select("batch_id").distinct().count()
+        >= 3
+    )
+    got = sorted(tuple(r) for r in hdr_from_stream(spark, parts).collect())
+    want = sorted(
+        tuple(r)
+        for r in relational.hdr_value_quantiles(spark, root).collect()
+    )
+    assert got == want and len(want) > 0
+
+    before = sorted(tuple(r) for r in spark.read.parquet(parts).collect())
+    q2 = stream_hdr(spark, src, parts, ck)
+    q2.awaitTermination(60)
+    after = sorted(tuple(r) for r in spark.read.parquet(parts).collect())
+    assert after == before
+
+
+def test_stream_cms_matches_batch(spark, tmp_path, sf_dir):
+    """CMS linearity across real micro-batches: the cell-wise sum of
+    the streamed deltas must equal the one-shot whole-corpus sketch
+    cell for cell."""
+    from pyspark.sql import functions as F
+
+    from service1_text_extraction_spark.functions import textstats
+    from service1_text_extraction_spark.streaming.stream import (
+        cms_from_stream,
+        stream_cms,
+    )
+
+    root = str(tmp_path / "docs_cms")
+    src = f"{root}/documents.parquet"
+    parts = str(tmp_path / "cms_parts")
+    ck = str(tmp_path / "ck_cms")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+
+    q = stream_cms(spark, src, parts, ck, max_files_per_trigger=2)
+    q.awaitTermination(120)
+    got = {
+        (r.r, r.col): r.cnt for r in cms_from_stream(spark, parts).collect()
+    }
+    tok = docs.select(F.explode(F.expr(textstats._TOKENS)).alias("w"))
+    want = {
+        (r.r, r.col): r.cnt for r in textstats._cms_sketch(tok).collect()
+    }
+    assert got == want and len(want) > 0
