@@ -160,7 +160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_cc": dedup.minhash_connected_components,
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
-        "tfidf_top_terms": textstats.tfidf_top_terms,
         # --- round-3 additions ------------------------------------
         "decontaminate": dedup.decontaminate,
         "pack_sequences": textstats.pack_sequences,
@@ -233,6 +232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched, rotated to the tail)
         "rrf_fusion": similarity.rrf_fusion,
         "cluster_keepers_degree": dedup.cluster_keepers_degree,
+        # (tfidf_top_terms, multi-round green and untouched, rotated
+        # to the tail)
+        "session_window_stats": relational.session_window_stats,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
@@ -247,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_ws_sql": textstats.normalize_ws_sql,
         "chunk_counts": textstats.chunk_counts,
         "train_test_split": textstats.train_test_split,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -1620,6 +1623,27 @@ def oracle_sql() -> dict[str, str]:
             " * log2(k::DOUBLE / tot.n::DOUBLE) * 1e6 + 0.5e0)"
             " AS BIGINT)) AS BIGINT) AS entropy_micro"
             " FROM cnt JOIN tot USING (doc_id) GROUP BY 1, 2"
+        ),
+        # mirrors relational.session_window_stats: strict-> rule pinned
+        # empirically (an event exactly at the gap horizon merges);
+        # tied timestamps are safe — exactly one row of a tie group
+        # flags, and the default RANGE frame gives the whole group one
+        # cumulative session id
+        "session_window_stats": (
+            "WITH e AS (SELECT user_id, ts, value FROM events"
+            " WHERE ts IS NOT NULL),"
+            " flags AS (SELECT user_id, ts, value,"
+            " CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+            " OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000"
+            " THEN 1 ELSE 0 END AS ns FROM e),"
+            " sid AS (SELECT user_id, ts, value, sum(ns) OVER"
+            " (PARTITION BY user_id ORDER BY ts) AS sid FROM flags)"
+            " SELECT user_id, min(ts) AS session_start,"
+            " max(ts) + INTERVAL 30 MINUTE AS session_end,"
+            " count(*)::BIGINT AS n_events,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            " AS value_cents"
+            " FROM sid GROUP BY user_id, sid"
         ),
         # mirrors relational.hopping_window_stats: every event fans out
         # to its 2 containing 5-min-hop windows via exact integer

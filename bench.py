@@ -168,6 +168,7 @@ def main() -> None:
         "funnel_steps": q(relational.funnel_steps),
         "rrf_fusion": q(similarity.rrf_fusion),
         "cluster_keepers_degree": q(dedup.cluster_keepers_degree),
+        "session_window_stats": q(relational.session_window_stats),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

@@ -903,3 +903,43 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             depth.cast("int").alias("depth"),
         )
     )
+
+
+SESSION_GAP = "30 minutes"  # matches sessionize's gap rule
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows through Spark's NATIVE
+    ``session_window`` (one row per session: start, end = last event +
+    gap, counts, cent sums) — the merging-window formulation of the
+    same 30-minute gap rule ``sessionize`` expresses with a lag
+    window. The merge boundary is pinned empirically: an event at
+    EXACTLY the previous event's gap horizon still merges (new session
+    only when the gap exceeds 30 minutes STRICTLY) — the same ``>``
+    rule sessionize uses, so the two formulations count identical
+    sessions; the edge test holds both boundary sides.
+
+    Scale shape: one exchange on user_id, then Spark's sort-merge
+    session aggregation within partitions; value sums in exact integer
+    cents (the hopping-window rule). NULL timestamps are excluded (a
+    session window needs an event time); TIMESTAMP_NTZ end to end."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts").isNotNull()
+    )
+    sw = F.session_window("ts", SESSION_GAP)
+    return (
+        ev.groupBy(sw.alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )

@@ -1451,3 +1451,48 @@ def test_bm25_empty_candidate_corpus(spark, tmp_path):
     assert cols == ["qid", "rank", "doc_id", "score_micro"]
     assert out == []
     _assert_parity(spark, sf, "bm25_topk")
+
+
+def test_session_window_boundary_and_parity(spark, tmp_path):
+    """The native session_window merge boundary: an event EXACTLY 30
+    minutes after the previous one merges (strict-> rule, pinned
+    empirically against Spark's operator); one microsecond beyond
+    opens a new session; session_end = last event + gap; tied
+    timestamps collapse into one session. And the per-user session
+    COUNTS must equal the lag-based sessionize's."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    m = lambda **kw: t0 + dt.timedelta(**kw)
+    rows = [
+        # user 1: chain of exact-boundary merges -> ONE session
+        (0, t0, 1, "view", 1.0, None),
+        (1, m(minutes=30), 1, "view", 1.0, None),
+        (2, m(minutes=60), 1, "view", 1.0, None),
+        # user 2: one microsecond past the gap -> TWO sessions
+        (3, t0, 2, "view", 1.0, None),
+        (4, m(minutes=30, microseconds=1), 2, "view", 1.0, None),
+        # user 3: tied timestamps -> one session of 2 events
+        (5, t0, 3, "view", 2.5, None),
+        (6, t0, 3, "click", 0.5, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    out = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    _assert_parity(spark, out, "session_window_stats")
+    _, got = _spark_rows(spark, out, "session_window_stats")
+    by_user = {}
+    for u, s, e, n, cents in got:
+        by_user.setdefault(u, []).append((s, e, n, cents))
+    assert len(by_user[1]) == 1 and by_user[1][0][2] == 3
+    assert by_user[1][0][1] == t0 + dt.timedelta(minutes=90)  # last + gap
+    assert len(by_user[2]) == 2
+    assert len(by_user[3]) == 1 and by_user[3][0][2:] == (2, 300)
+    # session COUNTS agree with the lag-based sessionize
+    _, sz = _spark_rows(spark, out, "sessionize")
+    lag_counts = {r[0]: r[1] for r in sz}
+    native_counts = {u: len(v) for u, v in by_user.items()}
+    assert native_counts == lag_counts

@@ -798,3 +798,12 @@ def test_degree_keeper_argmax_is_not_a_window(spark, sf_dir):
     for m in re.finditer(r"\(\d+\) Window[\s\S]*?Arguments: (.*)", plan):
         assert "cluster_rep" not in m.group(1), plan
         assert "degree" not in m.group(1), plan
+
+
+def test_session_window_single_exchange(spark, sf_dir):
+    """The native session aggregation must shuffle ONCE on user_id and
+    merge sessions within partitions — no second exchange, no
+    cartesian."""
+    plan = _plan(relational.session_window_stats(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
