@@ -2006,7 +2006,7 @@ def oracle_sql() -> dict[str, str]:
         " scored AS (SELECT q.qid, e.vec_id AS doc_id,"
         " round(list_cosine_similarity(e.embedding::DOUBLE[],"
         " q.embedding::DOUBLE[]), 4) AS cos"
-        " FROM embeddings e, q WHERE e.vec_id <> q.qid),"
+        " FROM embeddings e, q WHERE e.vec_id >= 3),"
         " vec AS (SELECT qid, doc_id, rv FROM (SELECT qid, doc_id,"
         " row_number() OVER (PARTITION BY qid ORDER BY cos DESC,"
         " doc_id) AS rv FROM scored) WHERE rv <= 10),"

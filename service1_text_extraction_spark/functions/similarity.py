@@ -1062,9 +1062,12 @@ def rrf_fusion(
         F.col("embedding").alias("qe"),
         _norm("embedding").alias("qn"),
     )
+    # both arms retrieve from the SAME candidate universe: doc_id >=
+    # nq (bm25 already excludes the query docs; the vector arm must
+    # too, or a query doc could surface as another query's "result")
     scored = (
-        e.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("qid"))
+        e.where(F.col("vec_id") >= nq)
+        .crossJoin(F.broadcast(q))
         .select(
             "qid",
             F.col("vec_id").alias("doc_id"),
