@@ -1496,3 +1496,69 @@ def test_session_window_boundary_and_parity(spark, tmp_path):
     lag_counts = {r[0]: r[1] for r in sz}
     native_counts = {u: len(v) for u, v in by_user.items()}
     assert native_counts == lag_counts
+
+
+def test_char_entropy_matches_python_reference_randomized(spark, tmp_path):
+    """Seeded random corpora: Spark's Arrow entropy must equal a pure
+    Python replay (Counter + math.log2 + floor(+0.5)) doc for doc —
+    including single-char docs, long skewed docs, and every printable
+    ASCII symbol."""
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(20260817)
+    alphabet = [chr(c) for c in range(32, 122)]
+    rows = []
+    for i in range(80):
+        n = rng.randint(1, 400)
+        skew = rng.choice([1, 1, 4])  # some heavily repeated docs
+        pool = rng.sample(alphabet, rng.randint(1, 30))
+        text = "".join(rng.choice(pool[: max(1, len(pool) // skew)])
+                       for _ in range(n))
+        rows.append((i, text, "en", "src0", len(text)))
+    sf = _mini_docs(spark, tmp_path, rows)
+    _, out = _spark_rows(spark, sf, "char_entropy")
+    got = {r[0]: (r[1], r[2], r[3]) for r in out}
+
+    def ref(t):
+        c = Counter(t)
+        n = sum(c.values())
+        e = sum(
+            int(math.floor(-(k / n) * math.log2(k / n) * 1e6 + 0.5))
+            for k in c.values()
+        )
+        return (n, len(c), e)
+
+    want = {i: ref(t) for i, t, *_ in rows}
+    assert got == want
+
+
+def test_weighted_sample_matches_python_reference_randomized(
+    spark, tmp_path
+):
+    """Seeded random weights (1..10^6, plus zero-weight docs): the
+    Spark selection must equal the exact A-ES formula replayed in
+    plain Python over the same ids."""
+    import hashlib
+    import math
+    import random
+
+    rng = random.Random(4242)
+    rows = []
+    weights = {}
+    for i in range(300):
+        w = rng.choice([0, 1, 3, 17, 400, 9001, 1_000_000])
+        rows.append((i, "x", "en", "s", w))
+        weights[i] = w
+    sf = _mini_docs(spark, tmp_path, rows)
+    _, out = _spark_rows(spark, sf, "weighted_sample")
+    got = sorted(r[0] for r in out)
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return (-math.log((h + 1) / float(1 << 60)) / w, doc_id)
+
+    keyed = sorted(key(d, w) for d, w in weights.items() if w > 0)
+    want = sorted(d for _, d in keyed[:50])
+    assert got == want
