@@ -161,7 +161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
         # --- round-3 additions ------------------------------------
-        "decontaminate": dedup.decontaminate,
         "pack_sequences": textstats.pack_sequences,
         "curate_corpus": curate.curate_corpus,
         "semantic_dedup": similarity.semantic_dedup,
@@ -232,9 +231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched, rotated to the tail)
         "rrf_fusion": similarity.rrf_fusion,
         "cluster_keepers_degree": dedup.cluster_keepers_degree,
-        # (tfidf_top_terms, multi-round green and untouched, rotated
-        # to the tail)
+        # (tfidf_top_terms + decontaminate, multi-round green and
+        # untouched, rotated to the tail)
         "session_window_stats": relational.session_window_stats,
+        "hopping_distinct_users": relational.hopping_distinct_users,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_counts": textstats.chunk_counts,
         "train_test_split": textstats.train_test_split,
         "tfidf_top_terms": textstats.tfidf_top_terms,
+        "decontaminate": dedup.decontaminate,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -1623,6 +1624,36 @@ def oracle_sql() -> dict[str, str]:
             " * log2(k::DOUBLE / tot.n::DOUBLE) * 1e6 + 0.5e0)"
             " AS BIGINT)) AS BIGINT) AS entropy_micro"
             " FROM cnt JOIN tot USING (doc_id) GROUP BY 1, 2"
+        ),
+        # mirrors relational.hopping_distinct_users: the hopping window
+        # fan-out + the shingle sketch's exact HLL math, keyed by
+        # (window_start, event_type) over md5(user_id)
+        "hopping_distinct_users": (
+            "WITH he AS (SELECT epoch_us(ts) AS us, event_type, user_id"
+            " FROM events WHERE ts IS NOT NULL),"
+            " wv AS (SELECT unnest(["
+            " make_timestamp((us // 300000000) * 300000000),"
+            " make_timestamp((us // 300000000) * 300000000"
+            " - 300000000)]) AS window_start, event_type, user_id"
+            " FROM he),"
+            " hh AS (SELECT window_start, event_type,"
+            " ('0x' || substring(md5(user_id::VARCHAR), 1,"
+            f" 15))::BIGINT AS h FROM wv),"
+            f" bw AS (SELECT window_start, event_type, h % 1024 AS"
+            f" bucket, h // 1024 AS w FROM hh),"
+            " regs AS (SELECT window_start, event_type, bucket,"
+            " max(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END)"
+            " AS r, count(*) AS n FROM bw GROUP BY 1, 2, 3),"
+            " agg AS (SELECT window_start, event_type,"
+            " CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_obs,"
+            f" sum((1::BIGINT << (51 - r))) + (1024 - count(*)) *"
+            f" 2251799813685248 AS si FROM regs GROUP BY 1, 2)"
+            " SELECT window_start, event_type, n_events,"
+            " CAST(n_obs AS BIGINT) AS n_buckets,"
+            f" round(CASE WHEN (0.7213e0 / (1 + 1.079e0 / 1024)) * 1024 * 1024 * 2251799813685248 / si <="
+            f" 2.5e0 * 1024 AND n_obs < 1024 THEN 1024 * ln(1024 /"
+            f" CAST(1024 - n_obs AS DOUBLE)) ELSE (0.7213e0 / (1 + 1.079e0 / 1024)) * 1024 * 1024 *"
+            f" 2251799813685248 / si END, 4) AS est_distinct FROM agg"
         ),
         # mirrors relational.session_window_stats: strict-> rule pinned
         # empirically (an event exactly at the gap horizon merges);

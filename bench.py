@@ -169,6 +169,7 @@ def main() -> None:
         "rrf_fusion": q(similarity.rrf_fusion),
         "cluster_keepers_degree": q(dedup.cluster_keepers_degree),
         "session_window_stats": q(relational.session_window_stats),
+        "hopping_distinct_users": q(relational.hopping_distinct_users),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

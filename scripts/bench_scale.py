@@ -58,7 +58,7 @@ DOC_QUERIES = [
     # 10x events table: weak scaling over users)
     "asof_join", "asof_join_salted", "range_join_bucketed",
     "hdr_value_quantiles", "hopping_window_stats", "funnel_steps",
-    "session_window_stats",
+    "session_window_stats", "hopping_distinct_users",
 ]
 EMB_QUERIES = [
     "kmeans_assign", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",

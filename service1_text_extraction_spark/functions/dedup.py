@@ -1257,8 +1257,10 @@ def _hll_registers(docs: DataFrame) -> DataFrame:
     )
 
 
-def _hll_estimate(regs: DataFrame) -> DataFrame:
-    """Cardinality estimate per source from register rows."""
+def _hll_estimate(regs: DataFrame, keys: tuple = ("source",)) -> DataFrame:
+    """Cardinality estimate per key group from register rows (keys
+    default to the shingle sketch's per-source grouping; the hopping
+    distinct-user composition groups by (window_start, event_type))."""
     m = HLL_BUCKETS
     two51 = 1 << 51  # one empty register's 2^0, in 2^-51 units
     est = (
@@ -1268,7 +1270,7 @@ def _hll_estimate(regs: DataFrame) -> DataFrame:
         f" {_HLL_ALPHA} * {m} * {m} * {two51} / si END, 4)"
     )
     return (
-        regs.groupBy("source")
+        regs.groupBy(*keys)
         .agg(
             F.sum("n").cast("long").alias("n_shingles"),
             F.count("*").cast("long").alias("n_obs"),
@@ -1278,7 +1280,7 @@ def _hll_estimate(regs: DataFrame) -> DataFrame:
             ).alias("si"),
         )
         .select(
-            "source",
+            *keys,
             "n_shingles",
             F.col("n_obs").alias("n_buckets"),
             F.expr(est).alias("est_distinct"),

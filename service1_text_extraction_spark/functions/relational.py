@@ -943,3 +943,54 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
+
+
+def hopping_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user cardinality per sliding window — the composition
+    of the repo's two streaming-grade primitives: the hopping-window
+    fan-out (Expand x2, epoch-aligned grid) keyed over the
+    deterministic HLL register sketch (``dedup._hll_estimate`` with
+    (window_start, event_type) keys instead of source). This is the
+    classic 'unique visitors per sliding window' — exact
+    ``countDistinct`` per window shuffles every (window, user) pair,
+    while the sketch shuffles AT MOST 1024 register rows per
+    (window, type) cell regardless of user count, and the registers
+    are max-mergeable, so the same table maintains incrementally
+    under a stream exactly like stream_hll.
+
+    Determinism: the same 60-bit md5 hash / integer harmonic-sum
+    machinery as hll_distinct_shingles — partition-order-free,
+    engine-exact; the small-range linear-counting branch (active
+    here: tens of users per window) is ln() behind a 4dp round."""
+    from .dedup import HLL_BUCKETS, HLL_HASH_HEX, _hll_estimate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts").isNotNull()
+    )
+    win = F.window("ts", HOP_WINDOW, HOP_SLIDE)
+    rho = (
+        "CASE WHEN w = 0 THEN 51 ELSE"
+        " cast(51 - length(bin(w)) as int) END"
+    )
+    regs = (
+        ev.select(
+            win.alias("wd"),
+            "event_type",
+            F.expr(
+                f"cast(conv(substring(md5(cast(user_id as string)), 1,"
+                f" {HLL_HASH_HEX}), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+        .select(
+            F.col("wd.start").alias("window_start"),
+            "event_type",
+            F.expr(f"h % {HLL_BUCKETS}").alias("bucket"),
+            F.expr(f"h div {HLL_BUCKETS}").alias("w"),
+        )
+        .withColumn("rho", F.expr(rho))
+        .groupBy("window_start", "event_type", "bucket")
+        .agg(F.max("rho").alias("r"), F.count("*").alias("n"))
+    )
+    return _hll_estimate(
+        regs, keys=("window_start", "event_type")
+    ).withColumnRenamed("n_shingles", "n_events")

@@ -1562,3 +1562,33 @@ def test_weighted_sample_matches_python_reference_randomized(
     keyed = sorted(key(d, w) for d, w in weights.items() if w > 0)
     want = sorted(d for _, d in keyed[:50])
     assert got == want
+
+
+def test_hopping_distinct_users_accuracy(spark, tmp_path):
+    """Windowed cardinality sanity on a known corpus: 3 distinct users
+    firing inside one 5-minute slot -> each of the 2 containing
+    windows estimates ~3 via the linear-counting branch
+    (1024 * ln(1024/1021) = 3.0044); duplicate events from the same
+    user must not raise the estimate. Oracle parity on the same
+    events."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 3, 1, 12, 2)
+    rows = []
+    for e, (u, k) in enumerate(
+        [(7, 0), (8, 1), (9, 2), (7, 3), (7, 4)]  # user 7 fires 3x
+    ):
+        rows.append((e, t0 + dt.timedelta(seconds=k), u, "view", 1.0, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    out = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    _assert_parity(spark, out, "hopping_distinct_users")
+    _, got = _spark_rows(spark, out, "hopping_distinct_users")
+    assert len(got) == 2  # one 5-min slot -> two hopping windows
+    for _, etype, n_events, n_buckets, est in got:
+        assert etype == "view" and n_events == 5
+        assert n_buckets <= 3  # 3 distinct hashes at most 3 registers
+        assert abs(est - 3.0) < 0.1, est

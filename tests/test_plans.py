@@ -807,3 +807,16 @@ def test_session_window_single_exchange(spark, sf_dir):
     plan = _plan(relational.session_window_stats(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hopping_distinct_is_bounded_sketch(spark, sf_dir):
+    """The windowed-cardinality plan must be Expand -> register
+    hash-aggregate -> estimate aggregate: both aggregates partial-
+    combine (the shuffle carries at most 1024 register rows per
+    (window, type) cell, never user ids), no Window, no third
+    exchange."""
+    plan = _plan(relational.hopping_distinct_users(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert "partial_max" in plan and "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
