@@ -1568,7 +1568,10 @@ def pagerank_candidates(
         edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
     )
     dg = ed.groupBy("src").agg(F.count("*").alias("deg"))
-    e = ed.join(dg, "src")
+    # the degree-annotated edge list feeds EVERY iteration: checkpoint
+    # it once (the CC loop's rule) or the whole signature->banding
+    # lineage recomputes per round
+    e = ed.join(dg, "src").localCheckpoint()
     docs = _docs(spark, sf_dir).select("doc_id")
     ranks = docs.select("doc_id", F.lit(PR_INIT).cast("long").alias("r"))
     for _ in range(iters):
