@@ -170,7 +170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_stats": textstats.c4_line_stats,
         "pii_redact": textstats.pii_redact,
         "dsir_weights": textstats.dsir_weights,
-        "sample_by_source": curate.sample_by_source,
         "admit_corpus": curate.admit_corpus,
         "knn_join": similarity.knn_join,
         "unigram_logprob": textstats.unigram_logprob,
@@ -234,9 +233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched, rotated to the tail)
         "session_window_stats": relational.session_window_stats,
         "hopping_distinct_users": relational.hopping_distinct_users,
-        # (pack_sequences, multi-round green and untouched, rotated to
-        # the tail)
+        # (pack_sequences + sample_by_source, multi-round green and
+        # untouched, rotated to the tail)
         "pagerank_candidates": dedup.pagerank_candidates,
+        "source_overlap_stats": dedup.source_overlap_stats,
         # --- tail (positions 51+): multi-round driver-green queries;
         #     the 50-query cap skips these, the local parity suite
         #     (tests/test_oracle_parity.py) still checks every one ----
@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "decontaminate": dedup.decontaminate,
         "pack_sequences": textstats.pack_sequences,
+        "sample_by_source": curate.sample_by_source,
         "clean_unicode_sql": textstats.clean_unicode_sql,
         "lang_id": textstats.lang_id,
         "vocab_top_terms": textstats.vocab_top_terms,
@@ -2045,6 +2046,23 @@ def oracle_sql() -> dict[str, str]:
     # relation as the one-phase form — one oracle serves both, so a
     # driver hash-green on asof_join_salted IS the equivalence proof
     sql["asof_join_salted"] = sql["asof_join"]
+    # mirrors dedup.source_overlap_stats: the two verified sketch
+    # oracles verbatim as nested CTEs, inclusion-exclusion on top with
+    # the identical operation order
+    sql["source_overlap_stats"] = (
+        f"WITH hq AS ({sql['hll_distinct_shingles']}),"
+        f" jq AS ({sql['minhash_source_jaccard']})"
+        " SELECT jq.source_a, jq.source_b,"
+        " ha.est_distinct AS est_a, hb.est_distinct AS est_b,"
+        " jq.jaccard_est,"
+        " round(jq.jaccard_est / (1e0 + jq.jaccard_est)"
+        " * (ha.est_distinct + hb.est_distinct), 4)"
+        " AS est_intersection,"
+        " round((ha.est_distinct + hb.est_distinct)"
+        " / (1e0 + jq.jaccard_est), 4) AS est_union"
+        " FROM jq JOIN hq ha ON ha.source = jq.source_a"
+        " JOIN hq hb ON hb.source = jq.source_b"
+    )
     # mirrors similarity.rrf_fusion: the bm25 oracle verbatim as the
     # lexical arm (nested WITH), brute cosine as the vector arm, fused
     # as a two-addend double sum (commutative -> order-free) pinned to

@@ -171,6 +171,7 @@ def main() -> None:
         "session_window_stats": q(relational.session_window_stats),
         "hopping_distinct_users": q(relational.hopping_distinct_users),
         "pagerank_candidates": q(dedup.pagerank_candidates),
+        "source_overlap_stats": q(dedup.source_overlap_stats),
         "dedup_verified_pairs": q(dedup.minhash_verified_pairs),
     }
 

@@ -52,7 +52,7 @@ DOC_QUERIES = [
     "dup_passage_fraction", "c4_span_dedup", "hll_distinct_shingles",
     "bloom_decontaminate", "cms_heavy_hitters", "bm25_topk",
     "minhash_source_jaccard", "split_leak_safe", "char_entropy",
-    "cluster_keepers_degree", "pagerank_candidates",
+    "cluster_keepers_degree", "pagerank_candidates", "source_overlap_stats",
     "weighted_sample", "corpus_delta",
     # events-table operators (the sf1 replica carries a user-offset
     # 10x events table: weak scaling over users)

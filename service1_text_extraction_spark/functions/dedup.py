@@ -1594,3 +1594,45 @@ def pagerank_candidates(
             ).cast("long").alias("r"),
         )
     return ranks.select("doc_id", F.col("r").alias("rank_micro"))
+
+
+def source_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source overlap in ABSOLUTE shingle counts, composed
+    entirely from sketches: inclusion-exclusion over the HLL
+    cardinalities and the one-permutation Jaccard —
+    ``|A n B| ~= J/(1+J) * (|A|+|B|)`` and ``|A u B| ~= (|A|+|B|)/(1+J)``
+    — so "how many distinct shingles do these two crawl snapshots
+    share" is answered WITHOUT ever joining shingle sets: two bounded
+    sketch tables (sources x 1024 registers, sources x 128 stripes)
+    meet in a broadcast join of rows-per-source-pair size. Both
+    inputs are the already-verified deterministic sketches, so the
+    arithmetic here is identical doubles through identical operation
+    order in both engines (round 4dp at the edge)."""
+    hll = hll_distinct_shingles(spark, sf_dir).select(
+        "source", "est_distinct"
+    )
+    j = minhash_source_jaccard(spark, sf_dir)
+    da = hll.select(
+        F.col("source").alias("source_a"),
+        F.col("est_distinct").alias("est_a"),
+    )
+    db = hll.select(
+        F.col("source").alias("source_b"),
+        F.col("est_distinct").alias("est_b"),
+    )
+    out = j.join(F.broadcast(da), "source_a").join(
+        F.broadcast(db), "source_b"
+    )
+    both = F.col("est_a") + F.col("est_b")
+    jj = F.col("jaccard_est")
+    return out.select(
+        "source_a",
+        "source_b",
+        "est_a",
+        "est_b",
+        "jaccard_est",
+        F.round(jj / (F.lit(1.0) + jj) * both, 4).alias(
+            "est_intersection"
+        ),
+        F.round(both / (F.lit(1.0) + jj), 4).alias("est_union"),
+    )

@@ -1628,3 +1628,27 @@ def test_pagerank_matches_python_replay(spark, tmp_path):
     assert all(hub_rank > got[i] for i in (0, 1, 2)) or max(
         got, key=got.get
     ) in (0, 1, 2, 10)  # the hub-side of the star dominates
+
+
+def test_source_overlap_known_truth(spark, tmp_path):
+    """Sketch-composed inclusion-exclusion against exact set sizes:
+    sources with 400 shingles each sharing exactly 200 -> intersection
+    ~200, union ~600, within the stacked HLL (~3.2%) + OPH (~4%)
+    error budget. Oracle parity on the same corpus."""
+    rows = []
+    did = 0
+    for i in range(200):
+        for src, w in (("srcA", f"a{i}"), ("srcB", f"b{i}")):
+            rows.append((did, f"{w} {w} {w}", "en", src, 10))
+            did += 1
+        for src in ("srcA", "srcB"):
+            rows.append((did, f"c{i} c{i} c{i}", "en", src, 10))
+            did += 1
+    sf = _mini_docs(spark, tmp_path, rows)
+    _assert_parity(spark, sf, "source_overlap_stats")
+    _, out = _spark_rows(spark, sf, "source_overlap_stats")
+    assert len(out) == 1
+    (_, _, est_a, est_b, j, inter, union) = out[0]
+    assert abs(est_a - 400) < 60 and abs(est_b - 400) < 60
+    assert abs(inter - 200) < 70, inter
+    assert abs(union - 600) < 100, union

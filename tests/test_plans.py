@@ -831,3 +831,12 @@ def test_pagerank_iterations_are_join_plus_agg(spark, sf_dir):
     assert "partial_sum" in plan, plan
     for m in re.finditer(r"\(\d+\) Window[\s\S]*?Arguments: (.*)", plan):
         assert "rank" not in m.group(1) and "r#" not in m.group(1), plan
+
+
+def test_source_overlap_joins_sketches_broadcast(spark, sf_dir):
+    """Both sketch tables are bounded (sources x registers/stripes):
+    the inclusion-exclusion joins must broadcast — a SortMergeJoin here
+    would mean a sketch grew corpus-shaped."""
+    plan = _plan(dedup.source_overlap_stats(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
