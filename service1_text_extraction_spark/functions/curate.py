@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 
 from . import dedup, textstats
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .spread import spread_input
+
+    return spread_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 MIN_QUALITY = 0.5
 
 
@@ -30,7 +38,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep exact-dedup keepers whose quality clears MIN_QUALITY and
     whose language is identified."""
     base = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _docs(spark, sf_dir)
         .select(
             "doc_id", "text", F.expr(textstats._TOKENS).alias("t")
         )
@@ -96,7 +104,7 @@ def sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (no shuffle of the corpus) followed by one 20-row
     hash-aggregate with map-side combine — the 100 TB form writes the
     kept rows and this rollup in the same pass."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _docs(spark, sf_dir).select(
         "doc_id", "source"
     )
     # a source whose suffix fails to parse gets NULL rate; its rows
@@ -155,7 +163,7 @@ def sample_exact_quota(
 
     h = F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
     base = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _docs(spark, sf_dir)
         .select(
             "doc_id", "source", F.substring(h, 1, 16).alias("hk")
         )
@@ -223,7 +231,7 @@ def admit_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tokenizer re-runs once per signal reference (measured: 14
     ``split()`` copies in the pushed-down plan; plan-pinned to 1)."""
     admitted = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _docs(spark, sf_dir)
         .where(F.expr(admit_pred_sql()) & mix_keep_expr())
         .select("doc_id", textstats.split_label_expr().alias("split"))
     )
@@ -321,7 +329,7 @@ def wsample_keyed(docs: DataFrame) -> DataFrame:
 
 
 def _docs_w(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _docs(spark, sf_dir)
 
 
 def corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

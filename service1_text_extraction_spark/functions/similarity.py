@@ -31,7 +31,9 @@ LSH_RADIUS = 4  # multi-probe Hamming radius
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .spread import spread_input
+
+    return spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _dot(a: str, b: str) -> Column:

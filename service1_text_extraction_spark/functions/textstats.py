@@ -26,7 +26,9 @@ BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .spread import spread_input
+
+    return spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _stop_count(lang: str) -> F.Column:
@@ -116,6 +118,58 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# doc_fingerprint strategy: "arrow" (default) computes each document's
+# min-over-8-gram md5 in ONE Arrow-batched map — the SQL form
+# materializes a length(text)-element array of 32-char hash strings
+# per row through an interpreted (CodegenFallback) transform, which at
+# sf1.0 costs 18.7 s for a map-only query; the Arrow kernel streams
+# C-backed digests with no array ever built (1.0 s, guide §4.2).
+# "sql" keeps the expression form the DuckDB oracle mirrors; both are
+# the same md5 bytes, and min-by-digest == min-by-hex because hex
+# encoding is a byte-wise monotone map (pinned by
+# test_fingerprint_paths_agree).
+FP_STRATEGY = "arrow"
+FP_GRAM = 8
+
+
+def _fp_min_md5_udf():
+    """pandas_udf: text -> min md5 hex over all char 8-grams,
+    replicating the SQL shape bit-for-bit: substring counts CHARS
+    (Python slicing matches), docs shorter than ``FP_GRAM + 1`` chars
+    collapse to the single gram substring(text, 1, 8) == the whole
+    text, and NULL text yields NULL (array_min over all-null)."""
+    import hashlib
+
+    md5 = hashlib.md5
+
+    @F.pandas_udf("string")
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            n = len(t)
+            if n <= FP_GRAM:
+                out.append(md5(t.encode("utf-8")).hexdigest())
+                continue
+            if t.isascii():
+                b = t.encode()
+                mn = min(
+                    md5(b[i:i + FP_GRAM]).digest()
+                    for i in range(n - FP_GRAM + 1)
+                )
+            else:  # non-ASCII: slice by CHARS like Spark's substring
+                mn = min(
+                    md5(t[i:i + FP_GRAM].encode("utf-8")).digest()
+                    for i in range(n - FP_GRAM + 1)
+                )
+            out.append(mn.hex())
+        return pd.Series(out)
+
+    return fp
+
+
 def doc_fingerprint(
     spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
 ) -> DataFrame:
@@ -124,8 +178,14 @@ def doc_fingerprint(
     md5 is the verified default (DuckDB computes identical digests, so
     the oracle checks values); at 100 TB pass ``hash_fn='xxhash64'``
     for an 8-byte bigint fingerprint (bench delta in
-    BENCH/BASELINE.md)."""
+    BENCH/BASELINE.md). Strategy-routed (FP_STRATEGY): the default
+    Arrow map emits the identical hex strings with zero exchanges and
+    no per-row hash array."""
     df = _docs(spark, sf_dir)
+    if FP_STRATEGY == "arrow" and hash_fn == "md5":
+        return df.select(
+            "doc_id", _fp_min_md5_udf()(F.col("text")).alias("fingerprint")
+        )
     grams = F.expr(
         "transform(sequence(1, greatest(length(text)-7, 1)), "
         f"i -> {hash_fn}(substring(text, i, 8)))"
@@ -161,7 +221,7 @@ def clean_unicode_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = F.translate(cleaned, TRANS_FROM, TRANS_TO)
     cleaned = F.regexp_replace(cleaned, CTRL_CLASS, " ")
     cleaned = F.regexp_replace(cleaned, HIGH_CLASS, " ")
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    return _docs(spark, sf_dir).select(
         "doc_id", cleaned.alias("cleaned")
     )
 
@@ -169,7 +229,7 @@ def clean_unicode_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def normalize_ws_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 normalize_whitespace (text_utils.py:142-147) as SQL."""
     s = F.concat(F.lit("  a\t"), F.col("text"), F.lit("\n\nz  "))
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    return _docs(spark, sf_dir).select(
         "doc_id",
         F.trim(F.regexp_replace(s, r"\s+", " ")).alias("normalized"),
     )
@@ -191,7 +251,7 @@ def chunk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    return _docs(spark, sf_dir).select(
         "doc_id", n_chunks("text").alias("n_chunks")
     )
 
@@ -248,7 +308,7 @@ def tfidf_top_terms(
     results are deterministic and oracle-checkable."""
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     n_docs = docs.count()  # one scalar action (corpus size)
     toks = docs.select(
         "doc_id", F.explode(F.expr(_TOKENS)).alias("tok")
@@ -1316,15 +1376,43 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself never grows. Overestimate-only + monotone-merge properties
     are pinned in tests/test_curation_edge.py."""
     tok = _docs(spark, sf_dir).select(F.explode(F.expr(_TOKENS)).alias("w"))
-    cells = _cms_cells_sql()
-    sketch = _cms_sketch(tok)
-    # query the sketch for every candidate token: d broadcast-joined
-    # probes, estimate = min counter
-    cand = tok.distinct().select(
-        "w", F.posexplode(F.expr(cells)).alias("r", "col")
+    # Aggregate to DISTINCT tokens before any hashing (guide §2.3
+    # "aggregate before you shuffle"): the previous shape evaluated
+    # the Kirsch-Mitzenmacher cell transform — with the md5 halves
+    # INSIDE the per-cell lambda, 2 digests x CMS_D cells — once per
+    # token OCCURRENCE for the sketch arm, then re-tokenized the
+    # corpus a second time for the candidate distinct. Token counts
+    # are sufficient statistics for both arms: the sketch is the
+    # cell-wise SUM of counts (identical integers — addition groups),
+    # and the candidate set is the count table's key column. One
+    # corpus pass, md5 once per DISTINCT token, halves projected once
+    # per token (not once per cell). A/B at sf1.0: 18.09 -> ~1.6 s.
+    from .dedup import _md5_half_sql
+
+    wc = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "w",
+            "c",
+            F.expr(_md5_half_sql("w", 1)).alias("ha"),
+            F.expr(_md5_half_sql("w", 9)).alias("hb"),
+        )
+        .localCheckpoint()  # vocabulary-sized; feeds both arms
     )
+    cell_rows = wc.select(
+        "w",
+        "c",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, %d), r -> pmod(ha + r * hb, %d))"
+                % (CMS_D - 1, CMS_W)
+            )
+        ).alias("r", "col"),
+    )
+    sketch = cell_rows.groupBy("r", "col").agg(F.sum("c").alias("cnt"))
     return (
-        cand.join(F.broadcast(sketch), ["r", "col"])
+        cell_rows.join(F.broadcast(sketch), ["r", "col"])
         .groupBy("w")
         .agg(F.min("cnt").cast("long").alias("est_count"))
         .orderBy(F.col("est_count").desc(), F.col("w"))
