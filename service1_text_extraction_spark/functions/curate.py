@@ -26,7 +26,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .spread import spread_input
 
     return spread_input(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), key="doc_id"
     )
 
 

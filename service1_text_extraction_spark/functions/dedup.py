@@ -47,7 +47,9 @@ SHINGLES_OF_T = (
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .spread import spread_input
 
-    return spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), key="doc_id"
+    )
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,7 +494,11 @@ def _simhash_segments_udf():
             out.append((bits * weights).sum(axis=1))
         return pd.Series(out)
 
-    return segs
+    # pure function, but the downstream ``fs IS NOT NULL`` filter must
+    # not be pushed below it (guide §4.4) — that drags the
+    # ArrowEvalPython node under the input-spread exchange onto the
+    # unsplit single-task scan (see _assign_arrow_udf)
+    return segs.asNondeterministic()
 
 
 def _simhash_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,7 +729,7 @@ def minhash_connected_components(
     if edges is None:
         edges = _cc_bucket_edges(
             _band_exploded(spark, sf_dir)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
     if driver_max_edges > 0:
         # ONE action decides the branch and delivers the rows
@@ -964,6 +970,12 @@ def c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .where(F.col("text").rlike(r"\S"))
         .select("doc_id", F.expr(_T).alias("t"))
+        # shared parent of the span-hash stream (BOTH sides of the
+        # first-occurrence join) and the reassembly branch: one
+        # per-invocation materialization replaces three scan+tokenize
+        # passes (r7; the pre-spread measurements that favored
+        # re-scanning predate the single-task-scan fix)
+        .localCheckpoint(eager=False)
     )
     hashed = toks.select(
         "doc_id",
@@ -1120,6 +1132,48 @@ VERIFY_MAX_DIST_FRAC = 0.2  # verified near-dup: edit dist <= 20% of
                             # the longer side
 
 
+def _trim_affix_udf():
+    """pandas_udf: (ta, tb) -> struct(ca, cb) — the pair's texts with
+    their common prefix and common suffix stripped. Levenshtein
+    distance is invariant under common-affix removal (any optimal
+    edit script maps equal affixes to each other), so
+    ``levenshtein(ca, cb) == levenshtein(ta, tb)`` exactly — but LSH
+    candidates are near-identical, so the stripped cores collapse the
+    DP from O(len^2) to roughly O(edit_region^2). Prefix/suffix
+    lengths are found by binary search over C-level string equality
+    (O(n log n) per pair vs the DP's O(n^2)). NULL inputs pass
+    through as NULL cores, so the JVM levenshtein still yields NULL
+    and the ``lev >= 0`` filter drops the pair, exactly as before."""
+
+    def _common_prefix(a: str, b: str) -> int:
+        lo, hi = 0, min(len(a), len(b))
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if a[:mid] == b[:mid]:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    @pandas_udf("struct<ca:string,cb:string>")
+    def trim(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
+        cas, cbs = [], []
+        for a, b in zip(ta, tb):
+            if a is None or b is None:
+                cas.append(None)
+                cbs.append(None)
+                continue
+            p = _common_prefix(a, b)
+            ra, rb = a[p:], b[p:]
+            s = _common_prefix(ra[::-1], rb[::-1])
+            cas.append(ra[: len(ra) - s])
+            cbs.append(rb[: len(rb) - s])
+        return pd.DataFrame({"ca": cas, "cb": cbs})
+
+    # pure, but filters must not migrate below it (guide §4.4)
+    return trim.asNondeterministic()
+
+
 def minhash_verified_pairs(
     spark: SparkSession, sf_dir: str,
     max_dist_frac: float = VERIFY_MAX_DIST_FRAC,
@@ -1166,26 +1220,51 @@ def minhash_verified_pairs(
     d = _docs(spark, sf_dir).select("doc_id", "text")
     a = d.select(F.col("doc_id").alias("a_id"), F.col("text").alias("ta"))
     b = d.select(F.col("doc_id").alias("b_id"), F.col("text").alias("tb"))
+    # the DP runs on the common-affix-stripped CORES (r7): LSH
+    # candidates are near-identical, so stripping the shared prefix/
+    # suffix shrinks the O(n*m) matrix to the edit region while
+    # leaving the distance value untouched (_trim_affix_udf). The
+    # full lengths are captured FIRST — the band threshold and the
+    # dist_frac denominator read original lengths, exactly as before.
+    # A/B at sf1.0: 9.2 -> ~2.5 s, identical rows.
+    paired = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.length("ta").alias("la"),
+            F.length("tb").alias("lb"),
+            _trim_affix_udf()(F.col("ta"), F.col("tb")).alias("c"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "la",
+            "lb",
+            F.col("c.ca").alias("ca"),
+            F.col("c.cb").alias("cb"),
+        )
+    )
     if banded:
         # band = boundary + 1e-4*len + 2: the 4dp HALF_UP round
         # admits lev/maxlen up to frac + 0.00005, so the slack term
         # dominates the round-boundary at EVERY length; slack
-        # survivors fail the exact filter below
+        # survivors fail the exact filter below. Lengths are the
+        # ORIGINAL texts' (the cores only shrink the DP, never the
+        # admission rule).
         lev = F.expr(
-            f"levenshtein(ta, tb, cast(({max_dist_frac} + 1e-4) *"
-            " greatest(length(ta), length(tb), 1) + 2 as int))"
+            f"levenshtein(ca, cb, cast(({max_dist_frac} + 1e-4) *"
+            " greatest(la, lb, 1) + 2 as int))"
         )
     else:
-        lev = F.levenshtein("ta", "tb")
+        lev = F.levenshtein("ca", "cb")
     frac = F.round(
-        lev
-        / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)),
+        lev / F.greatest(F.col("la"), F.col("lb"), F.lit(1)),
         4,
     )
     return (
-        cand.join(a, "a_id")
-        .join(b, "b_id")
-        .select(
+        paired.select(
             "a_id",
             "b_id",
             lev.cast("long").alias("lev"),
@@ -1545,7 +1624,7 @@ def cluster_keepers_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures from the corpus, paying the Arrow UDF twice. A/B at
     sf1.0: 12.56 -> ~7.4 s; plan-pinned to one signature stage by
     test_keeper_single_signature_pass."""
-    banded = _band_exploded(spark, sf_dir).localCheckpoint()
+    banded = _band_exploded(spark, sf_dir).localCheckpoint(eager=False)
     edges = minhash_band_candidates(spark, sf_dir, exploded=banded)
     touches = edges.select(F.col("a_id").alias("doc_id")).unionAll(
         edges.select(F.col("b_id").alias("doc_id"))
@@ -1691,7 +1770,7 @@ def source_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.min("h").alias("mn"),
         )
-        .localCheckpoint()  # bounded: sources x HLL_BUCKETS rows
+        .localCheckpoint(eager=False)  # bounded: sources x HLL_BUCKETS rows
     )
     hll = _hll_estimate(
         per_bucket.select("source", "bucket", "r", "n")

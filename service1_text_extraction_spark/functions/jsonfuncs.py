@@ -85,7 +85,9 @@ def json_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-side extraction of the unsalted props."""
     from .spread import spread_input
 
-    ev = spread_input(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ev = spread_input(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), key="event_id"
+    )
     out = ev.select(
         "event_id", _recover_k(dirty_payload()).alias("r")
     )

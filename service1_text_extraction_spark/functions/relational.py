@@ -967,7 +967,7 @@ def hopping_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .spread import spread_input
 
     ev = spread_input(
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        spark.read.parquet(f"{sf_dir}/events.parquet"), key="event_id"
     ).where(F.col("ts").isNotNull())
     win = F.window("ts", HOP_WINDOW, HOP_SLIDE)
     rho = (

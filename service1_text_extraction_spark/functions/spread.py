@@ -23,14 +23,24 @@ Catalyst moves both through a Repartition node).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
-def spread_input(df: DataFrame) -> DataFrame:
-    """Round-robin-spread a freshly read DataFrame across the session's
-    cores iff its planned scan has fewer partitions (an unsplittable /
-    few-row-group input); identity otherwise."""
+def spread_input(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Spread a freshly read DataFrame across the session's cores iff
+    its planned scan has fewer partitions (an unsplittable /
+    few-row-group input); identity otherwise.
+
+    ``key`` (a unique id column) selects HASH partitioning on that
+    key: deterministic under task retries like any hash exchange, and
+    — unlike keyless ``repartition(n)`` — free of the
+    sortBeforeRepartition local sort, which on a text-heavy table
+    costs more than the shuffle itself (guide §2.5: derive synthetic
+    spread keys deterministically; a unique id hashes uniformly)."""
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
+        if key is not None:
+            return df.repartition(n, F.col(key))
         return df.repartition(n)
     return df

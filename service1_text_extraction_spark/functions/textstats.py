@@ -28,7 +28,9 @@ BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .spread import spread_input
 
-    return spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), key="doc_id"
+    )
 
 
 def _stop_count(lang: str) -> F.Column:
@@ -904,6 +906,13 @@ def dsir_weights(
     )
     if persist:
         tok = tok.persist()
+    else:
+        # the bucketed token stream feeds both the feature-count pass
+        # and the scoring pass; one per-invocation checkpoint (narrow
+        # integer rows — the md5 bucketing ran once) replaces the
+        # second tokenize+hash scan. The persist knob remains the
+        # cross-query form the plan test pins.
+        tok = tok.localCheckpoint(eager=False)
     # ONE aggregation builds both distributions (raw count + target
     # count per bucket) — the corpus is scanned exactly twice total,
     # never once per distribution (plan-pinned: two split() branches)
@@ -1047,6 +1056,15 @@ def bigram_logprob(
     )
     if persist:
         toks = toks.persist()
+    else:
+        # the tokenized frame is the shared parent of the bigram
+        # stream (twice: count build + scoring join) and the
+        # vocabulary aggregate — four corpus tokenizations without
+        # help. One per-invocation localCheckpoint tokenizes ONCE;
+        # unlike persist() it cannot leak results into a later run
+        # (each call builds a fresh RDD). This is the documented
+        # 100 TB answer (the persist knob) made the default.
+        toks = toks.localCheckpoint(eager=False)
     # CASE guard: sequence(1, size-1) is DESCENDING for size < 2 (the
     # phantom-pseudo-line trap) — a short doc must yield NO bigrams
     big = toks.select(
@@ -1061,6 +1079,11 @@ def bigram_logprob(
         ).alias("g"),
     ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
     c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    if not persist:
+        # c2 feeds both the context reduction c1 and the scoring
+        # projection — checkpoint the (bigram-type-sized) table so the
+        # aggregation runs once per invocation
+        c2 = c2.localCheckpoint(eager=False)
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = toks.select(F.explode("t").alias("w")).agg(
         F.countDistinct("w").cast("double").alias("v")
@@ -1128,6 +1151,11 @@ def trigram_logprob(
     )
     if persist:
         toks = toks.persist()
+    else:
+        # shared parent of the trigram stream (x2), bigram stream, and
+        # unigram aggregate — one per-invocation materialization
+        # replaces five corpus tokenizations (see bigram_logprob)
+        toks = toks.localCheckpoint(eager=False)
     # CASE guard: sequence(2, size-1) is DESCENDING for size < 3
     tri = toks.select(
         "doc_id",
@@ -1151,8 +1179,14 @@ def trigram_logprob(
         ).alias("g"),
     ).select("g.b1", "g.b2")
     c3t = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
-    c12 = c3t.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
     c2t = big.groupBy("b1", "b2").agg(F.count("*").alias("c23"))
+    if not persist:
+        # each count table feeds its context reduction AND the scoring
+        # join — checkpoint both (gram-type-sized) so each aggregation
+        # runs once per invocation
+        c3t = c3t.localCheckpoint(eager=False)
+        c2t = c2t.localCheckpoint(eager=False)
+    c12 = c3t.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
     c2c = c2t.groupBy("b1").agg(F.sum("c23").alias("c2"))
     cu = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
         F.count("*").alias("c3")
@@ -1229,6 +1263,12 @@ def ccnet_ppl_buckets(
     base = trigram_logprob(spark, sf_dir, persist=persist)
     if persist:
         base = base.persist()
+    else:
+        # base feeds the histogram pass AND the final projection —
+        # without help the whole trigram-LM pipeline runs twice; one
+        # per-invocation checkpoint of the doc-sized scored table
+        # halves the query (guide §5 caching rule)
+        base = base.localCheckpoint(eager=False)
     hist = base.groupBy("mean_nll").agg(F.count("*").alias("n"))
     w_cum = (
         Window.orderBy("mean_nll")
@@ -1302,6 +1342,12 @@ def unigram_logprob(
     )
     if counts is None:
         counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+        # default path deliberately stays lazy (construction must not
+        # run a job — the ADVICE-r4 pin): counts computes twice, and
+        # the persist=True knob / precomputed-counts param remain the
+        # scale answers. The heavier multi-consumer pipelines (bigram,
+        # trigram, ccnet, dsir, bm25, cms) checkpoint instead — their
+        # shared parents are consumed 3-5x, not 2x.
     if persist:
         counts = counts.persist()
     tot = counts.agg(
@@ -1398,7 +1444,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_md5_half_sql("w", 1)).alias("ha"),
             F.expr(_md5_half_sql("w", 9)).alias("hb"),
         )
-        .localCheckpoint()  # vocabulary-sized; feeds both arms
+        .localCheckpoint(eager=False)  # vocabulary-sized; feeds both arms
     )
     cell_rows = wc.select(
         "w",
@@ -1464,6 +1510,10 @@ def bm25_topk(
         toks.where(F.col("doc_id") < nq)
         .select(F.col("doc_id").alias("qid"), "tok")
         .distinct()
+        # query-term-sized; probes the postings AND re-joins the
+        # scored rows — materialize once per invocation (lazily: no
+        # job at plan-construction time)
+        .localCheckpoint(eager=False)
     )
     # corpus stats over candidate docs: one bounded scalar action
     stats = (
@@ -1480,6 +1530,10 @@ def bm25_topk(
     tf = hits.groupBy("doc_id", "tok").agg(
         F.count("*").alias("tf"), F.max("dl").alias("dl")
     )
+    # tf feeds the df reduction AND the scoring join — checkpoint the
+    # (matched-postings-sized) table so the corpus probe runs once per
+    # invocation, not once per consumer
+    tf = tf.localCheckpoint(eager=False)
     dfc = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log(
         F.lit(1.0)

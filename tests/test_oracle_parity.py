@@ -470,3 +470,65 @@ def test_minhash_arrow_shingle_edges(spark):
     assert [r[0] for r in a] == [1, 2, 3, 4, 5, 6, 7]
     # 4 and 5 share the '' shingle, hence identical signatures
     assert a[3][1:] == a[4][1:]
+
+
+def test_pair_dot_paths_agree(spark, sf_dir):
+    """The Arrow pair-dot fold must be bit-equal to the interpreted
+    JVM ``aggregate(zip_with(...))`` form (sequential per-dimension
+    accumulation — the _fold_dots argument applied to pairs): the
+    semantic-dedup edge set, with its 4dp-rounded cosines, must be
+    identical under both strategies."""
+    from service1_text_extraction_spark.functions import similarity
+
+    prev = similarity.PAIR_DOT_STRATEGY
+    try:
+        similarity.PAIR_DOT_STRATEGY = "arrow"
+        arrow = {
+            (r.a_id, r.b_id): r.cos
+            for r in similarity.semantic_dedup(spark, sf_dir).collect()
+        }
+        similarity.PAIR_DOT_STRATEGY = "sql"
+        sql = {
+            (r.a_id, r.b_id): r.cos
+            for r in similarity.semantic_dedup(spark, sf_dir).collect()
+        }
+    finally:
+        similarity.PAIR_DOT_STRATEGY = prev
+    assert arrow == sql
+
+
+def test_fingerprint_paths_agree(spark, sf_dir):
+    """The Arrow min-md5-8-gram kernel must emit the identical hex
+    fingerprint as the SQL transform/array_min form (min-by-digest ==
+    min-by-hex: hex encoding is byte-wise monotone), including the
+    short-text (single truncated gram) fallback."""
+    from service1_text_extraction_spark.functions import textstats
+
+    prev = textstats.FP_STRATEGY
+    try:
+        textstats.FP_STRATEGY = "arrow"
+        arrow = {
+            r.doc_id: r.fingerprint
+            for r in textstats.doc_fingerprint(spark, sf_dir).collect()
+        }
+        textstats.FP_STRATEGY = "sql"
+        sql = {
+            r.doc_id: r.fingerprint
+            for r in textstats.doc_fingerprint(spark, sf_dir).collect()
+        }
+    finally:
+        textstats.FP_STRATEGY = prev
+    assert arrow == sql
+
+
+def test_verified_pairs_affix_trim_matches_plain_lev(spark, sf_dir):
+    """The common-affix-stripped Levenshtein must reproduce the plain
+    full-text DP bit-for-bit (distance is invariant under common
+    prefix/suffix removal), banded and unbanded."""
+    from service1_text_extraction_spark.functions import dedup
+
+    plain = dedup.minhash_verified_pairs(spark, sf_dir)
+    banded = dedup.minhash_verified_pairs(spark, sf_dir, banded=True)
+    a = {(r.a_id, r.b_id): (r.lev, r.dist_frac) for r in plain.collect()}
+    b = {(r.a_id, r.b_id): (r.lev, r.dist_frac) for r in banded.collect()}
+    assert a == b

@@ -439,14 +439,17 @@ def test_pii_redact_is_shuffle_free(spark, sf_dir):
 
 
 def test_dsir_two_scans_broadcast_lookup(spark, sf_dir):
-    """DSIR must scan the corpus exactly twice (count pass + score
-    pass — never once per distribution) and join the B-row log-ratio
-    lookup via broadcast, not shuffle."""
+    """DSIR must tokenize the corpus exactly ONCE (the bucketed token
+    stream is checkpointed and feeds both the count pass and the score
+    pass — since r7 the default path materializes it per invocation,
+    so the final plan shows ZERO tokenizer copies) and join the B-row
+    log-ratio lookup via broadcast, not shuffle."""
     from service1_text_extraction_spark.functions import textstats
 
     df = textstats.dsir_weights(spark, sf_dir)
     exec_plan = df._jdf.queryExecution().executedPlan().toString()
-    assert exec_plan.count("split(") == 2, exec_plan
+    assert exec_plan.count("split(") == 0, exec_plan
+    assert "ExistingRDD" in exec_plan, exec_plan
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
@@ -556,14 +559,17 @@ def test_c4_span_dedup_min_struct_not_window(spark, sf_dir):
     """Global keep-first must be the map-side-combinable
     min(struct(doc_id, idx)) hash-aggregate, NEVER a row_number window
     over the span hash (a boilerplate span occurring 10^9 times would
-    funnel through one window partition). Exactly one tokenizer copy
-    per scan branch (three branches: both sides of the
-    first-occurrence join + the reassembly scan)."""
+    funnel through one window partition). Since r7 the tokenized frame
+    is checkpointed once and every branch (both sides of the
+    first-occurrence join + the reassembly scan) reads the
+    materialized RDD — ZERO tokenizer copies in the final plan, where
+    the r6 shape paid three scan+tokenize passes."""
     plan = _plan(dedup.c4_span_dedup(spark, sf_dir))
     assert "row_number" not in plan.lower(), plan
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
-    assert plan.count("split(lower") == 3, plan.count("split(lower")
+    assert plan.count("split(lower") == 0, plan.count("split(lower")
+    assert "ExistingRDD" in plan, plan
 
 
 def test_hll_register_aggregate_combines_map_side(spark, sf_dir):
