@@ -50,7 +50,15 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instead of re-filtering the token array
         textstats.quality_expr(stop_en=F.col("sc_en")).alias("quality"),
         textstats.split_label_expr().alias("split"),
-    )
+        # checkpoint the NARROW signal table (r7): without the
+        # barrier, predicate pushdown substitutes quality/lang_pred
+        # into a Filter below the scan-side projections — ~25
+        # tokenizer copies per row, evaluated in the (serial) scan
+        # stage. Behind the barrier the signals compute once per row
+        # in the parallel projection and the filter reads plain
+        # columns. Lazy: no job at construction; per-invocation, so
+        # no result crosses bench runs.
+    ).localCheckpoint(eager=False)
     # keeper_id is one-per-md5-group, already distinct
     keepers = dedup.exact_dedup(spark, sf_dir).select(
         F.col("keeper_id").alias("doc_id")
@@ -232,8 +240,22 @@ def admit_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``split()`` copies in the pushed-down plan; plan-pinned to 1)."""
     admitted = (
         _docs(spark, sf_dir)
-        .where(F.expr(admit_pred_sql()) & mix_keep_expr())
-        .select("doc_id", textstats.split_label_expr().alias("split"))
+        # r7: evaluate the let-bound predicate in a PROJECTION above
+        # the input-spread exchange (projections are not pushed below
+        # it; a WHERE is) and filter behind a checkpoint barrier —
+        # otherwise the whole Gopher/C4 signal chain lands in a
+        # Filter inside the serial scan stage. The narrow
+        # (doc_id, adm, split) table materializes once per
+        # invocation; the let-binding still holds signal evaluation
+        # to one tokenizer pass per row.
+        .select(
+            "doc_id",
+            (F.expr(admit_pred_sql()) & mix_keep_expr()).alias("adm"),
+            textstats.split_label_expr().alias("split"),
+        )
+        .localCheckpoint(eager=False)
+        .where(F.col("adm"))
+        .select("doc_id", "split")
     )
     # exact_dedup emits ONE keeper per md5(text) group, so keeper_id
     # is already distinct — no .distinct() (it would add a pointless

@@ -51,10 +51,18 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .spread import spread_input
+
+    return spread_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), key="doc_id"
+    )
+
 def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over an opaque binary payload (documents.text
     bytes stand in for image bytes): declarative, oracle-checkable."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.octet_length("text").cast("long").alias("n_bytes"),
@@ -142,7 +150,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6dp) so the result is a sortable/hashable relation; the
     raw ``array<float>`` shape stays internal to ``decode_features``.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _docs(spark, sf_dir).select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return decode_features(docs).select(
@@ -240,7 +248,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # payloads here are cast *text* — the stub-shaped DuckDB oracle is
     # the contract, so the ASCII Y4M sniff must never fire (sniff_real
     # stays on only for true-video callers like y4m_frames' input).
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _docs(spark, sf_dir).select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return frame_sample(docs, sniff_real=False)
@@ -298,7 +306,7 @@ def png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "width", "height", "pixel_md5", "n_pixels"],
             )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id")
     return docs.mapInPandas(run, PNG_SCHEMA)
 
 
@@ -362,7 +370,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id")
     return docs.mapInPandas(run, RESIZE_SCHEMA)
 
 
@@ -423,7 +431,7 @@ def wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id")
     return docs.mapInPandas(run, WAV_SCHEMA)
 
 
@@ -461,5 +469,5 @@ def y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "frame_idx", "frame_md5", "n_bytes"],
             )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id")
     return docs.mapInPandas(run, FRAME_SCHEMA)
