@@ -732,15 +732,28 @@ def minhash_connected_components(
         ).localCheckpoint(eager=False)
 
     if driver_max_edges > 0:
-        # ONE action decides the branch and delivers the rows
-        head = edges.take(driver_max_edges + 1)
+        # ONE action decides the branch and delivers the rows — via
+        # Arrow (toPandas) rather than row-pickled take(): the edge
+        # list is bounded by the threshold, and Arrow moves it an
+        # order of magnitude cheaper (guide §6 driver-transfer rule)
+        head = edges.limit(driver_max_edges + 1).toPandas()
         if len(head) <= driver_max_edges:
-            rows = [(("d", r.doc_id), ("b", r.bucket)) for r in head]
+            rows = [
+                (("d", d), ("b", b))
+                for d, b in zip(
+                    head["doc_id"].tolist(), head["bucket"].tolist()
+                )
+            ]
             doc_nodes = {a for a, _ in rows}
             labels = _driver_cc_min_labels(rows, doc_nodes)
+            out = pd.DataFrame(
+                {
+                    "doc_id": [int(n[1]) for n in labels],
+                    "cluster_rep": [int(v[1]) for v in labels.values()],
+                }
+            )
             return spark.createDataFrame(
-                [(int(n[1]), int(lbl[1])) for n, lbl in labels.items()],
-                "doc_id long, cluster_rep long",
+                out, "doc_id long, cluster_rep long"
             )
 
     labels = edges.select("doc_id").distinct().withColumn(
@@ -1333,9 +1346,105 @@ def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_estimate(_hll_registers(_docs(spark, sf_dir)))
 
 
+# Shingle-sketch strategy: "arrow" (default) computes per-BATCH
+# partial sketch rows — (source, bucket, max rho, occurrence count,
+# min h) — inside one mapInPandas kernel: the tokenizer, shingle set,
+# and md5-prefix hash run in-worker (hot shingles memoized, the
+# _minhash_h_row precedent), and each Arrow batch emits at most
+# |sources| x HLL_BUCKETS rows, so the downstream hash-aggregate
+# merges bounded partials exactly like a map-side combine. "sql"
+# keeps the explode+md5 expression shape the DuckDB oracle mirrors;
+# both produce the identical 60-bit integers and the sketch merges
+# (max / sum / min) are order-free, so equality is structural
+# (pinned by test_shingle_sketch_paths_agree).
+SHINGLE_SKETCH_STRATEGY = "arrow"
+
+_SHINGLE_H_MEMO: dict = {}
+_SHINGLE_MEMO_CAP = 1_000_000
+
+
+def _shingle_h(s: str) -> int:
+    h = _SHINGLE_H_MEMO.get(s)
+    if h is None:
+        h = int(
+            hashlib.md5(s.encode("utf-8")).hexdigest()[:HLL_HASH_HEX], 16
+        )
+        if len(_SHINGLE_H_MEMO) < _SHINGLE_MEMO_CAP:
+            _SHINGLE_H_MEMO[s] = h
+    return h
+
+
+def _shingle_sketch_partials(docs: DataFrame) -> DataFrame:
+    """Per-Arrow-batch partial sketch rows (source, bucket, r, n, mn)
+    over the document shingle stream — the shared parent of the HLL
+    registers, the OPH stripe minima (``OPH_STRIPES`` divides
+    ``HLL_BUCKETS``, so ``h % stripes == bucket % stripes``), and the
+    absolute-overlap composition. Replicates the SQL derivation
+    bit-for-bit: Java-\\s tokenization, per-doc DISTINCT word-3-gram
+    shingles with the short-doc single-shingle fallback (token-less
+    and NULL docs contribute the '' shingle — the SQL explode's
+    behavior), 60-bit md5-hex-prefix hash, bucket = h mod 1024,
+    rho = 51 - bitlength(h div 1024)."""
+    ws = re.compile(_JAVA_WS_RE)
+
+    def gen(batches):
+        for pdf in batches:
+            agg: dict = {}
+            for src, t in zip(pdf["source"], pdf["text"]):
+                toks = (
+                    [x for x in ws.split(t.lower()) if x]
+                    if isinstance(t, str)
+                    else []
+                )
+                if len(toks) >= 3:
+                    shingles = {
+                        " ".join(toks[i:i + 3])
+                        for i in range(len(toks) - 2)
+                    }
+                else:
+                    shingles = {" ".join(toks)}
+                for s in shingles:
+                    h = _shingle_h(s)
+                    b = h % HLL_BUCKETS
+                    w = h // HLL_BUCKETS
+                    rho = 51 if w == 0 else 51 - w.bit_length()
+                    k = (src, b)
+                    e = agg.get(k)
+                    if e is None:
+                        agg[k] = [rho, 1, h]
+                    else:
+                        if rho > e[0]:
+                            e[0] = rho
+                        e[1] += 1
+                        if h < e[2]:
+                            e[2] = h
+            yield pd.DataFrame(
+                {
+                    "source": [k[0] for k in agg],
+                    "bucket": [k[1] for k in agg],
+                    "r": [v[0] for v in agg.values()],
+                    "n": [v[1] for v in agg.values()],
+                    "mn": [v[2] for v in agg.values()],
+                }
+            )
+
+    return docs.select("source", "text").mapInPandas(
+        gen, "source string, bucket long, r int, n long, mn long"
+    )
+
+
 def _hll_registers(docs: DataFrame) -> DataFrame:
     """(source, bucket, r, n) register rows for a documents
-    DataFrame — the sketch in its mergeable form."""
+    DataFrame — the sketch in its mergeable form. Strategy-routed
+    (SHINGLE_SKETCH_STRATEGY): the default Arrow kernel emits
+    per-batch partials that this aggregate merges (max is idempotent,
+    counts sum) into the identical registers."""
+    if SHINGLE_SKETCH_STRATEGY == "arrow":
+        return (
+            _shingle_sketch_partials(docs)
+            .groupBy("source", "bucket")
+            .agg(F.max("r").alias("r"), F.sum("n").alias("n"))
+        )
     rho = (
         "CASE WHEN w = 0 THEN 51 ELSE"
         " cast(51 - length(bin(w)) as int) END"
@@ -1547,6 +1656,16 @@ def minhash_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup family's shared md5-prefix hash, so the estimate is a
     ratio of identical integers in any engine at any parallelism."""
     m = OPH_STRIPES
+    if SHINGLE_SKETCH_STRATEGY == "arrow":
+        # OPH_STRIPES divides HLL_BUCKETS, so h % m == bucket % m and
+        # the stripe minima fold directly from the shared Arrow
+        # partial-sketch rows (min of per-batch minima == global min)
+        regs = (
+            _shingle_sketch_partials(_docs(spark, sf_dir))
+            .groupBy("source", (F.col("bucket") % m).alias("stripe"))
+            .agg(F.min("mn").alias("mn"))
+        )
+        return _oph_pair_jaccard(regs)
     regs = (
         _docs(spark, sf_dir)
         .select("source", F.expr(_TOKENS).alias("t"))
@@ -1742,33 +1861,47 @@ def source_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the two-pass form by construction, so the estimates are
     bit-equal. A/B at sf1.0: 11.29 -> ~4.5 s."""
     m = OPH_STRIPES
-    rho = (
-        "CASE WHEN w = 0 THEN 51 ELSE"
-        " cast(51 - length(bin(w)) as int) END"
-    )
+    if SHINGLE_SKETCH_STRATEGY == "arrow":
+        merged = _shingle_sketch_partials(_docs(spark, sf_dir))
+    else:
+        rho = (
+            "CASE WHEN w = 0 THEN 51 ELSE"
+            " cast(51 - length(bin(w)) as int) END"
+        )
+        merged = (
+            _docs(spark, sf_dir)
+            .select("source", F.expr(_TOKENS).alias("t"))
+            .select(
+                "source", F.explode(F.expr(SHINGLES_OF_T)).alias("s")
+            )
+            .select(
+                "source",
+                F.expr(
+                    f"cast(conv(substring(md5(s), 1, {HLL_HASH_HEX}),"
+                    " 16, 10) as bigint)"
+                ).alias("h"),
+            )
+            .select(
+                "source",
+                F.expr(f"h % {HLL_BUCKETS}").alias("bucket"),
+                F.expr(f"h div {HLL_BUCKETS}").alias("w"),
+                "h",
+            )
+            .withColumn("rho", F.expr(rho))
+            .select(
+                "source",
+                "bucket",
+                F.col("rho").alias("r"),
+                F.lit(1).cast("long").alias("n"),
+                F.col("h").alias("mn"),
+            )
+        )
     per_bucket = (
-        _docs(spark, sf_dir)
-        .select("source", F.expr(_TOKENS).alias("t"))
-        .select("source", F.explode(F.expr(SHINGLES_OF_T)).alias("s"))
-        .select(
-            "source",
-            F.expr(
-                f"cast(conv(substring(md5(s), 1, {HLL_HASH_HEX}),"
-                " 16, 10) as bigint)"
-            ).alias("h"),
-        )
-        .select(
-            "source",
-            F.expr(f"h % {HLL_BUCKETS}").alias("bucket"),
-            F.expr(f"h div {HLL_BUCKETS}").alias("w"),
-            "h",
-        )
-        .withColumn("rho", F.expr(rho))
-        .groupBy("source", "bucket")
+        merged.groupBy("source", "bucket")
         .agg(
-            F.max("rho").alias("r"),
-            F.count("*").alias("n"),
-            F.min("h").alias("mn"),
+            F.max("r").alias("r"),
+            F.sum("n").alias("n"),
+            F.min("mn").alias("mn"),
         )
         .localCheckpoint(eager=False)  # bounded: sources x HLL_BUCKETS rows
     )

@@ -143,7 +143,8 @@ def cosine_neardup_pairs(
     width = N_PLANES // NEARDUP_BANDS
     e = _emb(spark, sf_dir).select(
         "vec_id", "embedding", _norm("embedding").alias("nrm")
-    ).withColumn("bucket", _bucket_col())
+    ).localCheckpoint(eager=False)  # consumed by both pair-join sides
+    eb = e.withColumn("bucket", _bucket_col())
     bands = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -151,7 +152,7 @@ def cosine_neardup_pairs(
         )
         for b in range(NEARDUP_BANDS)
     ]
-    exploded = e.select(
+    exploded = eb.select(
         "vec_id", F.explode(F.array(*bands)).alias("b")
     ).select("vec_id", F.col("b.band_idx"), F.col("b.band_val"))
     buckets = _capped_buckets(
@@ -660,7 +661,7 @@ def semantic_dedup(
     assign = kmeans_assign(spark, sf_dir, k=k)  # (vec_id, list_id)
     e = _emb(spark, sf_dir).select(
         "vec_id", "embedding", _norm("embedding").alias("nrm")
-    )
+    ).localCheckpoint(eager=False)  # consumed by both pair-join sides
     buckets = _capped_buckets(
         assign.select("vec_id", "list_id"),
         ["list_id"],
@@ -720,16 +721,22 @@ def _cc_min_labels(
         # ONE action both decides the branch and delivers the rows
         # (review r5): an oversized graph returns threshold+1 rows and
         # falls through to the distributed loop
-        head = edges.take(driver_max_edges + 1)
+        # Arrow transfer, not row-pickled take() — guide §6
+        head = edges.limit(driver_max_edges + 1).toPandas()
         if len(head) <= driver_max_edges:
-            rows = [(r[0], r[1]) for r in head]
+            rows = list(
+                zip(head["a_id"].tolist(), head["b_id"].tolist())
+            )
             nodes = {a for a, _ in rows} | {b for _, b in rows}
             labels = _driver_cc_min_labels(rows, nodes)
             spark = edges.sparkSession
-            return spark.createDataFrame(
-                [(int(n), int(lbl)) for n, lbl in labels.items()],
-                "vec_id long, label long",
+            out = pd.DataFrame(
+                {
+                    "vec_id": [int(n) for n in labels],
+                    "label": [int(v) for v in labels.values()],
+                }
             )
+            return spark.createDataFrame(out, "vec_id long, label long")
     adj = edges.selectExpr("a_id AS src", "b_id AS dst").union(
         edges.selectExpr("b_id AS src", "a_id AS dst")
     )
@@ -955,9 +962,13 @@ def knn_join_multiprobe(
     cents = _kmeans_centroids(spark, sf_dir, quant_k)
     e = _emb(spark, sf_dir).select(
         "vec_id", "embedding", _norm("embedding").alias("nrm")
-    )
+    ).localCheckpoint(eager=False)  # consumed by both pair-join sides
     ev = e.select("vec_id", "embedding")
-    probe = _probe_lists(spark, ev, cents, probes)
+    # the probe table feeds the primary buckets AND the foreign
+    # probes — checkpoint so the Arrow ranking UDF runs once
+    probe = _probe_lists(spark, ev, cents, probes).localCheckpoint(
+        eager=False
+    )
     primary = probe.where(F.col("probe_rank") == 1).select(
         "vec_id", "list_id"
     )

@@ -532,3 +532,39 @@ def test_verified_pairs_affix_trim_matches_plain_lev(spark, sf_dir):
     a = {(r.a_id, r.b_id): (r.lev, r.dist_frac) for r in plain.collect()}
     b = {(r.a_id, r.b_id): (r.lev, r.dist_frac) for r in banded.collect()}
     assert a == b
+
+
+def test_shingle_sketch_paths_agree(spark, sf_dir):
+    """The Arrow shingle-sketch kernel must reproduce the SQL
+    explode+md5 derivation exactly: identical HLL estimates and OPH
+    stripe-Jaccard rows under both strategies (the sketch merges are
+    order-free integer max/sum/min, so equality is structural)."""
+    from service1_text_extraction_spark.functions import dedup
+
+    prev = dedup.SHINGLE_SKETCH_STRATEGY
+    out = {}
+    try:
+        for strat in ("arrow", "sql"):
+            dedup.SHINGLE_SKETCH_STRATEGY = strat
+            hll = sorted(
+                map(
+                    tuple,
+                    dedup.hll_distinct_shingles(spark, sf_dir).collect(),
+                )
+            )
+            oph = sorted(
+                map(
+                    tuple,
+                    dedup.minhash_source_jaccard(spark, sf_dir).collect(),
+                )
+            )
+            ovl = sorted(
+                map(
+                    tuple,
+                    dedup.source_overlap_stats(spark, sf_dir).collect(),
+                )
+            )
+            out[strat] = (hll, oph, ovl)
+    finally:
+        dedup.SHINGLE_SKETCH_STRATEGY = prev
+    assert out["arrow"] == out["sql"]
