@@ -54,9 +54,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one hash-aggregate on the full text (at scale:
-    group on md5 first so the shuffle carries 16 bytes, not documents)."""
+    group on md5 first so the shuffle carries 16 bytes, not documents).
+
+    Reads the RAW scan (no input spread): the md5 keys partial-combine
+    map-side, so spreading the text through an exchange first costs
+    more than the single-pass hash it would parallelize (A/B at
+    sf1.0: 0.8 s spread vs 0.4 s raw)."""
     return (
-        _docs(spark, sf_dir)
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
         .groupBy(F.md5(F.col("text")).alias("text_md5"))
         .agg(
             F.min("doc_id").cast("long").alias("keeper_id"),
