@@ -1084,13 +1084,17 @@ def bigram_logprob(
         # projection — checkpoint the (bigram-type-sized) table so the
         # aggregation runs once per invocation
         c2 = c2.localCheckpoint(eager=False)
-    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # context totals c1 via a window over c2 itself (guide §2.4): the
+    # per-w1 sum computes in the exchange the former aggregate+join
+    # paid twice — exact integer sum, identical value
+    from pyspark.sql import Window as _W
+
+    c2w = c2.withColumn("c1", F.sum("c12").over(_W.partitionBy("w1")))
     vocab = toks.select(F.explode("t").alias("w")).agg(
         F.countDistinct("w").cast("double").alias("v")
     )
     lp = (
-        c2.join(c1, "w1")
-        .crossJoin(F.broadcast(vocab))
+        c2w.crossJoin(F.broadcast(vocab))
         .select(
             "w1",
             "w2",
@@ -1186,8 +1190,19 @@ def trigram_logprob(
         # runs once per invocation
         c3t = c3t.localCheckpoint(eager=False)
         c2t = c2t.localCheckpoint(eager=False)
-    c12 = c3t.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
-    c2c = c2t.groupBy("b1").agg(F.sum("c23").alias("c2"))
+    # context totals via windows over the SAME tables (guide §2.4):
+    # c12 is the per-(w1,w2) sum of c123 and c2 the per-b1 sum of c23
+    # — exact integer sums, previously built as separate aggregates
+    # and re-JOINED (two extra exchanges + two joins per query); the
+    # window computes them in the exchange the join needed anyway
+    from pyspark.sql import Window as _W
+
+    c3w = c3t.withColumn(
+        "c12", F.sum("c123").over(_W.partitionBy("w1", "w2"))
+    )
+    c2w = c2t.withColumn(
+        "c2", F.sum("c23").over(_W.partitionBy("b1"))
+    )
     cu = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
         F.count("*").alias("c3")
     )
@@ -1196,14 +1211,13 @@ def trigram_logprob(
         F.count("*").cast("double").alias("v"),
     )
     lp = (
-        c3t.join(c12, ["w1", "w2"])
-        .join(
-            c2t.select(
-                F.col("b1").alias("w2"), F.col("b2").alias("w3"), "c23"
+        c3w.join(
+            c2w.select(
+                F.col("b1").alias("w2"), F.col("b2").alias("w3"),
+                "c23", "c2",
             ),
             ["w2", "w3"],
         )
-        .join(c2c.select(F.col("b1").alias("w2"), "c2"), "w2")
         .join(cu.select(F.col("w").alias("w3"), "c3"), "w3")
         .crossJoin(F.broadcast(tot))
         .select(
