@@ -1515,7 +1515,11 @@ def bm25_topk(
     nq = BM25_N_QUERIES
     base = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_TOKENS).alias("t")
-    )
+        # shared parent of the corpus-stats aggregate, the candidate
+        # postings, and the query-term table: one scan+tokenize per
+        # invocation instead of three (lazy; the eager stats collect
+        # below materializes it)
+    ).localCheckpoint(eager=False)
     toks = base.select(
         "doc_id", F.size("t").alias("dl"), F.explode("t").alias("tok")
     )
