@@ -122,8 +122,18 @@ def _parse_value(data: bytes, pos: int):
     # refs and names, so the common paths must not pay startswith
     # probes for dict/bool/null openers (hot path: ~60 values per
     # fixture object, profiled at ~30% of extract_pdf)
-    pos = _skip_ws(data, pos)
-    if pos >= len(data):
+    n = len(data)
+    # inlined _skip_ws (one call per value otherwise)
+    while pos < n:
+        c = data[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # '%' comment
+            while pos < n and data[pos] not in (0x0A, 0x0D):
+                pos += 1
+        else:
+            break
+    if pos >= n:
         raise PdfError("unexpected end of data")
     c = data[pos]
 
@@ -174,12 +184,25 @@ def _parse_value(data: bytes, pos: int):
 def _parse_dict(data: bytes, pos: int):
     pos += 2
     out: dict[str, object] = {}
+    n = len(data)
     while True:
-        pos = _skip_ws(data, pos)
-        if data.startswith(b">>", pos):
+        # inlined _skip_ws (loop-head hot path)
+        while pos < n:
+            c = data[pos]
+            if c in _WS:
+                pos += 1
+            elif c == 0x25:  # '%' comment
+                while pos < n and data[pos] not in (0x0A, 0x0D):
+                    pos += 1
+            else:
+                break
+        # cheap int probe before startswith; end-of-data raises the
+        # same IndexError the former data[pos] key dispatch did
+        c = data[pos]
+        if c == 0x3E and data.startswith(b">>", pos):
             return out, pos + 2
         # keys are names by spec — skip the generic dispatch
-        if data[pos] == 0x2F:
+        if c == 0x2F:
             m = _NAME_RE.match(data, pos)
             key = "/" + m.group(1).decode("latin-1")
             pos = m.end()
@@ -1226,7 +1249,12 @@ class FormXObject:
 
 _CS_TOKEN_RE = re.compile(
     rb"""
-    (?P<str>\()                    # literal string start
+    \((?P<lit>[^()\\]*)\)          # complete simple literal string
+                                   # (no escapes/nesting: the dominant
+                                   # show-op case; matches exactly the
+                                   # strings _parse_literal_string's
+                                   # fast path returns verbatim)
+  | (?P<str>\()                    # literal string start (general)
   | <(?P<hex>[0-9A-Fa-f\s]*)>     # hex string
   | /(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)
   | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))
@@ -1316,6 +1344,9 @@ def interpret_content(
             break
         pos = m.end()
         kind = m.lastgroup
+        if kind == "lit":
+            stack.append(m.group("lit"))
+            continue
         if kind == "str":
             raw, pos = _parse_literal_string(content, m.start())
             stack.append(raw)
@@ -1339,33 +1370,39 @@ def interpret_content(
             stack.append(m.group("arr").decode("ascii"))
             continue
 
-        op = m.group("op").decode("latin-1")
+        # op tokens compare as bytes (no per-token decode); the chain is
+        # ordered by corpus frequency — show/newline ops run once per
+        # text line, the state ops once or twice per page
+        op = m.group("op")
 
-        if op == "Tf" and len(stack) >= 1:
+        if op == b"Tj" and stack:
+            if isinstance(stack[-1], bytes):
+                show(stack[-1])
+        elif op == b"T*":
+            tm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tm)
+        elif op == b"Td" and len(stack) >= 2:
+            tm = _mat_mul((1.0, 0.0, 0.0, 1.0, _f(-2), _f(-1)), tm)
+        elif op == b"Tm" and len(stack) >= 6:
+            tm = (_f(-6), _f(-5), _f(-4), _f(-3), _f(-2), _f(-1))
+        elif op == b"Tf" and len(stack) >= 1:
             size = _f(-1)
             if len(stack) >= 2 and isinstance(stack[-2], str):
                 cur_font = fonts.get(stack[-2], _DEFAULT_FONT)
-        elif op == "Tm" and len(stack) >= 6:
-            tm = (_f(-6), _f(-5), _f(-4), _f(-3), _f(-2), _f(-1))
-        elif op == "Td" and len(stack) >= 2:
-            tm = _mat_mul((1.0, 0.0, 0.0, 1.0, _f(-2), _f(-1)), tm)
-        elif op == "TD" and len(stack) >= 2:
+        elif op == b"TD" and len(stack) >= 2:
             leading = -_f(-1)
             tm = _mat_mul((1.0, 0.0, 0.0, 1.0, _f(-2), _f(-1)), tm)
-        elif op == "TL" and stack:
+        elif op == b"TL" and stack:
             leading = _f(-1)
-        elif op == "T*":
-            tm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tm)
-        elif op == "cm" and len(stack) >= 6:
+        elif op == b"cm" and len(stack) >= 6:
             ctm = _mat_mul(
                 (_f(-6), _f(-5), _f(-4), _f(-3), _f(-2), _f(-1)), ctm
             )
-        elif op == "q":
+        elif op == b"q":
             gs_stack.append(ctm)
-        elif op == "Q":
+        elif op == b"Q":
             if gs_stack:
                 ctm = gs_stack.pop()
-        elif op == "Do" and stack and isinstance(stack[-1], str):
+        elif op == b"Do" and stack and isinstance(stack[-1], str):
             f = forms.get(stack[-1])
             if f is not None and depth < 8:
                 runs.extend(
@@ -1377,7 +1414,7 @@ def interpret_content(
                         depth + 1,
                     )
                 )
-        elif op == "BI":
+        elif op == b"BI":
             # inline image: jump past `ID <binary> EI` so image bytes
             # never hit the tokenizer
             id_pos = content.find(b"ID", pos)
@@ -1386,14 +1423,11 @@ def interpret_content(
                 pos = m_ei.end() if m_ei else n
             else:
                 pos = n
-        elif op == "Tj" and stack:
-            if isinstance(stack[-1], bytes):
-                show(stack[-1])
-        elif op in ("'", '"') and stack:
+        elif op in (b"'", b'"') and stack:
             tm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tm)
             if isinstance(stack[-1], bytes):
                 show(stack[-1])
-        elif op == "TJ":
+        elif op == b"TJ":
             # operands are the tokens between the '[' ... ']' markers
             items: list[object] = []
             while stack:
@@ -1414,7 +1448,7 @@ def interpret_content(
                 x = tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4]
                 y = tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
                 runs.append(Run(x, y, size, text))
-        elif op == "BT":
+        elif op == b"BT":
             tm = _IDENTITY
         # operands precede their operator; once handled they are consumed
         stack.clear()

@@ -18,6 +18,7 @@ available here, so fixtures must be generated from known text.
 
 from __future__ import annotations
 
+import re
 import zlib
 
 from .pdffilters import lzw_encode
@@ -57,25 +58,37 @@ STREAM_FILTERS = {
 }
 
 
+_LITERAL_ESC_RE = re.compile(rb"[()\\\n\r\t]")
+
+
 def _escape_literal(s: str) -> bytes:
-    out = bytearray()
-    for ch in s:
-        b = ord(ch)
-        if ch in "()\\":
-            out += b"\\" + ch.encode("latin-1")
-        elif b in (10, 13, 9):
-            out += {10: b"\\n", 13: b"\\r", 9: b"\\t"}[b]
-        else:
-            out.append(b)
-    return bytes(out)
+    # byte-level escape over the latin-1 encoding: each escaped byte is
+    # independent, so a replace chain (backslash FIRST, so later inserted
+    # backslashes are never re-escaped) produces the identical bytes the
+    # former per-char loop did; the regex probe keeps the overwhelmingly
+    # common no-escape string on a zero-copy path
+    raw = s.encode("latin-1")
+    if _LITERAL_ESC_RE.search(raw) is None:
+        return raw
+    return (
+        raw.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+        .replace(b"\n", b"\\n")
+        .replace(b"\r", b"\\r")
+        .replace(b"\t", b"\\t")
+    )
 
 
 def pdf_string(s: str) -> bytes:
     """Encode a text string for a content stream."""
-    if all(ord(c) < 256 for c in s):
+    # ord(c) < 256 for every char == latin-1-encodable: let the codec
+    # decide in C instead of a per-char generator probe
+    try:
         return b"(" + _escape_literal(s) + b")"
-    data = b"\xfe\xff" + s.encode("utf-16-be")
-    return b"<" + data.hex().encode("ascii") + b">"
+    except UnicodeEncodeError:
+        data = b"\xfe\xff" + s.encode("utf-16-be")
+        return b"<" + data.hex().encode("ascii") + b">"
 
 
 class ContentBuilder:
