@@ -113,13 +113,9 @@ class HtmlResult:
 
 
 def _looks_like_header_footer(line: str) -> bool:
-    """Single-line block filter, reference patterns text_utils.py:154-163."""
-    return (
-        textnorm._PAGE_LINE_RE.match(line) is not None
-        or textnorm._NUM_LINE_RE.match(line) is not None
-        or len(line) < 3
-        or textnorm._RULE_LINE_RE.match(line) is not None
-    )
+    """Single-line block filter, reference patterns text_utils.py:154-163
+    (the three patterns OR'd into one alternation scan)."""
+    return len(line) < 3 or textnorm._HF_LINE_RE.match(line) is not None
 
 
 def _decode_text(raw: str) -> str:

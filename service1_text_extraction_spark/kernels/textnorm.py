@@ -125,6 +125,10 @@ def normalize_whitespace_series(s: pd.Series) -> pd.Series:
 _PAGE_LINE_RE = re.compile(r"^Page \d+$", re.IGNORECASE)
 _NUM_LINE_RE = re.compile(r"^\d+$")
 _RULE_LINE_RE = re.compile(r"^-+$")
+# the three line patterns OR'd into one scan (pure predicates, so one
+# alternation decides identically to three sequential match calls); the
+# hot callers test len < 3 first, which is free
+_HF_LINE_RE = re.compile(r"^(?:(?i:Page) \d+|\d+|-+)$")
 
 
 def remove_page_headers_footers(text: str) -> str:
@@ -137,12 +141,7 @@ def remove_page_headers_footers(text: str) -> str:
     kept = []
     for raw in text.split("\n"):
         line = raw.strip()
-        if (
-            _PAGE_LINE_RE.match(line)
-            or _NUM_LINE_RE.match(line)
-            or len(line) < 3
-            or _RULE_LINE_RE.match(line)
-        ):
+        if len(line) < 3 or _HF_LINE_RE.match(line):
             continue
         kept.append(line)
     return "\n".join(kept)
