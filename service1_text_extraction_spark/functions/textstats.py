@@ -316,9 +316,13 @@ def tfidf_top_terms(
         "doc_id", F.explode(F.expr(_TOKENS)).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
-        F.count("*").alias("df")
-    )
+    # tf's rows ARE the corpus's distinct (doc_id, tok) pairs, so df
+    # reduces FROM tf — the former toks.distinct() arm re-tokenized the
+    # whole corpus and paid a second occurrence-stream exchange for the
+    # identical integers (guide §2.4). One per-invocation checkpoint of
+    # the (doc-distinct-term-sized) tf table feeds both consumers.
+    tf = tf.localCheckpoint(eager=False)
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
     scored = tf.join(df, "tok").select(
         "doc_id",
@@ -991,11 +995,20 @@ def vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership test is a broadcast LEFT join (never a shuffle of the
     corpus tokens' payload); the per-doc rollup is one hash-aggregate
     with partial combine."""
-    vocab = vocab_top_terms(spark, sf_dir).select(
-        "w", F.lit(1).alias("in_vocab")
-    )
     tok = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.expr(_TOKENS)).alias("w")
+    )
+    # the vocabulary derives from the SAME token stream the membership
+    # test scans — one per-invocation checkpoint tokenizes the corpus
+    # once where the former vocab_top_terms() arm re-scanned and
+    # re-tokenized it (identical counts, hence identical top-V cut)
+    tok = tok.localCheckpoint(eager=False)
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(VOCAB_SIZE)
+        .select("w", F.lit(1).alias("in_vocab"))
     )
     return (
         tok.join(F.broadcast(vocab), "w", "left")
