@@ -174,7 +174,9 @@ def extract_html(payload: str) -> HtmlResult:
                     dropped_stripped += len(text.strip())
         pos = end
 
-        slash, tag, attrs = m.group(1, 2, 3)
+        # attrs (group 3) is only read on the rare drop-container open
+        # branch — deferring its fetch skips a substring copy per tag
+        slash, tag = m.group(1, 2)
         if not tag.islower():
             tag = tag.lower()
         act = action_get(tag)
@@ -207,7 +209,7 @@ def extract_html(payload: str) -> HtmlResult:
         if slash:
             if drop_depth:
                 drop_depth -= 1
-        elif not attrs.endswith("/"):
+        elif not m.group(3).endswith("/"):
             # self-closing drop containers never open a depth level;
             # unclosed ones are absorbed by the floor on the close side
             drop_depth += 1

@@ -68,6 +68,14 @@ def set_ocr_hook(fn) -> None:
 # base64 of "%PDF-" is "JVBERi0"; payloads are sniffed, not trusted.
 _B64_PDF_PREFIX = "JVBER"
 _B64_CLEAN_RE = re.compile(r"\s+")
+# ASCII fast path for the whitespace strip: the deletion table holds
+# exactly the ASCII codepoints re's \s matches (built FROM the regex,
+# so the two paths cannot diverge); base64 payloads are ASCII in
+# practice and str.translate deletes in one C pass where re.sub
+# rebuilds via match spans
+_B64_WS_DEL = dict.fromkeys(
+    i for i in range(128) if _B64_CLEAN_RE.fullmatch(chr(i))
+)
 _HTML_HINT_RE = re.compile(r"<[a-zA-Z][^>]*>|</[a-zA-Z][^>]*>|<!DOCTYPE", re.IGNORECASE)
 
 
@@ -145,9 +153,12 @@ def _extract_turn_inner(
 
     if kind == "pdf":
         try:
-            raw = base64.b64decode(
-                _B64_CLEAN_RE.sub("", payload), validate=True
+            b64 = (
+                payload.translate(_B64_WS_DEL)
+                if payload.isascii()
+                else _B64_CLEAN_RE.sub("", payload)
             )
+            raw = base64.b64decode(b64, validate=True)
         except (binascii.Error, ValueError) as e:
             # UTF-8 byte count, same unit as every other bytes_in path
             return _failed(

@@ -54,6 +54,7 @@ from __future__ import annotations
 import re
 import zlib
 from dataclasses import dataclass
+from typing import NamedTuple
 
 from . import pdfcrypt, pdffilters
 
@@ -1068,8 +1069,9 @@ class PdfDocument:
 # --------------------------------------------------------------------------
 
 
-@dataclass
-class Run:
+class Run(NamedTuple):
+    # NamedTuple, not dataclass: C-level construction on the per-show
+    # hot path (never mutated; field access is unchanged)
     x: float
     y: float
     size: float
@@ -1344,8 +1346,17 @@ def interpret_content(
             break
         pos = m.end()
         kind = m.lastgroup
+        # dispatch ordered by token frequency: strings and numbers are
+        # the operand bulk of any text content stream
         if kind == "lit":
             stack.append(m.group("lit"))
+            continue
+        if kind == "num":
+            t = m.group("num")
+            stack.append(float(t) if b"." in t else int(t))
+            continue
+        if kind == "name":
+            stack.append("/" + m.group("name").decode("latin-1"))
             continue
         if kind == "str":
             raw, pos = _parse_literal_string(content, m.start())
@@ -1358,13 +1369,6 @@ def interpret_content(
             if len(hx) % 2:
                 hx += b"0"
             stack.append(bytes.fromhex(hx.decode("ascii")))
-            continue
-        if kind == "name":
-            stack.append("/" + m.group("name").decode("latin-1"))
-            continue
-        if kind == "num":
-            t = m.group("num")
-            stack.append(float(t) if b"." in t else int(t))
             continue
         if kind == "arr":
             stack.append(m.group("arr").decode("ascii"))
